@@ -1,0 +1,71 @@
+"""Scalar text transforms from the reference, as Column expressions.
+
+Each function cites the reference behavior it re-expresses (SURVEY.md
+section 2 #35-45). All are regexp/substring/concat built-ins — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization (empty input -> empty array)."""
+    c = F.col(c) if isinstance(c, str) else c
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, TOKEN_SPLIT_RE))
+
+
+def distinct_tokens(c: Column | str) -> Column:
+    return F.array_distinct(tokens(c))
+
+
+def chunk_id(doc_key: Column, pos: Column) -> Column:
+    """Deterministic chunk id ``{doc_key}_chunk_{i+1}``
+    (chunk_cisa_kev.py:152, chunk_youtube_transcripts.py:186)."""
+    return F.concat(doc_key.cast("string"), F.lit("_chunk_"),
+                    (pos + 1).cast("string"))
+
+
+def snippet(c: Column | str, n: int = 250) -> Column:
+    """Display truncation: newlines -> spaces, first ``n`` chars, ellipsis
+    when truncated (query_rag_database.py:193)."""
+    c = F.col(c) if isinstance(c, str) else c
+    flat = F.regexp_replace(c, r"\n", " ")
+    return F.when(F.length(flat) > n,
+                  F.concat(F.substring(flat, 1, n), F.lit("..."))) \
+            .otherwise(flat)
+
+
+def sanitize_filename(c: Column | str, max_len: int = 200) -> Column:
+    """Filename sanitization: strip ``[\\/*?:"<>|]``, collapse whitespace,
+    trim, clamp length (scrape_youtube_metadata.py:56-73)."""
+    c = F.col(c) if isinstance(c, str) else c
+    cleaned = F.regexp_replace(c, r'[\\/*?:"<>|]', "")
+    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return F.substring(collapsed, 1, max_len)
+
+
+def coalesce_title(*cols: Column) -> Column:
+    """Title coalescing across source types with 'N/A' fallback
+    (query_rag_database.py:158, Auto_query_rag_database.py:189)."""
+    return F.coalesce(*cols, F.lit("N/A"))
+
+
+def normalize_date(c: Column | str, in_fmt: str = "yyyyMMdd",
+                   out_fmt: str = "yyyy-MM-dd") -> Column:
+    """``yyyyMMdd -> yyyy-MM-dd`` with null on invalid input
+    (scrape_youtube_metadata.py:215-218)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.date_format(F.to_date(c, in_fmt), out_fmt)
+
+
+def coerce_scalar(c: Column, na: str = "N/A") -> Column:
+    """ChromaDB-style metadata coercion: None -> 'N/A', else str()
+    (ingest_chunks_to_chromadb.py:133-155). Array columns should be
+    pre-joined with ``concat_ws(', ', col)``."""
+    return F.coalesce(c.cast("string"), F.lit(na))

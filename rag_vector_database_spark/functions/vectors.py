@@ -1,0 +1,56 @@
+"""Vector column expressions over ``array<float>`` embeddings.
+
+Reference behavior: embeddings are L2-normalized at write time so cosine
+similarity reduces to a dot product at query time
+(ingest_chunks_to_chromadb.py:66, query_rag_database.py:127). We keep
+that contract: ``dot`` is the scorer and ``l2_normalize`` enforces the
+invariant at ingest.
+
+Everything here is built from higher-order functions (``zip_with``,
+``aggregate``, ``transform``), so the scorer runs inside whole-stage
+codegen with no Python boundary — the 100 TB path: a brute-force top-k
+is one columnar scan + TakeOrderedAndProject (no global sort, no
+shuffle of the vectors themselves).
+
+Determinism note: products are computed in float64 and summed strictly
+left-to-right (``aggregate`` semantics), matching the DuckDB oracle's
+``list_reduce(list_transform(...))`` formulation exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Float64 dot product of two array<float> columns (or literals)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    """L2 norm of an array<float> column."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; use ``dot`` directly when vectors are normalized."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Scale an array<float> to unit L2 norm (null-safe for zero vectors)."""
+    a = F.col(a) if isinstance(a, str) else a
+    n = norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: (x.cast("double") / n).cast("float")))
+
+
+def query_vec_lit(vec) -> Column:
+    """A literal query vector column (broadcast as part of the plan)."""
+    return F.array(*[F.lit(float(x)) for x in vec])

@@ -1,0 +1,142 @@
+"""Retrieval operators: k-NN similarity search + the two-stage funnel.
+
+Reference semantics (SURVEY.md section 2 #46-55):
+- similarity search = cosine top-k over normalized vectors, so score is
+  a plain dot product (query_rag_database.py:361,371,
+  Auto_query_rag_database.py:299-301,343).
+- two-stage funnel = cheap ANN (k=50) -> expensive cross-encoder rerank
+  -> score threshold -> top-n (query_rag_database.py:358-376,
+  Auto_query_rag_database.py:296-348). The cheap-first ordering is an
+  explicit pipeline shape: Catalyst cannot know the reranker is 1000x
+  the dot product's cost, so the funnel stays a fixed composition.
+
+Scale notes:
+- ``knn`` is scan + TakeOrderedAndProject: the literal query vector is
+  part of the plan (no join), scores fold into whole-stage codegen, and
+  top-k never materializes a global sort. At 100 TB this is
+  embarrassingly parallel over parquet row groups.
+- ``ivf_knn`` is the scale path: a coarse sign-bit quantizer prunes the
+  scan to one bucket. With the bucket id as a parquet partition/cluster
+  column, partition pruning skips ~(1 - 1/2^bits) of the data before
+  any vector math. Exact ``knn`` stays the correctness reference
+  (SURVEY.md section 7 "both paths live behind one API").
+- The reranker here is the deterministic lexical-overlap stand-in for
+  the cross-encoder (SURVEY.md section 5.2): Jaccard overlap between
+  query and document token sets — built-ins only, oracle-checkable.
+  A real cross-encoder drops in as a pandas UDF behind the same column
+  contract (score double).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..functions import text as T
+
+# Reference defaults (BASELINE.md)
+DEFAULT_K_CANDIDATES = 50       # Auto_query_rag_database.py:64
+DEFAULT_K_DIRECT = 20           # Auto_query_rag_database.py:65
+DEFAULT_TOP_N = 5               # query_rag_database.py:72
+DEFAULT_SIM_THRESHOLD = 0.75    # Auto_query_rag_database.py:67
+DEFAULT_RERANK_THRESHOLD = 0.0  # Auto_query_rag_database.py:66
+
+
+def score_against(df: DataFrame, query_vec: Sequence[float],
+                  vec_col: str = "embedding",
+                  score_col: str = "score",
+                  ndigits: int = 6) -> DataFrame:
+    """Attach a rounded dot-product similarity column."""
+    q = V.query_vec_lit(query_vec)
+    return df.withColumn(score_col, F.round(V.dot(F.col(vec_col), q), ndigits))
+
+
+def knn(df: DataFrame, query_vec: Sequence[float], k: int,
+        vec_col: str = "embedding", id_col: str = "vec_id",
+        score_col: str = "score") -> DataFrame:
+    """Exact brute-force top-k by dot product (deterministic tie-break on
+    id). Physical plan: scan -> project(score) -> TakeOrderedAndProject."""
+    scored = score_against(df, query_vec, vec_col, score_col)
+    return (scored
+            .select(id_col, score_col)
+            .orderBy(F.desc(score_col), F.col(id_col))
+            .limit(k))
+
+
+def ivf_knn(df: DataFrame, query_vec: Sequence[float], k: int,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            score_col: str = "score", sign_bits: int = 3) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize vectors by the sign
+    pattern of their first ``sign_bits`` dims, then search only the
+    query's cell. Recall < 1 by design; exact ``knn`` is the oracle for
+    the scan-pruning structure, not the result set."""
+    bucket = _sign_bucket(F.col(vec_col), sign_bits)
+    qbucket = sum((1 << i) for i in range(sign_bits) if float(query_vec[i]) >= 0)
+    scored = score_against(df.where(bucket == F.lit(qbucket)),
+                           query_vec, vec_col, score_col)
+    return (scored.select(id_col, score_col)
+            .orderBy(F.desc(score_col), F.col(id_col)).limit(k))
+
+
+def _sign_bucket(vec: Column, sign_bits: int) -> Column:
+    b = F.lit(0)
+    for i in range(sign_bits):
+        b = b + F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def lexical_overlap_score(query_text: str, text_col: Column,
+                          ndigits: int = 6) -> Column:
+    """Deterministic cross-encoder stand-in: Jaccard overlap of distinct
+    whitespace tokens between the query and the document."""
+    q = T.distinct_tokens(F.lit(query_text))
+    d = T.distinct_tokens(text_col)
+    inter = F.size(F.array_intersect(d, q)).cast("double")
+    union = F.size(F.array_union(d, q)).cast("double")
+    return F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), ndigits)
+
+
+def rerank(df: DataFrame, query_text: str, text_col: str = "text",
+           score_col: str = "relevance_score") -> DataFrame:
+    """Attach the rerank score column (#49)."""
+    return df.withColumn(score_col, lexical_overlap_score(query_text, F.col(text_col)))
+
+
+def retrieval_funnel(embeddings: DataFrame, documents: DataFrame,
+                     query_vec: Sequence[float], query_text: str,
+                     k_candidates: int = DEFAULT_K_CANDIDATES,
+                     top_n: int = DEFAULT_TOP_N,
+                     rerank_threshold: float = DEFAULT_RERANK_THRESHOLD,
+                     vec_col: str = "embedding", vec_id: str = "vec_id",
+                     doc_id: str = "doc_id") -> DataFrame:
+    """The reference's full two-stage funnel (#51):
+
+    knn(k) |> join docs |> rerank |> filter(score >= theta)
+           |> orderBy desc |> limit n
+
+    The candidate set is tiny (k rows) after stage 1, so the doc join is
+    a broadcast of the candidates into the documents scan."""
+    candidates = knn(embeddings, query_vec, k_candidates, vec_col, vec_id)
+    joined = documents.join(F.broadcast(candidates),
+                            documents[doc_id] == candidates[vec_id])
+    reranked = rerank(joined, query_text)
+    return (reranked
+            .where(F.col("relevance_score") >= F.lit(rerank_threshold))
+            .select(doc_id, "score", "relevance_score",
+                    T.snippet("text", 80).alias("snippet"))
+            .orderBy(F.desc("relevance_score"), F.desc("score"), F.col(doc_id))
+            .limit(top_n))
+
+
+def score_stats(scored: DataFrame, score_col: str = "score",
+                ndigits: int = 6) -> DataFrame:
+    """min/max/avg score stats shown before thresholding (#52,
+    Auto_query_rag_database.py:328-331)."""
+    return scored.agg(
+        F.round(F.min(score_col), ndigits).alias("min_score"),
+        F.round(F.max(score_col), ndigits).alias("max_score"),
+        F.round(F.avg(score_col), ndigits).alias("avg_score"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"))

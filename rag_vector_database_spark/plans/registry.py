@@ -1,0 +1,234 @@
+"""The engine's query inventory: one entry per operator claimed done.
+
+Each ``QueryDef`` pairs a Spark builder ``(spark, sf_dir) -> DataFrame``
+with the equivalent ANSI SQL that DuckDB runs on the same parquet files
+(driver registers views: region nation customer supplier part orders
+lineitem events documents embeddings). The driver compares row count +
+schema + order-insensitive value hash, sorting columns by name — so
+every computed column is aliased identically on both sides and every
+float is rounded to 6dp on both sides.
+
+Builders live in operators/*; this module only wires them to data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from ..operators import retrieval
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_QVEC_CACHE: dict[str, list[float]] = {}
+_QTEXT_CACHE: dict[str, str] = {}
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """The test query vector: embedding of ``vec_id`` (cached per sf)."""
+    key = f"{sf_dir}:{vec_id}"
+    if key not in _QVEC_CACHE:
+        row = (_t(spark, sf_dir, "embeddings")
+               .where(F.col("vec_id") == vec_id).select("embedding").first())
+        _QVEC_CACHE[key] = list(row[0])
+    return _QVEC_CACHE[key]
+
+
+def query_text(spark: SparkSession, sf_dir: str, doc_id: int = 0) -> str:
+    key = f"{sf_dir}:{doc_id}"
+    if key not in _QTEXT_CACHE:
+        row = (_t(spark, sf_dir, "documents")
+               .where(F.col("doc_id") == doc_id).select("text").first())
+        _QTEXT_CACHE[key] = row[0]
+    return _QTEXT_CACHE[key]
+
+
+# DuckDB fragment: strict left-to-right float64 dot product of two
+# embedding columns — matches functions.vectors.dot exactly.
+def dd_dot(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            f"(acc, x) -> acc + x)")
+
+
+DD_TOKENS = ("CASE WHEN trim({c}) = '' THEN [] "
+             "ELSE regexp_split_to_array(trim({c}), '\\s+') END")
+
+
+def dd_distinct_tokens(c: str) -> str:
+    return f"list_distinct({DD_TOKENS.format(c=c)})"
+
+
+@dataclass
+class QueryDef:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver does rows-only check
+    headline: bool = False  # included in bench.py
+
+
+REGISTRY: list[QueryDef] = []
+
+
+def register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        REGISTRY.append(QueryDef(name, fn, oracle, headline))
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.builder for q in REGISTRY}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in REGISTRY if q.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Vector retrieval (SURVEY §2 #46-55)
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({dot}, 6) AS score
+FROM embeddings e, q
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+""".format(dot=dd_dot("e.embedding", "q.qv")),
+    headline=True)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#47: exact top-k cosine (normalized => dot) — scan + top-k, no shuffle."""
+    qv = query_vector(spark, sf_dir)
+    return retrieval.knn(_t(spark, sf_dir, "embeddings"), qv, k=10)
+
+
+@register(
+    "knn_score_stats",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT round({dot}, 6) AS score FROM embeddings e, q)
+SELECT round(min(score), 6) AS min_score, round(max(score), 6) AS max_score,
+       round(avg(score), 6) AS avg_score,
+       CAST(count(*) AS BIGINT) AS n_candidates
+FROM scored
+""".format(dot=dd_dot("e.embedding", "q.qv")))
+def q_knn_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#52: min/max/avg score statistics over all candidates."""
+    qv = query_vector(spark, sf_dir)
+    scored = retrieval.score_against(_t(spark, sf_dir, "embeddings"), qv)
+    return retrieval.score_stats(scored)
+
+
+@register(
+    "retrieval_funnel",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, round({dot}, 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id
+  LIMIT 50
+),
+qt AS (SELECT {qtok} AS qtok FROM documents WHERE doc_id = 0),
+reranked AS (
+  SELECT d.doc_id, c.score,
+         round(CASE WHEN len(list_distinct(list_concat({dtok}, qt.qtok))) > 0
+               THEN CAST(len(list_intersect({dtok}, qt.qtok)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat({dtok}, qt.qtok))) AS DOUBLE)
+               ELSE 0.0 END, 6) AS relevance_score,
+         CASE WHEN length(regexp_replace(d.text, '\\n', ' ', 'g')) > 80
+              THEN substring(regexp_replace(d.text, '\\n', ' ', 'g'), 1, 80) || '...'
+              ELSE regexp_replace(d.text, '\\n', ' ', 'g') END AS snippet
+  FROM documents d JOIN cand c ON d.doc_id = c.vec_id, qt
+)
+SELECT doc_id, score, relevance_score, snippet
+FROM reranked
+WHERE relevance_score >= 0.0
+ORDER BY relevance_score DESC, score DESC, doc_id
+LIMIT 5
+""".format(dot=dd_dot("e.embedding", "q.qv"),
+           qtok=dd_distinct_tokens("text"),
+           dtok=dd_distinct_tokens("d.text")),
+    headline=True)
+def q_retrieval_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#51: the reference's two-stage funnel — knn(50) -> lexical rerank
+    -> threshold -> top-5, with snippet projection (#44)."""
+    qv = query_vector(spark, sf_dir)
+    qt = query_text(spark, sf_dir)
+    return retrieval.retrieval_funnel(
+        _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents"),
+        qv, qt)
+
+
+@register(
+    "ivf_knn",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END) AS bucket, qv FROM q
+)
+SELECT e.vec_id, round({dot}, 6) AS score
+FROM embeddings e, qb
+WHERE (CASE WHEN e.embedding[1] >= 0 THEN 1 ELSE 0 END
+     + CASE WHEN e.embedding[2] >= 0 THEN 2 ELSE 0 END
+     + CASE WHEN e.embedding[3] >= 0 THEN 4 ELSE 0 END) = qb.bucket
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+""".format(dot=dd_dot("e.embedding", "qb.qv")))
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: sign-bit coarse quantizer prunes the scan to the
+    query's cell — the partition-pruning scale path for #47."""
+    qv = query_vector(spark, sf_dir)
+    return retrieval.ivf_knn(_t(spark, sf_dir, "embeddings"), qv, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Relational core
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    headline=True)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: partial-agg (map-side combine)
+    then a tiny shuffle on the 2-key group — the canonical scale-safe agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+                 F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).cast("long").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
