@@ -1,0 +1,76 @@
+"""Incremental-ingest operators: the reference's processing discipline.
+
+The reference's core operational idea (SURVEY.md section 2 #28-31, #59)
+is "only new inputs each run": every script keeps an append-only log of
+completed keys and anti-filters its input against it
+(chunk_cisa_kev.py:96,113; ingest_chunks_to_chromadb.py:175-186), and
+the ingester additionally dedups against the vector store's existing ids.
+
+Spark-first: both halves are one ``left_anti`` join. At scale the log /
+id side is read as a key-only parquet projection (column pruning means
+the scan touches one column); when small it broadcasts, when huge AQE
+picks a shuffled hash join — no driver-side ID fetch, which was the
+reference's documented bottleneck (ingest_chunks_to_chromadb.py:95-96).
+
+The metadata coercion matrix (ingest_chunks_to_chromadb.py:133-155):
+list -> ', '-joined string; None/empty -> 'N/A'; scalar -> str().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+NA = "N/A"  # the reference's null sentinel (chunk_cisa_kev.py:*'N/A'*)
+
+
+def incremental_filter(incoming: DataFrame, processed: DataFrame,
+                       key: str, processed_key: str | None = None) -> DataFrame:
+    """Rows of ``incoming`` whose key is not yet in ``processed`` (#28/#30)."""
+    processed_key = processed_key or key
+    log = processed.select(F.col(processed_key).alias(key)).distinct()
+    return incoming.join(log, on=key, how="left_anti")
+
+
+def mark_processed(processed_log_path: str, batch: DataFrame, key: str) -> None:
+    """Append this run's completed keys to the log table (#29). Append-only
+    directory of parquet — the Spark-shaped version of the reference's
+    shared append file (SURVEY.md section 7 'single-file append sink')."""
+    batch.select(key).distinct().write.mode("append").parquet(processed_log_path)
+
+
+def coerce_metadata_column(c: Column, dtype) -> Column:
+    """One column of the ChromaDB scalar-coercion matrix."""
+    if isinstance(dtype, ArrayType):
+        joined = F.concat_ws(", ", c.cast("array<string>"))
+        return F.when(c.isNull() | (F.size(c) == 0), F.lit(NA)).otherwise(joined)
+    return F.coalesce(c.cast("string"), F.lit(NA))
+
+
+def coerce_metadata(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Apply the coercion matrix to ``cols`` (default: all non-id columns),
+    yielding an all-string metadata surface like the reference's store."""
+    target = cols or df.columns
+    out = df
+    for name in target:
+        dtype = df.schema[name].dataType
+        out = out.withColumn(name, coerce_metadata_column(F.col(name), dtype))
+    return out
+
+
+def idempotent_append(incoming: DataFrame, store_path: str, key: str,
+                      spark=None) -> int:
+    """Run-twice-adds-zero ingest (#30 + #12): anti-join against the
+    store's existing keys, append only the new rows. Returns rows added."""
+    spark = spark or incoming.sparkSession
+    try:
+        existing = spark.read.parquet(store_path).select(key)
+    except Exception:  # first run: empty store
+        existing = None
+    fresh = incoming if existing is None else incremental_filter(
+        incoming, existing, key)
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(store_path)
+    return n

@@ -29,6 +29,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long (runtime conf) and floor-convert
+    to a microsecond timestamp — exactly what DuckDB's reader does."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 _QVEC_CACHE: dict[str, list[float]] = {}
 _QTEXT_CACHE: dict[str, str] = {}
 
@@ -232,3 +241,131 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("l_discount"), 6).alias("avg_disc"),
                  F.count(F.lit(1)).cast("long").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
+
+
+# ---------------------------------------------------------------------------
+# Chunking + corpus construction (SURVEY §2 #33-37, #20, #24-26, #56)
+
+from ..operators import chunking  # noqa: E402
+from ..operators import ingest  # noqa: E402
+from ..functions import text as T  # noqa: E402
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 120, 20  # scaled-down reference params
+                                       # (1000/150) for ~300-char test docs
+
+
+@register(
+    "chunk_documents",
+    oracle="WITH chunks AS ({cte}) SELECT * FROM chunks".format(
+        cte=chunking.dd_chunk_cte(_CHUNK_SIZE, _CHUNK_OVERLAP)),
+    headline=True)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#33-35: fixed-stride chunk explode with ids/ordinals — pure
+    sequence/substring built-ins, no UDF, no shuffle."""
+    return chunking.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+
+
+@register(
+    "chunk_stats",
+    oracle="""
+WITH chunks AS ({cte})
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       round(avg(chunk_len), 6) AS avg_chunk_len,
+       max(total_chunks) AS max_total_chunks
+FROM chunks GROUP BY source ORDER BY source
+""".format(cte=chunking.dd_chunk_cte(_CHUNK_SIZE, _CHUNK_OVERLAP,
+                                     keep_cols=("source",))))
+def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#54: per-source run counters over the chunk output."""
+    chunks = chunking.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP, keep_cols=("source",))
+    return (chunks.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.round(F.avg("chunk_len"), 6).alias("avg_chunk_len"),
+                 F.max("total_chunks").alias("max_total_chunks"))
+            .orderBy("source"))
+
+
+@register(
+    "doc_catalog",
+    oracle="""
+SELECT doc_id,
+       source || '_' || CAST(doc_id AS VARCHAR) AS display_id,
+       coalesce(nullif(source, ''), 'N/A') AS title,
+       CASE WHEN length(regexp_replace(text, '\\n', ' ', 'g')) > 60
+            THEN substring(regexp_replace(text, '\\n', ' ', 'g'), 1, 60) || '...'
+            ELSE regexp_replace(text, '\\n', ' ', 'g') END AS snippet,
+       substring(trim(regexp_replace(regexp_replace(text, '[\\\\/*?:"<>|]', '', 'g'), '\\s+', ' ', 'g')), 1, 40) AS sanitized,
+       CAST(len({tok}) AS INT) AS n_tokens
+FROM documents
+""".format(tok="CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"))
+def q_doc_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#35,39,44,45: id synthesis, sanitizer chain, snippet truncation,
+    title coalescing — the reference's scalar-transform surface."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("_"), F.col("doc_id").cast("string")).alias("display_id"),
+        T.coalesce_title(F.nullif(F.col("source"), F.lit(""))).alias("title"),
+        T.snippet("text", 60).alias("snippet"),
+        T.sanitize_filename("text", 40).alias("sanitized"),
+        F.size(T.tokens("text")).alias("n_tokens"))
+
+
+@register(
+    "events_coercion",
+    oracle="""
+SELECT event_id,
+       coalesce(json_extract_string(props, '$.k')::INT, -1) AS k_val,
+       coalesce(nullif(event_type, ''), 'N/A') AS etype,
+       round(value, 6) AS value_r,
+       strftime(ts, '%Y-%m-%d') AS event_date
+FROM events
+""")
+def q_events_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#27,42: metadata scalar coercion + JSON extraction + date
+    normalization over the events table."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.coalesce(F.get_json_object("props", "$.k").cast("int"), F.lit(-1)).alias("k_val"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("")), F.lit("N/A")).alias("etype"),
+        F.round(F.col("value"), 6).alias("value_r"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+
+
+@register(
+    "incremental_antijoin",
+    oracle="""
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)
+""")
+def q_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#28/#30: the incremental-processing discipline — anti-join the
+    input against the processed-key log (here: even-label vec_ids)."""
+    docs = _t(spark, sf_dir, "documents")
+    log = _t(spark, sf_dir, "embeddings").where(F.col("label") % 2 == 0)
+    return ingest.incremental_filter(
+        docs, log, key="doc_id", processed_key="vec_id").select("doc_id", "source")
+
+
+@register(
+    "multi_source_union",
+    oracle="""
+(SELECT doc_id, source, text FROM documents WHERE length(source) = 4)
+UNION ALL BY NAME
+(SELECT doc_id, source, lang, n_chars FROM documents WHERE length(source) = 5)
+""")
+def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#56: heterogeneous multi-source union via unionByName with
+    missing-column fill — the shared-corpus append semantics."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.length("source") == 4).select("doc_id", "source", "text")
+    b = d.where(F.length("source") == 5).select("doc_id", "source", "lang", "n_chars")
+    return a.unionByName(b, allowMissingColumns=True)

@@ -1,0 +1,51 @@
+"""Incremental-ingest semantics: run-twice-adds-zero (SURVEY §5.4) and
+the metadata coercion matrix (ingest_chunks_to_chromadb.py:133-155)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                               StructField, StructType)
+
+from rag_vector_database_spark.operators.ingest import (
+    coerce_metadata, idempotent_append, incremental_filter)
+
+
+def test_incremental_filter(spark):
+    incoming = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    log = spark.createDataFrame([(i,) for i in range(0, 10, 2)], ["key"])
+    out = incremental_filter(incoming, log, key="id", processed_key="key")
+    assert sorted(r["id"] for r in out.collect()) == [1, 3, 5, 7, 9]
+
+
+def test_idempotent_append(spark):
+    with tempfile.TemporaryDirectory() as d:
+        store = f"{d}/store"
+        batch1 = spark.createDataFrame([(i, f"t{i}") for i in range(5)], ["id", "text"])
+        assert idempotent_append(batch1, store, "id") == 5
+        # second run: same input -> +0 rows
+        assert idempotent_append(batch1, store, "id") == 0
+        assert spark.read.parquet(store).count() == 5
+        # overlapping batch: only the new keys land
+        batch2 = spark.createDataFrame([(i, f"t{i}") for i in range(3, 8)], ["id", "text"])
+        assert idempotent_append(batch2, store, "id") == 3
+        assert spark.read.parquet(store).count() == 8
+
+
+def test_coercion_matrix(spark):
+    schema = StructType([
+        StructField("id", IntegerType()),
+        StructField("tags", ArrayType(StringType())),
+        StructField("note", StringType()),
+        StructField("cnt", IntegerType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], "hi", 3),
+         (2, [], None, None),
+         (3, None, "", 0)], schema)
+    out = {r["id"]: r for r in coerce_metadata(df, ["tags", "note", "cnt"]).collect()}
+    assert out[1]["tags"] == "a, b" and out[1]["note"] == "hi" and out[1]["cnt"] == "3"
+    assert out[2]["tags"] == "N/A" and out[2]["note"] == "N/A" and out[2]["cnt"] == "N/A"
+    assert out[3]["tags"] == "N/A" and out[3]["note"] == "" and out[3]["cnt"] == "0"
