@@ -1,0 +1,184 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference dedups only by exact chunk id at ingest
+(ingest_chunks_to_chromadb.py:175-186); a 100 TB corpus pipeline needs
+content-level dedup. Five methods, all JVM-side (md5-family hashing per
+functions/hashing.py so every method is DuckDB-oracle-checkable):
+
+- exact:    content fingerprint groupBy — one shuffle on a 32-byte key.
+- minhash:  shingle -> minhash signature -> LSH band join. Signatures
+            are per-row higher-order functions (no explode); only band
+            keys shuffle (n_bands small rows per doc). Candidate pairs
+            are verified with exact Jaccard via a re-join to the shingle
+            table — the scalable shape: pair verification touches only
+            candidate keys, never all O(N^2) pairs.
+- simhash:  near-dup by Hamming distance on a bit-majority hash; the
+            bucket-by-prefix trick makes the pair join sub-quadratic.
+- ngram:    direct pairwise Jaccard (exact baseline for small/sampled
+            sets; the oracle for what minhash approximates).
+- cosine:   embedding-space near-dup via dot-product threshold join.
+
+Skew note: identical boilerplate docs create hot LSH buckets. Cap
+bucket width (``max_bucket`` below) the way production dedup pipelines
+do — a bucket with more members than the cap is itself a duplicate
+cluster and is better handled by the exact pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions.text import distinct_tokens, tokens
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(c: Column) -> Column:
+    """Content fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(c))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """Map every row to its duplicate group: (key, fingerprint,
+    canonical_id = min key in group, group_size). group_size > 1 marks
+    duplicates; keep rows where key == canonical_id to dedup."""
+    fp = df.select(F.col(key_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    groups = (fp.groupBy("fingerprint")
+              .agg(F.min(key_col).alias("canonical_id"),
+                   F.count(F.lit(1)).cast("long").alias("group_size")))
+    return fp.join(groups, "fingerprint").select(
+        key_col, "fingerprint", "canonical_id", "group_size")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    toks = tokens(text)
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
+    # texts need an explicit empty-array branch.
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.array_join(F.slice(toks, i, n), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard(a: Column, b: Column, ndigits: int = 6) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    union = F.size(F.array_union(a, b))
+    return F.round(
+        F.when(union > 0,
+               F.size(F.array_intersect(a, b)).cast("double") / union.cast("double"))
+        .otherwise(F.lit(0.0)), ndigits)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      key_col: str = "doc_id", shingle_n: int = 2,
+                      n_hashes: int = 12, n_bands: int = 4,
+                      jaccard_threshold: float = 0.5,
+                      max_bucket: int = 64) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with
+    exact Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Plan shape: shingle+signature are per-row (scan-local); the only
+    shuffles are the band-key self-join (narrow: n_bands rows/doc) and
+    the two key-joins that fetch shingle sets for candidate pairs.
+    """
+    rows_per_band = n_hashes // n_bands
+    sh = df.select(F.col(key_col).alias("k"),
+                   word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    sh = sh.withColumn("sig", H.minhash_sig(F.col("sh"), n_hashes))
+    bands = sh.select(
+        "k", F.posexplode(H.band_keys(F.col("sig"), n_bands, rows_per_band))
+        .alias("band", "bk"))
+    # skew guard: drop pathological buckets (handled by the exact pass)
+    bucket_sizes = bands.groupBy("band", "bk").agg(F.count(F.lit(1)).alias("bn"))
+    bands = (bands.join(bucket_sizes.where(F.col("bn") <= max_bucket),
+                        ["band", "bk"]).drop("bn"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.k") < F.col("b.k")))
+            .select(F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b"))
+            .distinct())
+    sa = sh.select(F.col("k").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("k").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+            .where(F.col("jaccard") >= F.lit(jaccard_threshold)))
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over distinct tokens: bit i is the sign of the
+    sum over tokens of (+1/-1 by bit i of the token's 16-bit md5 hash).
+    Integer-exact, so any evaluation order matches the oracle."""
+    toks = distinct_tokens(text)
+    h = lambda t: H.md5_long(t, 4).cast("int")  # noqa: E731
+    def bit_vote(i: int) -> Column:
+        return F.aggregate(
+            toks, F.lit(0),
+            lambda acc, t: acc + (F.shiftright(h(t), i).bitwiseAND(F.lit(1)) * 2 - 1))
+    out = F.lit(0)
+    for i in range(16):
+        out = out + F.when(bit_vote(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    x = a.bitwiseXOR(b)
+    return sum(F.shiftright(x, i).bitwiseAND(F.lit(1)) for i in range(16))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  key_col: str = "doc_id", max_hamming: int = 2,
+                  prefix_bits: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Blocking: pairs are
+    only compared within equal high-``prefix_bits`` buckets (at scale,
+    run 16/prefix_bits rotations to cover all splits; here one block
+    pass demonstrates the shape sub-quadratically)."""
+    s = df.select(F.col(key_col).alias("k"),
+                  simhash16(F.col(text_col)).alias("sh"))
+    s = s.withColumn("blk", F.shiftright(F.col("sh"), 16 - prefix_bits))
+    a, b = s.alias("a"), s.alias("b")
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.k") < F.col("b.k")))
+            .select(F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b"),
+                    hamming16(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        key_col: str = "doc_id", shingle_n: int = 2,
+                        threshold: float = 0.3) -> DataFrame:
+    """Exact pairwise n-gram Jaccard — the brute-force baseline that
+    oracles the MinHash path. Quadratic: sample or pre-block upstream."""
+    sh = df.select(F.col(key_col).alias("k"),
+                   word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (a.join(b, F.col("a.k") < F.col("b.k"))
+            .select(F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b"),
+                    jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"))
+            .where(F.col("jaccard") >= F.lit(threshold)))
+
+
+def cosine_dup_pairs(df: DataFrame, vec_col: str = "embedding",
+                     key_col: str = "vec_id",
+                     threshold: float = 0.9) -> DataFrame:
+    """Embedding-space near-dup: pairs with dot-product similarity >=
+    threshold (vectors normalized at ingest). Quadratic exact baseline;
+    the IVF/LSH bucket columns (retrieval.ivf_knn, minhash bands) are
+    the scale path for pre-blocking."""
+    from ..functions import vectors as V
+    a = df.select(F.col(key_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(key_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(V.dot(F.col("va"), F.col("vb")), 6).alias("cosine"))
+            .where(F.col("cosine") >= F.lit(threshold)))

@@ -1,0 +1,117 @@
+"""Text analysis operators for training-data pipelines.
+
+The reference's corpus has no quality gates at all — every chunk is
+embedded and stored. A 100 TB pipeline filters first: language ID,
+quality scoring, token accounting, fingerprinting (the north-star ops
+in BASELINE.json). All pure built-ins: per-row, scan-local, zero
+shuffle, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import distinct_tokens, tokens
+from .dedup import fingerprint, normalize_text
+
+# Tiny stopword lists for the n-gram/stopword language heuristic.
+# Deliberately short — the heuristic's structure (overlap argmax), not
+# linguistic coverage, is the operator under test.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "mit", "von", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "en", "est", "pour", "dans", "une"],
+}
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many distinct tokens of ``text`` are stopwords of ``lang``."""
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(distinct_tokens(F.lower(text)), stops))
+
+
+def lang_guess(text: Column) -> Column:
+    """Argmax language by stopword overlap; ties resolve in en>de>fr
+    order; no hits at all -> 'und' (undetermined)."""
+    scores = {lg: stopword_hits(text, lg) for lg in STOPWORDS}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lg in reversed(list(STOPWORDS)):  # earlier langs win ties
+        out = F.when(scores[lg] == best, F.lit(lg)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+# BPE-ish lexical segmentation: letter runs, digit runs, single other
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id") -> DataFrame:
+    """Token accounting: whitespace tokens, distinct tokens, type-token
+    ratio, BPE-ish segment count, chars per token."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(key_col),
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(F.when(n_tok > 0, n_dis.cast("double") / n_tok).otherwise(0.0), 6)
+         .alias("ttr"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0)).alias("n_bpe"),
+        F.round(F.when(n_tok > 0,
+                       F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_tok)
+                .otherwise(0.0), 6).alias("chars_per_token"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  key_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    length saturation, stopword ratio, type-token ratio, punctuation
+    penalty — the shape of production quality filters (exact weights
+    are a policy knob, not a semantic)."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0,
+                        stopword_hits(text, "en").cast("double") / n_tok).otherwise(0.0)
+    ttr = F.when(n_tok > 0,
+                 F.size(F.array_distinct(toks)).cast("double") / n_tok).otherwise(0.0)
+    len_sat = F.least(n_chars.cast("double") / 400.0, F.lit(1.0))
+    score = (F.lit(0.4) * len_sat + F.lit(0.3) * ttr
+             + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+             - F.lit(0.2) * punct_ratio)
+    return df.select(
+        F.col(key_col),
+        n_chars.alias("n_chars_q"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+         .alias("quality"))
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint + coarse length bucket (rolling-hash family
+    stand-in; md5 for oracle portability)."""
+    return df.select(
+        F.col(key_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        (F.length(F.col(text_col)) - F.length(F.col(text_col)) % 50)
+        .alias("len_bucket"))
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text",
+                     top_k: int = 20) -> DataFrame:
+    """Corpus-level term frequencies, top-k (count desc, token asc)."""
+    return (df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("token"))
+            .limit(top_k))

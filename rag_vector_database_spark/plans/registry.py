@@ -369,3 +369,280 @@ def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.where(F.length("source") == 4).select("doc_id", "source", "text")
     b = d.where(F.length("source") == 5).select("doc_id", "source", "lang", "n_chars")
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (north-star training-data ops; BASELINE.json)
+
+from ..operators import dedup  # noqa: E402
+
+DD_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+def dd_shingles(c: str, n: int) -> str:
+    toks = DD_TOKENS.format(c=c)
+    return (f"list_distinct(list_transform("
+            f"generate_series(1, len({toks}) - {n - 1}), "
+            f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))")
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, md5({norm}) AS fingerprint FROM documents
+),
+g AS (
+  SELECT fingerprint, min(doc_id) AS canonical_id,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM fp GROUP BY fingerprint
+)
+SELECT f.doc_id, f.fingerprint, g.canonical_id, g.group_size
+FROM fp f JOIN g USING (fingerprint)
+""".format(norm=DD_NORM.format(c="text")),
+    headline=True)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content fingerprint -> canonical id per
+    group. One shuffle on a 32-byte key; the 100 TB workhorse."""
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_MH = dict(shingle_n=2, n_hashes=12, n_bands=4, rows_per_band=3,
+           threshold=0.5, max_bucket=64)
+
+
+@register(
+    "minhash_neardup",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, {shingles} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, sh,
+         list_transform(generate_series(0, {nh1}),
+           k -> list_min(list_transform(sh, t -> md5(CAST(k AS VARCHAR) || ':' || t)))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, i - 1 AS band,
+         md5(array_to_string(sig[(i-1)*{r}+1:(i-1)*{r}+{r}], '|')) AS bk
+  FROM sig, unnest(generate_series(1, {b})) t(i)
+),
+kept AS (
+  SELECT * FROM (
+    SELECT band, bk, doc_id,
+           count(*) OVER (PARTITION BY band, bk) AS bn
+    FROM bands)
+  WHERE bn <= {mb}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+             THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+             ELSE 0.0 END, 6) AS jaccard
+FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+WHERE CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+      THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+      ELSE 0.0 END >= {th}
+""".format(shingles=dd_shingles("text", 2), nh1=_MH["n_hashes"] - 1,
+           r=_MH["rows_per_band"], b=_MH["n_bands"],
+           mb=_MH["max_bucket"], th=_MH["threshold"]),
+    headline=True)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (the scalable
+    sub-quadratic dedup: only band-key collisions are compared)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+
+
+@register(
+    "simhash_neardup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({tok})) AS t
+  FROM documents WHERE doc_id % 7 = 0
+),
+th AS (
+  SELECT doc_id, ('0x' || substring(md5(t), 1, 4))::INT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS v
+  FROM th, unnest(generate_series(0, 15)) g(i)
+  GROUP BY doc_id, i
+),
+s AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1 << i) ELSE 0 END) AS INT) AS sh
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(CAST(xor(a.sh::BIGINT, b.sh::BIGINT) AS BIGINT)) AS INT) AS hamming
+FROM s a JOIN s b
+  ON (a.sh >> 12) = (b.sh >> 12) AND a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.sh::BIGINT, b.sh::BIGINT) AS BIGINT)) <= 3
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with prefix blocking (sampled input)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return dedup.simhash_pairs(docs, max_hamming=3, prefix_bits=4)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, {shingles} AS sh
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+             ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+      ELSE 0.0 END >= 0.1
+""".format(shingles=dd_shingles("text", 2)))
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard on a sampled slice — the
+    brute-force baseline that oracles the MinHash approximation."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    return dedup.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.1)
+
+
+@register(
+    "cosine_neardup",
+    oracle="""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot}, 6) AS cosine
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+WHERE {dot} >= 0.3
+""".format(dot=dd_dot("a.embedding", "b.embedding")))
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (dot >= theta) on a sampled slice."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 17 == 0)
+    return dedup.cosine_dup_pairs(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star ops)
+
+from ..operators import textstats  # noqa: E402
+
+
+def _dd_stoplist(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+    return f"[{words}]"
+
+
+@register(
+    "lang_id",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         len(list_intersect(list_distinct({ltok}), {en})) AS s_en,
+         len(list_intersect(list_distinct({ltok}), {de})) AS s_de,
+         len(list_intersect(list_distinct({ltok}), {fr})) AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM s
+""".format(ltok=DD_TOKENS.format(c="lower(text)"),
+           en=_dd_stoplist("en"), de=_dd_stoplist("de"), fr=_dd_stoplist("fr")))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-overlap argmax (en>de>fr ties)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len({tok}) AS INT) AS n_tokens,
+       CAST(len(list_distinct({tok})) AS INT) AS n_distinct,
+       round(CASE WHEN len({tok}) > 0
+             THEN CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok})
+             ELSE 0.0 END, 6) AS ttr,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe,
+       round(CASE WHEN len({tok}) > 0
+             THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len({tok})
+             ELSE 0.0 END, 6) AS chars_per_token
+FROM documents
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting: counts, type-token ratio, BPE-ish segments."""
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars_q,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len({tok}) > 0
+              THEN CAST(len(list_intersect(list_distinct({ltok}), {en})) AS DOUBLE) / len({tok})
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len({tok}) > 0
+              THEN CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok})
+              ELSE 0.0 END AS ttr,
+         least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) AS len_sat
+  FROM documents
+)
+SELECT doc_id, n_chars_q,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(ttr, 6) AS ttr,
+       round(greatest(least(0.4 * len_sat + 0.3 * ttr
+             + 0.3 * least(stop_ratio * 5.0, 1.0)
+             - 0.2 * punct_ratio, 1.0), 0.0), 6) AS quality
+FROM f
+""".format(tok=DD_TOKENS.format(c="text"),
+           ltok=DD_TOKENS.format(c="lower(text)"), en=_dd_stoplist("en")))
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features + composite score for corpus filtering."""
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id, md5({norm}) AS fingerprint,
+       CAST(length(text) - length(text) % 50 AS BIGINT) AS len_bucket
+FROM documents
+""".format(norm=DD_NORM.format(c="text")))
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint + length bucket per document."""
+    return textstats.doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "word_freq",
+    oracle="""
+SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({ltok}) AS t FROM documents)
+GROUP BY t ORDER BY cnt DESC, token LIMIT 20
+""".format(ltok=DD_TOKENS.format(c="lower(text)")))
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies, top-20 (count desc, token asc)."""
+    return textstats.word_frequencies(_t(spark, sf_dir, "documents"))
