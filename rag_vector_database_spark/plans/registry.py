@@ -646,3 +646,307 @@ GROUP BY t ORDER BY cnt DESC, token LIMIT 20
 def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequencies, top-20 (count desc, token asc)."""
     return textstats.word_frequencies(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth (SURVEY §2 "deliberately absent" extensions:
+# multi-way joins, rollup/cube, set ops, ranking windows, range joins)
+
+from pyspark.sql import Window  # noqa: E402
+
+
+@register(
+    "market_share_join",
+    oracle="""
+SELECT r_name, round(sum(o_totalprice), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+    headline=True)
+def q_market_share_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact orders with broadcast dims (customer/
+    nation/region) — zero shuffle joins, one tiny agg shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+                 F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .orderBy("r_name"))
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS r FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT n_name, c_name, round(rev.r, 6) AS revenue,
+         CAST(row_number() OVER (PARTITION BY n_name
+              ORDER BY rev.r DESC, c_custkey) AS INT) AS rn
+  FROM rev JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_name, revenue, rn FROM ranked WHERE rn <= 3
+""")
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 customers by revenue within each nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("r"), F.col("c_custkey"))
+    return (rev.join(c, rev.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .withColumn("rn", F.row_number().over(w).cast("int"))
+            .where(F.col("rn") <= 3)
+            .select("n_name", "c_name", F.round("r", 6).alias("revenue"), "rn"))
+
+
+@register(
+    "rollup_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 6) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> status+priority -> grand)."""
+    return (_t(spark, sf_dir, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("o_totalprice"), 6).alias("total")))
+
+
+@register(
+    "cube_lineitem",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 6) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over flag/status: all 2^2 grouping sets in one pass."""
+    return (_t(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("l_quantity"), 6).alias("qty")))
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 500
+""")
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers that both ordered and hold balance > 500."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (_t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 500)
+         .select(F.col("c_custkey").alias("custkey")))
+    return o.intersect(c)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""")
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers that never ordered."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "orders_per_month",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 6) AS total
+FROM orders GROUP BY month ORDER BY month
+""")
+def q_orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month aggregation over the order date."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 6).alias("total"))
+            .orderBy("month"))
+
+
+@register(
+    "orders_shipped_30d",
+    oracle="""
+SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_shipped_30d
+FROM orders o LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderkey
+""")
+def q_orders_shipped_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per order, line items shipped within 30 days of the
+    order date (equi-key + range predicate — stays a hash join on the
+    key with the range as a post-filter, not a cartesian)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = ((li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < o.o_orderdate + F.expr("interval 30 days")))
+    return (o.join(li, cond, "left")
+            .groupBy("o_orderkey")
+            .agg(F.count("l_orderkey").cast("long").alias("n_shipped_30d")))
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch semantics; streaming module mirrors these)
+
+@register(
+    "events_tumbling",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    headline=True)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type."""
+    e = _events(spark, sf_dir)
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                    "event_type", "n", "sum_value"))
+
+
+@register(
+    "events_sliding",
+    oracle="""
+WITH slotted AS (
+  SELECT e.*, unnest([date_trunc('hour', ts)
+                        + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                               ELSE INTERVAL 0 MINUTE END,
+                      date_trunc('hour', ts)
+                        + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                               ELSE INTERVAL 0 MINUTE END
+                        - INTERVAL 30 MINUTE]) AS ws
+  FROM events e
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws,
+       CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS avg_value
+FROM slotted GROUP BY 1
+""")
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): each event lands in two
+    overlapping windows."""
+    e = _events(spark, sf_dir)
+    return (e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.avg("value"), 6).alias("avg_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                    "n", "avg_value"))
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, event_id, tus,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(tus) AS BIGINT) AS session_start_us,
+       CAST(max(tus) AS BIGINT) AS session_end_us
+FROM sessions GROUP BY user_id, session_id
+""",
+    headline=True)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) per user via
+    lag + running sum — the batch mirror of streaming session_window."""
+    e = _events(spark, sf_dir).withColumn("tus", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (Window.partitionBy("user_id").orderBy("tus", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flagged = e.withColumn(
+        "new_s",
+        F.when(F.lag("tus").over(w).isNull()
+               | (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000), 1)
+         .otherwise(0))
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(wrun).cast("int"))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.min("tus").cast("long").alias("session_start_us"),
+                 F.max("tus").cast("long").alias("session_end_us")))
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_us
+  FROM events
+)
+SELECT event_id, user_id, epoch_us(ts) AS tus, last_purchase_us
+FROM marked WHERE event_type = 'click'
+""")
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the user's most recent strictly-prior
+    purchase timestamp (ordered window, no self-join blowup)."""
+    e = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (e.withColumn(
+                "last_purchase_us",
+                F.max(F.when(F.col("event_type") == "purchase",
+                             F.unix_micros("ts"))).over(w))
+            .where(F.col("event_type") == "click")
+            .select("event_id", "user_id",
+                    F.unix_micros("ts").alias("tus"), "last_purchase_us"))
