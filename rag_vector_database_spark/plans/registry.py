@@ -950,3 +950,90 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("event_type") == "click")
             .select("event_id", "user_id",
                     F.unix_micros("ts").alias("tus"), "last_purchase_us"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding generation, multimodal plumbing, structured streaming
+
+from ..embedding import HashingEmbedder  # noqa: E402
+from ..sources import multimodal  # noqa: E402
+from ..streaming import events as streaming_events  # noqa: E402
+
+
+@register(
+    "embed_documents",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest({tok}) AS t FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substring(md5(t), 1, 8))::BIGINT AS hv FROM tok
+),
+buckets AS (
+  SELECT doc_id, CAST(hv % 16 AS INT) AS dim_idx,
+         sum(CASE WHEN (hv >> 16) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS v
+  FROM h GROUP BY doc_id, hv % 16
+),
+normed AS (
+  SELECT doc_id, dim_idx, v,
+         sqrt(sum(v * v) OVER (PARTITION BY doc_id)) AS nrm
+  FROM buckets
+)
+SELECT doc_id, dim_idx,
+       round(CASE WHEN nrm > 0 THEN v / nrm ELSE v END, 6) AS val
+FROM normed
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#46: deterministic feature-hashing embedder (sparse form) — the
+    oracle-checkable twin of the pandas-UDF backend (embedding.py; unit
+    tests assert expr == UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    dim = 16
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    from ..functions.hashing import md5_long
+    h = tok.select("doc_id", md5_long(F.col("t"), 8).alias("hv"))
+    sign = (F.shiftright("hv", 16).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
+    buckets = (h.groupBy("doc_id", (F.col("hv") % dim).cast("int").alias("dim_idx"))
+               .agg(F.sum(sign).alias("v")))
+    nrm = F.sqrt(F.sum(F.col("v") * F.col("v")).over(
+        Window.partitionBy("doc_id")))
+    return (buckets.withColumn("nrm", nrm)
+            .select("doc_id", "dim_idx",
+                    F.round(F.when(F.col("nrm") > 0, F.col("v") / F.col("nrm"))
+                            .otherwise(F.col("v")), 6).alias("val")))
+
+
+@register(
+    "multimodal_blob_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS blob_len,
+       md5(text) AS blob_md5,
+       CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames
+FROM documents
+""")
+def q_multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (JVM side): blob length / checksum / frame
+    count over binary columns — no decode, no Python. (ASCII corpus:
+    octet length == char length, so the oracle uses length(text).)"""
+    d = multimodal.blob_meta(
+        multimodal.attach_blob(_t(spark, sf_dir, "documents")))
+    return d.select("doc_id", "blob_len", "blob_md5",
+                    F.expr("(blob_len + 255) div 256").alias("n_frames"))
+
+
+@register(
+    "streaming_tumbling",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#59: Structured Streaming file source + watermark + tumbling
+    window, drained with Trigger.AvailableNow — oracle-checked against
+    the BATCH SQL (Kappa parity: stream result == batch result)."""
+    stream = streaming_events.read_events_stream(spark, sf_dir)
+    return streaming_events.run_available_now(
+        streaming_events.tumbling_counts(stream))

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+A 100 TB training-data pipeline carries media as ``binary`` columns
+with typed metadata alongside (BASELINE.json north star). The decode
+libraries (PIL/ffmpeg/librosa) are NOT in this container, so the decode
+kernels are stubbed deterministically — but everything Spark-side is
+real and tested: schemas, Arrow batch shapes, ``mapInPandas``
+signatures, partition behavior.
+
+Layout convention: a media table is (id, blob binary, media_type
+string, meta map<string,string>); derived features append columns.
+At scale: store blobs in parquet with a small row-group size (blobs
+dominate pages), partition by media_type, and keep feature extraction
+in ``mapInPandas`` so one Arrow batch holds whole blobs (bound batch
+bytes via spark.sql.execution.arrow.maxRecordsPerBatch).
+"""
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+try:  # real decoders, absent in this container
+    from PIL import Image  # noqa: F401
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def attach_blob(df: DataFrame, text_col: str = "text",
+                blob_col: str = "blob") -> DataFrame:
+    """Deterministic fake media: encode a text column as bytes. Stands in
+    for reading real media files (sources.readers.read_binaries)."""
+    return df.withColumn(blob_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def blob_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Cheap JVM-side blob metadata — no Python, no decode."""
+    b = F.col(blob_col)
+    return (df
+            .withColumn("blob_len", F.length(b).cast("long"))
+            .withColumn("blob_md5", F.md5(b)))
+
+
+DECODE_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("format", StringType()),
+])
+
+
+def decode_images(df: DataFrame, id_col: str = "id",
+                  blob_col: str = "blob") -> DataFrame:
+    """Image decode via ``mapInPandas``. With PIL installed this opens
+    real images; here the deterministic stub derives (width, height,
+    format) from the blob's md5 so the full Spark path (Arrow batches
+    in, typed rows out, one Python worker per partition) is exercised.
+    """
+    cols = [id_col, blob_col]
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            if HAVE_PIL:
+                raise NotImplementedError(
+                    "real decode path: io.BytesIO(blob) -> Image.open -> "
+                    "(im.width, im.height, im.format); enable when PIL ships")
+            h = pdf[blob_col].map(
+                lambda b: hashlib.md5(bytes(b)).hexdigest())
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "width": h.map(lambda x: 64 + int(x[:2], 16)).astype("int32"),
+                "height": h.map(lambda x: 64 + int(x[2:4], 16)).astype("int32"),
+                "format": h.map(lambda x: ["png", "jpeg", "webp"][int(x[4], 16) % 3]),
+            })
+
+    return df.select(*cols).mapInPandas(decode, DECODE_SCHEMA)
+
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = ArrayType(FloatType())
+
+
+def feature_extract_udf():
+    """Deterministic embedding-ish features from blob bytes (pandas UDF;
+    a real vision tower drops into the same signature)."""
+    import numpy as np
+
+    def one(b) -> list[float]:
+        h = hashlib.md5(bytes(b)).digest()
+        v = np.frombuffer(h[:FEATURE_DIM], dtype=np.uint8).astype("float64")
+        n = float(np.sqrt((v * v).sum()))
+        return list((v / n) if n else v)
+
+    @F.pandas_udf(FEATURE_SCHEMA)
+    def _feat(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(one)
+
+    return _feat
+
+
+FRAME_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("frame_no", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def sample_frames(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
+                  frame_bytes: int = 256, stride: int = 2) -> DataFrame:
+    """'Video' frame sampling: split a blob into fixed-size frames and
+    keep every ``stride``-th — the plumbing of ffmpeg keyframe sampling
+    (1 blob row -> N frame rows; typed, partition-local)."""
+    def frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            out = {"id": [], "frame_no": [], "frame": []}
+            for _, row in pdf.iterrows():
+                b = bytes(row[blob_col])
+                for i in range(0, max((len(b) + frame_bytes - 1) // frame_bytes, 1)):
+                    if i % stride:
+                        continue
+                    out["id"].append(row[id_col])
+                    out["frame_no"].append(i)
+                    out["frame"].append(b[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(frames, FRAME_SCHEMA)

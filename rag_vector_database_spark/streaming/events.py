@@ -1,0 +1,89 @@
+"""Structured Streaming over the events table.
+
+The reference's incremental discipline — process only new inputs,
+append to the sink, remember completions (SURVEY.md section 2 #59,
+processed-logs at chunk_cisa_kev.py:40-66 etc.) — is exactly what a
+file-source stream + checkpoint gives for free: the checkpoint IS the
+processed-log, the file source IS the anti-join against it.
+
+Batch/stream parity: every windowed aggregation here has a batch twin
+in plans/registry.py (events_tumbling / events_sessionize); tests run
+the stream with Trigger.AvailableNow into a memory sink and assert
+equality with the batch result — the Kappa-architecture check.
+
+Scale notes: watermarks bound state (late rows beyond the watermark
+are dropped, so state size is O(active windows x keys), not O(input));
+``maxFilesPerTrigger`` paces backfill; ``session_window`` state is
+per-user and merges on gap overlap.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+# events.parquet physical schema (ts is TIMESTAMP(NANOS) -> read as long
+# under nanosAsLong, converted to a microsecond timestamp below).
+EVENTS_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet (one file = one batch
+    of history; in production this is a directory receiving new files)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .format("parquet")
+              # the file stream source requires a directory; sf_dir holds
+              # one parquet per table, so glob down to the events file
+              .option("pathGlobFilter", "events.parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(sf_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling 1h window counts per event type — the
+    streaming twin of plans.registry.q_events_tumbling."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                    "event_type", "n", "sum_value"))
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Native session windows (gap-merged) per user — the streaming twin
+    of the batch lag+cumsum sessionizer."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select("user_id",
+                    F.unix_micros("w.start").alias("session_start_us"),
+                    F.unix_micros("w.end").alias("session_end_us"),
+                    "n_events"))
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete",
+                      name: str | None = None) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink and
+    return the result as a batch DataFrame (blocks until done)."""
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,53 @@
+"""Multimodal plumbing: schemas, determinism, 1->N frame explode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vector_database_spark.sources import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 600), (3, "z")], ["id", "text"])
+    return mm.attach_blob(df)
+
+
+def test_blob_meta(blobs):
+    out = {r["id"]: r for r in mm.blob_meta(blobs).collect()}
+    assert out[1]["blob_len"] == 100 and out[3]["blob_len"] == 1
+    assert len(out[2]["blob_md5"]) == 32
+
+
+def test_decode_schema_and_determinism(blobs):
+    out1 = mm.decode_images(blobs).collect()
+    out2 = mm.decode_images(blobs).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert [f.name for f in mm.decode_images(blobs).schema.fields] == \
+        ["id", "width", "height", "format"]
+    for r in out1:
+        assert 64 <= r["width"] <= 64 + 255
+        assert r["format"] in ("png", "jpeg", "webp")
+
+
+def test_feature_extract(blobs):
+    feat = blobs.withColumn("f", mm.feature_extract_udf()(F.col("blob")))
+    rows = feat.collect()
+    for r in rows:
+        assert len(r["f"]) == mm.FEATURE_DIM
+        n = sum(x * x for x in r["f"])
+        assert n == pytest.approx(1.0, abs=1e-5)
+
+
+def test_frame_sampling(blobs):
+    frames = mm.sample_frames(blobs, frame_bytes=256, stride=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r)
+    # 600 bytes -> 3 frames (0,1,2), stride 2 keeps 0 and 2
+    assert sorted(r["frame_no"] for r in by_id[2]) == [0, 2]
+    assert len(bytes(by_id[2][0]["frame"])) == 256
+    # tiny blob still yields frame 0
+    assert [r["frame_no"] for r in by_id[3]] == [0]

@@ -1,0 +1,75 @@
+"""Source readers: KEV catalog explode, recursive JSON, JSONL with
+corrupt-record tolerance, binary glob pruning."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vector_database_spark.sources import readers
+
+
+@pytest.fixture(scope="module")
+def tree(spark):
+    d = tempfile.mkdtemp()
+    # KEV-style catalog
+    with open(f"{d}/kev.json", "w") as f:
+        json.dump({"catalogVersion": "1", "vulnerabilities": [
+            {"cveID": "CVE-1", "product": "A", "cwes": ["CWE-1"]},
+            {"cveID": "CVE-2", "product": "B", "cwes": []},
+        ]}, f)
+    # recursive per-file JSON docs + a hidden dir to prune
+    os.makedirs(f"{d}/docs/ch1", exist_ok=True)
+    os.makedirs(f"{d}/docs/.hidden", exist_ok=True)
+    for i, sub in [(1, "ch1"), (2, "ch1"), (3, ".hidden")]:
+        with open(f"{d}/docs/{sub}/v{i}.json", "w") as f:
+            json.dump({"video_id": f"v{i}", "transcript": f"text {i}"}, f)
+    # JSONL with one malformed line
+    with open(f"{d}/chunks.jsonl", "w") as f:
+        f.write('{"id": "a", "text": "t1"}\n')
+        f.write("NOT JSON AT ALL{{{\n")
+        f.write('{"id": "b", "text": "t2"}\n')
+    # binaries
+    os.makedirs(f"{d}/bin", exist_ok=True)
+    for name in ("x.pdf", "y.pdf", "skip.txt"):
+        with open(f"{d}/bin/{name}", "wb") as f:
+            f.write(b"%PDF" if name.endswith("pdf") else b"nope")
+    return d
+
+
+def test_kev_catalog(spark, tree):
+    df = readers.read_kev_catalog(spark, f"{tree}/kev.json")
+    rows = {r["cveID"]: r for r in df.collect()}
+    assert set(rows) == {"CVE-1", "CVE-2"}
+    assert rows["CVE-1"]["cwes"] == ["CWE-1"]
+
+
+def test_json_documents_recursive_and_hidden_pruned(spark, tree):
+    df = readers.read_json_documents(spark, f"{tree}/docs")
+    ids = sorted(r["video_id"] for r in df.collect())
+    assert ids == ["v1", "v2"]  # v3 lives under .hidden
+    assert all(r["source_path"].startswith("file:") for r in df.collect())
+
+
+def test_jsonl_corrupt_tolerance(spark, tree):
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([StructField("id", StringType()),
+                         StructField("text", StringType()),
+                         StructField("_corrupt_record", StringType())])
+    df = readers.read_jsonl_chunks(spark, f"{tree}/chunks.jsonl", schema)
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["id"] for r in good.collect()) == ["a", "b"]
+    assert bad.count() == 1  # skip-and-count, as the reference does
+
+
+def test_binary_glob(spark, tree):
+    df = readers.read_binaries(spark, f"{tree}/bin", glob="*.pdf")
+    paths = sorted(os.path.basename(r["path"]) for r in df.collect())
+    assert paths == ["x.pdf", "y.pdf"]
+    assert all(bytes(r["content"]).startswith(b"%PDF") for r in df.collect())
+    assert readers.exclude_paths(df, "y\\.pdf$").count() == 1
