@@ -91,9 +91,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     the two key-joins that fetch shingle sets for candidate pairs.
     """
     rows_per_band = n_hashes // n_bands
+    # Signature hashing is compute-bound (n_hashes md5s per shingle); a
+    # compact input (one parquet split) would serialize it on one core,
+    # so spread rows across the cluster first. At real scale the scan
+    # already yields many splits and AQE coalesces any excess.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     sh = df.select(F.col(key_col).alias("k"),
                    word_shingles(F.col(text_col), shingle_n).alias("sh"))
-    sh = sh.withColumn("sig", H.minhash_sig(F.col("sh"), n_hashes))
+    # The signature table feeds three plan branches (banding, and both
+    # sides of the candidate-pair verification join); persist it so the
+    # n_hashes-md5s-per-shingle subtree is computed once, not three
+    # times. Same move MLlib's LSH models make.
+    sh = sh.withColumn("sig", H.minhash_sig(F.col("sh"), n_hashes)).persist()
     bands = sh.select(
         "k", F.posexplode(H.band_keys(F.col("sig"), n_bands, rows_per_band))
         .alias("band", "bk"))
