@@ -1037,3 +1037,315 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events.read_events_stream(spark, sf_dir)
     return streaming_events.run_available_now(
         streaming_events.tumbling_counts(stream))
+
+
+# ---------------------------------------------------------------------------
+# Upsert / retry / session-shaped ops (SURVEY §2 #31-32, #55) + breadth
+
+from ..operators import upsert as upsert_op  # noqa: E402
+
+
+@register(
+    "upsert_latest",
+    oracle="""
+WITH existing AS (
+  SELECT doc_id, n_chars AS version, 'old' AS payload FROM documents
+),
+updates AS (
+  SELECT doc_id, n_chars + 1000 AS version, 'new' AS payload
+  FROM documents WHERE doc_id % 3 = 0
+),
+tagged AS (
+  SELECT doc_id, version, payload, 0 AS _src FROM existing
+  UNION ALL
+  SELECT doc_id, version, payload, 1 AS _src FROM updates
+),
+r AS (
+  SELECT doc_id, version, payload,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY version DESC, _src DESC) AS rn
+  FROM tagged
+)
+SELECT doc_id, version, payload FROM r WHERE rn = 1
+""")
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#31: keep-latest merge (unionByName + per-key window) — the
+    reference's read-patch-rewrite as an immutable-storage upsert."""
+    d = _t(spark, sf_dir, "documents")
+    existing = d.select("doc_id", F.col("n_chars").alias("version"),
+                        F.lit("old").alias("payload"))
+    updates = (d.where(F.col("doc_id") % 3 == 0)
+               .select("doc_id", (F.col("n_chars") + 1000).alias("version"),
+                       F.lit("new").alias("payload")))
+    return upsert_op.upsert(existing, updates, key="doc_id",
+                            version_col="version")
+
+
+@register(
+    "retry_pass",
+    oracle="""
+WITH statused AS (
+  SELECT doc_id,
+         CASE doc_id % 5 WHEN 1 THEN 'NETWORK_ERROR'
+                         WHEN 2 THEN 'DISABLED'
+                         WHEN 3 THEN 'UNKNOWN_ERROR'
+                         ELSE 'FETCHED' END AS status
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN status IN ('NETWORK_ERROR', 'UNKNOWN_ERROR')
+            THEN CASE WHEN doc_id % 2 = 0 THEN 'FETCHED'
+                      ELSE 'NO_TRANSCRIPT_FOUND' END
+            ELSE status END AS status
+FROM statused
+""")
+def q_retry_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#32: deferred-retry second pass — failures are a status column,
+    retryable rows re-fetched, permanent failures untouched."""
+    d = _t(spark, sf_dir, "documents")
+    statused = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 1, "NETWORK_ERROR")
+         .when(F.col("doc_id") % 5 == 2, "DISABLED")
+         .when(F.col("doc_id") % 5 == 3, "UNKNOWN_ERROR")
+         .otherwise("FETCHED").alias("status"))
+
+    def fetch(failed: DataFrame) -> DataFrame:
+        return failed.withColumn(
+            "status", F.when(F.col("doc_id") % 2 == 0, "FETCHED")
+                       .otherwise("NO_TRANSCRIPT_FOUND"))
+
+    return upsert_op.retry_failed(statused, fetch)
+
+
+@register(
+    "context_assembly",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, round({dot}, 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id LIMIT 50
+),
+qt AS (SELECT {qtok} AS qtok FROM documents WHERE doc_id = 0),
+reranked AS (
+  SELECT d.doc_id, c.score,
+         CASE WHEN len(list_distinct(list_concat({dtok}, qt.qtok))) > 0
+              THEN CAST(len(list_intersect({dtok}, qt.qtok)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat({dtok}, qt.qtok))) AS DOUBLE)
+              ELSE 0.0 END AS relevance_score,
+         substring(d.text, 1, 60) AS snip
+  FROM documents d JOIN cand c ON d.doc_id = c.vec_id, qt
+),
+top AS (
+  SELECT doc_id, snip,
+         row_number() OVER (ORDER BY relevance_score DESC, score DESC, doc_id) AS rn
+  FROM reranked
+  ORDER BY relevance_score DESC, score DESC, doc_id LIMIT 5
+)
+SELECT string_agg('Source ' || rn || ' [doc ' || doc_id || ']: ' || snip,
+                  chr(10) || chr(10) ORDER BY rn) AS context,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM top
+""".format(dot=dd_dot("e.embedding", "q.qv"),
+           qtok=dd_distinct_tokens("text"),
+           dtok=dd_distinct_tokens("d.text")))
+def q_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#55: fold the funnel's top-n docs into one prompt context block
+    with per-doc headers (ordered collect_list + array_join)."""
+    qv = query_vector(spark, sf_dir)
+    qt = query_text(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    cand = retrieval.knn(emb, qv, 50)
+    joined = docs.join(F.broadcast(cand), docs.doc_id == cand.vec_id)
+    reranked = (retrieval.rerank(joined, qt)
+                .select("doc_id", "score", "relevance_score",
+                        F.substring("text", 1, 60).alias("snip")))
+    w = Window.orderBy(F.desc("relevance_score"), F.desc("score"), F.col("doc_id"))
+    top = (reranked.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 5))
+    return top.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("rn"),
+                    F.concat(F.lit("Source "), F.col("rn").cast("string"),
+                             F.lit(" [doc "), F.col("doc_id").cast("string"),
+                             F.lit("]: "), F.col("snip")).alias("s")))),
+                lambda x: x["s"]), "\n\n").alias("context"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+@register(
+    "url_extract",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://www.youtube.com/@' || source || '/videos'
+              ELSE 'https://archive.org/details/' || source || '_coll' END AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '/@([^/]+)', 1) AS channel,
+       regexp_extract(url, '/details/([^/]+)', 1) AS collection_id
+FROM urls
+""")
+def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#40-41: channel-name / collection-id extraction from URLs via
+    regexp alternatives (no-match -> '' in both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.when(F.col("doc_id") % 2 == 0,
+                 F.concat(F.lit("https://www.youtube.com/@"),
+                          F.col("source"), F.lit("/videos"))) \
+           .otherwise(F.concat(F.lit("https://archive.org/details/"),
+                               F.col("source"), F.lit("_coll")))
+    return d.select(
+        "doc_id", url.alias("url"),
+        F.regexp_extract(url, r"/@([^/]+)", 1).alias("channel"),
+        F.regexp_extract(url, r"/details/([^/]+)", 1).alias("collection_id"))
+
+
+@register(
+    "window_functions",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS INT) AS rn,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 6) AS running_total,
+       round(lag(o_totalprice) OVER w, 6) AS prev_price,
+       round(lead(o_totalprice) OVER w, 6) AS next_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset/frame window breadth over per-customer order
+    history (row_number, running sum, lag/lead, ntile)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.round(F.sum("o_totalprice").over(wrun), 6).alias("running_total"),
+        F.round(F.lag("o_totalprice").over(w), 6).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 6).alias("next_price"),
+        F.ntile(4).over(w).cast("int").alias("quartile"))
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint rollups in one pass)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS LONG) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+SELECT event_type,
+       round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+       round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90,
+       round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the exact twin of
+    approx_percentile; at 100 TB swap in approx_percentile with a
+    documented error bound)."""
+    e = _events(spark, sf_dir)
+    return (e.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+            .orderBy("event_type"))
+
+
+@register(
+    "pivot_status_by_month",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_partial
+FROM orders GROUP BY month ORDER BY month
+""")
+def q_pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): order-status counts per
+    month."""
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    return (o.groupBy(month)
+            .agg(F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("long").alias("n_open"),
+                 F.count(F.when(F.col("o_orderstatus") == "F", 1)).cast("long").alias("n_filled"),
+                 F.count(F.when(F.col("o_orderstatus") == "P", 1)).cast("long").alias("n_partial"))
+            .orderBy("month"))
+
+
+@register(
+    "stats_moments",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_discount), 6) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group (stddev/var/corr/covar)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+                 F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qty_price"))
+            .orderBy("l_returnflag"))
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+    headline=True)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: selective join + agg + top-10
+    (filters push to both scans; top-k avoids a global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-03-15").cast("timestamp")
+    return (o.where(F.col("o_orderdate") < cut)
+            .join(li.where(F.col("l_shipdate") > cut),
+                  li.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    "o_orderpriority")
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10))

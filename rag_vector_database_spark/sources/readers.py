@@ -61,6 +61,52 @@ def read_binaries(spark: SparkSession, directory: str,
             .load(directory))
 
 
+def extract_pdf_text(df: DataFrame, content_col: str = "content"):
+    """#4: per-page text extraction over binaryFile content
+    (chunk_local_pdfs.py:138-159: page get_text, '\\n\\n' page join, doc
+    metadata). PyMuPDF is not in this container, so the kernel is a
+    deterministic stub; the mapInPandas plumbing (Arrow batches of
+    binary, typed struct out) is the real, tested surface."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    try:
+        import fitz  # PyMuPDF  # noqa: F401
+        have_fitz = True
+    except ImportError:
+        have_fitz = False
+
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("text", StringType()),
+        StructField("n_pages", LongType()),
+        StructField("pdf_title", StringType()),
+    ])
+
+    def extract(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            if have_fitz:
+                raise NotImplementedError(
+                    "real path: fitz.open(stream=bytes) -> "
+                    "'\\n\\n'.join(page.get_text(sort=True)) + doc.metadata; "
+                    "enable when PyMuPDF ships")
+            blobs = pdf[content_col].map(bytes)
+            yield pd.DataFrame({
+                "path": pdf["path"],
+                "text": blobs.map(lambda b: b.decode("latin-1", "replace")),
+                "n_pages": blobs.map(lambda b: max(len(b) // 1024, 1)),
+                "pdf_title": blobs.map(
+                    lambda b: "doc-" + hashlib.md5(b).hexdigest()[:8]),
+            })
+
+    return df.select("path", content_col).mapInPandas(extract, schema)
+
+
 def exclude_paths(df: DataFrame, pattern: str) -> DataFrame:
     """#16: negative glob (download_ia_collection.py:61-66) as a path
     filter on an already-listed source."""
