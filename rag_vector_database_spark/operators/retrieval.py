@@ -131,6 +131,20 @@ def retrieval_funnel(embeddings: DataFrame, documents: DataFrame,
             .limit(top_n))
 
 
+def topk_by_similarity(df: DataFrame, query_vec: Sequence[float], k: int,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       approx_threshold_rows: int = 10_000_000,
+                       n_rows: int | None = None) -> DataFrame:
+    """The one-call API from SURVEY.md section 4: picks brute-force
+    (exact, scan-parallel) for small tables and sign-bucket IVF pruning
+    for large ones. ``n_rows`` may be passed to avoid a count job when
+    the caller already knows table size (e.g. from catalog stats)."""
+    n = n_rows if n_rows is not None else df.count()
+    if n <= approx_threshold_rows:
+        return knn(df, query_vec, k, vec_col, id_col)
+    return ivf_knn(df, query_vec, k, vec_col, id_col)
+
+
 def score_stats(scored: DataFrame, score_col: str = "score",
                 ndigits: int = 6) -> DataFrame:
     """min/max/avg score stats shown before thresholding (#52,

@@ -1,0 +1,58 @@
+"""Storage-layout operators: bucketing, partitioning, skew salting.
+
+None of these change results — they change where rows live, which is
+what decides whether the 100 TB plan shuffles. The reference has no
+storage layout at all (one shared JSONL file, SURVEY.md section 7); at
+scale the corpus lives as:
+
+- **partitioned** parquet (coarse, low-cardinality keys like
+  source_type / date) -> partition PRUNING at the scan;
+- **bucketed** tables (high-cardinality join keys like doc_id) ->
+  co-located, shuffle-free joins between tables bucketed the same way;
+- **salted** keys where one value dominates (the empty-text
+  fingerprint, a boilerplate dup cluster) -> two-phase aggregation
+  that spreads the hot key over ``n_salts`` reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str,
+                      mode: str = "overwrite") -> None:
+    """Partition-by write: one directory level per key value; readers
+    filtering on the key scan only matching directories."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
+                   mode: str = "overwrite") -> None:
+    """Bucketed saveAsTable: rows hash-distributed into fixed buckets by
+    ``key``. Two tables bucketed identically join without any Exchange."""
+    (df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key)
+     .format("parquet").saveAsTable(table))
+
+
+def salted_agg(df: DataFrame, key: str, agg_cols: list[Column],
+               final_aggs: list[Column], n_salts: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed keys: phase 1 groups on
+    (key, salt) spreading a hot key over ``n_salts`` reducers; phase 2
+    merges the partials on the key alone.
+
+    ``agg_cols`` are the phase-1 partial aggregates; ``final_aggs`` the
+    phase-2 merges over those partial columns.
+    """
+    salt = (F.rand(seed=7) * n_salts).cast("int").alias("_salt")
+    partial = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(*agg_cols)
+    return partial.groupBy(key).agg(*final_aggs)
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Skew-safe count per key (count is the common hot-key victim)."""
+    return salted_agg(
+        df, key,
+        agg_cols=[F.count(F.lit(1)).alias("_partial")],
+        final_aggs=[F.sum("_partial").cast("long").alias("cnt")],
+        n_salts=n_salts)

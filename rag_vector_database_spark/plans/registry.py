@@ -1349,3 +1349,63 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_orderpriority")
             .orderBy(F.desc("revenue"), "l_orderkey")
             .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference transforms: labeled text assembly + validation
+
+@register(
+    "kev_text_assembly",
+    oracle="""
+SELECT p_partkey,
+       'Product: ' || p_name || chr(10) ||
+       'Brand: ' || p_brand || chr(10) ||
+       'Type: ' || p_type ||
+       CASE WHEN p_size > 25
+            THEN chr(10) || 'Note: oversized (' || CAST(p_size AS VARCHAR) || ')'
+            ELSE '' END AS doc_text,
+       coalesce(nullif(p_brand, ''), 'N/A') AS brand_na
+FROM part
+""")
+def q_kev_text_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#36 + #24: labeled document-text assembly with a conditional
+    section (the KEV 'Vulnerability: ...\\nDescription: ...' + optional
+    notes shape, chunk_cisa_kev.py:122-123) and literal-default
+    projection (.get(k,'N/A'), chunk_cisa_kev.py:116-146)."""
+    p = _t(spark, sf_dir, "part")
+    doc_text = F.concat(
+        F.lit("Product: "), F.col("p_name"), F.lit("\n"),
+        F.lit("Brand: "), F.col("p_brand"), F.lit("\n"),
+        F.lit("Type: "), F.col("p_type"),
+        F.when(F.col("p_size") > 25,
+               F.concat(F.lit("\nNote: oversized ("),
+                        F.col("p_size").cast("string"), F.lit(")")))
+         .otherwise(F.lit("")))
+    return p.select(
+        "p_partkey", doc_text.alias("doc_text"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("")), F.lit("N/A"))
+         .alias("brand_na"))
+
+
+@register(
+    "validation_filter",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_valid,
+       CAST((SELECT count(*) FROM documents) - count(*) AS BIGINT) AS n_rejected
+FROM documents
+WHERE text IS NOT NULL AND trim(text) <> ''
+  AND doc_id IS NOT NULL AND length(text) >= 40
+""")
+def q_validation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#17-21: the validation-filter family (present, non-empty after
+    trim, key present, minimum extraction length) with the
+    processed-vs-rejected run counters (#54)."""
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()
+    valid = d.where(F.col("text").isNotNull()
+                    & (F.trim("text") != "")
+                    & F.col("doc_id").isNotNull()
+                    & (F.length("text") >= 40))
+    return valid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_valid"),
+        (F.lit(total) - F.count(F.lit(1))).cast("long").alias("n_rejected"))

@@ -1,0 +1,58 @@
+"""Storage layout: partition pruning, shuffle-free bucketed joins,
+salted aggregation correctness."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from urllib.parse import urlparse
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vector_database_spark.operators import storage
+
+
+def test_partition_pruning(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        storage.write_partitioned(docs, f"{d}/bysource", "source")
+        back = spark.read.parquet(f"{d}/bysource").where(F.col("source") == "src3")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        # the filter must reach the file index, not a post-scan Filter
+        assert "PartitionFilters" in plan and "src3" in plan
+        want = docs.where(F.col("source") == "src3").count()
+        assert back.count() == want
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("b_docs", "b_emb"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # DROP TABLE doesn't clean a location orphaned by a killed run
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    storage.write_bucketed(docs, "b_docs", "doc_id", 8)
+    storage.write_bucketed(emb.withColumnRenamed("vec_id", "doc_id"),
+                           "b_emb", "doc_id", 8)
+    j = spark.table("b_docs").join(spark.table("b_emb"), "doc_id")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = {r["source"]: r["cnt"] for r in
+             docs.groupBy("source").agg(
+                 F.count(F.lit(1)).cast("long").alias("cnt")).collect()}
+    salted = {r["source"]: r["cnt"] for r in
+              storage.salted_count(docs, "source").collect()}
+    assert plain == salted
