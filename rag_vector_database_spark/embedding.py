@@ -1,4 +1,10 @@
-"""Pluggable embedding backends (SURVEY.md section 2 #46).
+"""Pluggable embedding backends (SURVEY.md section 2 #46, #63).
+
+This module is the template for the engine's whole UDF surface (#63):
+every reference extension point (splitter #33, PDF extract #4, embedder
+#46, cross-encoder #49, LLM #62) is a pandas UDF (Arrow-batched,
+per-executor init) or a pure column expression — never a row-at-a-time
+Python UDF. No UDAF/UDTF is needed anywhere (SURVEY.md section 2 #63).
 
 The reference embeds with BAAI/bge-base-en-v1.5 (768-d, L2-normalized,
 ingest_chunks_to_chromadb.py:35,63-67). Real transformer models are not

@@ -59,6 +59,26 @@ def coerce_metadata(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return out
 
 
+def append_jsonl(df: DataFrame, path: str) -> None:
+    """#10: the shared chunk-corpus sink. The reference appends every
+    chunker's output to ONE mutable JSONL file (chunk_cisa_kev.py:158) —
+    a write-contention anti-pattern at any parallelism. Same semantics
+    (union of all runs, line-delimited JSON), Spark-shaped layout: an
+    append-only directory each run adds part-files to; readers see the
+    union via a directory scan, writers never touch each other's files."""
+    df.write.mode("append").json(path)
+
+
+def write_grouped_json(df: DataFrame, path: str, *group_cols: str,
+                       mode: str = "overwrite") -> None:
+    """#11: the per-record JSON layout (one file per video under a
+    channel folder, scrape_youtube_metadata.py:146-152,257). The
+    per-RECORD granularity is an artifact; the semantic — records
+    grouped by key, JSON on disk — is partitionBy, which also buys
+    partition pruning on the group key at read time."""
+    df.write.mode(mode).partitionBy(*group_cols).json(path)
+
+
 def idempotent_append(incoming: DataFrame, store_path: str, key: str,
                       spark=None) -> int:
     """Run-twice-adds-zero ingest (#30 + #12): anti-join against the

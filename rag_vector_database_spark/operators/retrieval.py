@@ -41,8 +41,8 @@ from ..functions import text as T
 DEFAULT_K_CANDIDATES = 50       # Auto_query_rag_database.py:64
 DEFAULT_K_DIRECT = 20           # Auto_query_rag_database.py:65
 DEFAULT_TOP_N = 5               # query_rag_database.py:72
-DEFAULT_SIM_THRESHOLD = 0.75    # Auto_query_rag_database.py:67
-DEFAULT_RERANK_THRESHOLD = 0.0  # Auto_query_rag_database.py:66
+DEFAULT_SIM_THRESHOLD = 0.75    # #22, Auto_query_rag_database.py:67
+DEFAULT_RERANK_THRESHOLD = 0.0  # #23, Auto_query_rag_database.py:66
 
 
 def score_against(df: DataFrame, query_vec: Sequence[float],
@@ -124,11 +124,26 @@ def retrieval_funnel(embeddings: DataFrame, documents: DataFrame,
                             documents[doc_id] == candidates[vec_id])
     reranked = rerank(joined, query_text)
     return (reranked
+            # #23: rerank-score threshold (interactive override in the
+            # reference = this parameter; Auto_query_rag_database.py:327-341)
             .where(F.col("relevance_score") >= F.lit(rerank_threshold))
             .select(doc_id, "score", "relevance_score",
                     T.snippet("text", 80).alias("snippet"))
             .orderBy(F.desc("relevance_score"), F.desc("score"), F.col(doc_id))
             .limit(top_n))
+
+
+def direct_retrieval(df: DataFrame, query_vec: Sequence[float],
+                     k: int = DEFAULT_K_DIRECT,
+                     sim_threshold: float = DEFAULT_SIM_THRESHOLD,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """The no-reranker branch (#48 + #22): similarity search WITH scores
+    (k=20) then the base similarity threshold sigma(score >= 0.75)
+    (Auto_query_rag_database.py:343-346). Threshold applies AFTER top-k,
+    matching the reference's retrieve-then-filter order."""
+    return knn(df, query_vec, k, vec_col, id_col) \
+        .where(F.col("score") >= F.lit(sim_threshold))
 
 
 def topk_by_similarity(df: DataFrame, query_vec: Sequence[float], k: int,

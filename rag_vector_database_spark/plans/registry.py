@@ -1409,3 +1409,102 @@ def q_validation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return valid.agg(
         F.count(F.lit(1)).cast("long").alias("n_valid"),
         (F.lit(total) - F.count(F.lit(1))).cast("long").alias("n_rejected"))
+
+
+# ---------------------------------------------------------------------------
+# Generation surface (#62) + the no-reranker retrieval branch (#48 + #22)
+
+@register(
+    "direct_retrieval",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT e.vec_id, round({dot}, 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id LIMIT 20
+)
+SELECT vec_id, score FROM top WHERE score >= 0.75
+""".format(dot=dd_dot("e.embedding", "q.qv")))
+def q_direct_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#48 + #22: the no-reranker branch — similarity search WITH scores
+    (k=20) then sigma(score >= 0.75), retrieve-then-filter order exactly
+    as Auto_query_rag_database.py:343-346."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return retrieval.direct_retrieval(emb, query_vector(spark, sf_dir))
+
+
+@register(
+    "rag_answer_turn",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, round({dot}, 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id LIMIT 50
+),
+qt AS (SELECT {qtok} AS qtok FROM documents WHERE doc_id = 0),
+reranked AS (
+  SELECT d.doc_id, c.score,
+         CASE WHEN len(list_distinct(list_concat({dtok}, qt.qtok))) > 0
+              THEN CAST(len(list_intersect({dtok}, qt.qtok)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat({dtok}, qt.qtok))) AS DOUBLE)
+              ELSE 0.0 END AS relevance_score,
+         substring(d.text, 1, 60) AS snip
+  FROM documents d JOIN cand c ON d.doc_id = c.vec_id, qt
+),
+top AS (
+  SELECT doc_id, snip,
+         row_number() OVER (ORDER BY relevance_score DESC, score DESC, doc_id) AS rn
+  FROM reranked
+  ORDER BY relevance_score DESC, score DESC, doc_id LIMIT 5
+),
+ctx AS (
+  SELECT string_agg('Source ' || rn || ' [doc ' || doc_id || ']: ' || snip,
+                    chr(10) || chr(10) ORDER BY rn) AS context
+  FROM top
+),
+prompt AS (
+  SELECT 'Answer using ONLY the context below.' || chr(10) || chr(10) ||
+         'Context:' || chr(10) || ctx.context || chr(10) || chr(10) ||
+         'Chat history:' || chr(10) || chr(10) || chr(10) ||
+         'Question: ' || (SELECT text FROM documents WHERE doc_id = 0) ||
+         chr(10) || 'Answer:' AS prompt
+  FROM ctx
+)
+SELECT prompt, 'ANSWER[' || substring(md5(prompt), 1, 12) || ']' AS ai_response
+FROM prompt
+""".format(dot=dd_dot("e.embedding", "q.qv"),
+           qtok=dd_distinct_tokens("text"),
+           dtok=dd_distinct_tokens("d.text")))
+def q_rag_answer_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#62 (+#51/#55): one full RAG turn ending at the engine boundary —
+    funnel -> context block -> prompt-template fill -> deterministic
+    answer stub (hash-of-prompt; a real LLM mounts behind
+    generation.generate_with as a pandas UDF)."""
+    from ..operators import generation
+    qv = query_vector(spark, sf_dir)
+    qtext = query_text(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    cand = retrieval.knn(emb, qv, 50)
+    joined = docs.join(F.broadcast(cand), docs.doc_id == cand.vec_id)
+    reranked = (retrieval.rerank(joined, qtext)
+                .select("doc_id", "score", "relevance_score",
+                        F.substring("text", 1, 60).alias("snip")))
+    w = Window.orderBy(F.desc("relevance_score"), F.desc("score"), F.col("doc_id"))
+    top = (reranked.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 5))
+    ctx = top.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("rn"),
+                    F.concat(F.lit("Source "), F.col("rn").cast("string"),
+                             F.lit(" [doc "), F.col("doc_id").cast("string"),
+                             F.lit("]: "), F.col("snip")).alias("s")))),
+                lambda x: x["s"]), "\n\n").alias("context"))
+    prompt = generation.assemble_prompt(
+        F.col("context"), F.lit(""), F.lit(qtext)).alias("prompt")
+    out = ctx.select(prompt)
+    return out.select("prompt",
+                      generation.answer_stub(F.col("prompt")).alias("ai_response"))

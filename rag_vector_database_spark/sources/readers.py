@@ -52,9 +52,10 @@ def read_jsonl_chunks(spark: SparkSession, path: str,
 
 def read_binaries(spark: SparkSession, directory: str,
                   glob: str = "*.pdf") -> DataFrame:
-    """#3: binary documents (PDFs) with listing-level glob pruning
-    (chunk_local_pdfs.py:107-119). Columns: path, modificationTime,
-    length, content(binary)."""
+    """#3: binary documents (PDFs) with listing-level glob pruning.
+    The extension predicate (#14, chunk_local_pdfs.py:113) is the
+    pathGlobFilter — applied at file LISTING, before any bytes move.
+    Columns: path, modificationTime, length, content(binary)."""
     return (spark.read.format("binaryFile")
             .option("pathGlobFilter", glob)
             .option("recursiveFileLookup", True)
