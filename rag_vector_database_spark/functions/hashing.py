@@ -22,10 +22,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def md5_hex(c: Column) -> Column:
-    return F.md5(c)
-
-
 def md5_long(c: Column, hex_chars: int = 8) -> Column:
     """First ``hex_chars`` md5 hex chars as a non-negative BIGINT.
 
@@ -35,17 +31,37 @@ def md5_long(c: Column, hex_chars: int = 8) -> Column:
     return F.conv(F.substring(F.md5(c), 1, hex_chars), 16, 10).cast("long")
 
 
-def seeded(c: Column, seed: int) -> Column:
-    """Seed-prefixed value for independent hash families."""
-    return F.concat(F.lit(f"{seed}:"), c)
+# Universal-hash family for MinHash: h_k(x) = (a_k*x + b_k) mod P over a
+# 32-bit base hash. P is the smallest prime > 2^32; a < 2^31 keeps a*x
+# inside a signed 64-bit long in both engines. One md5 per shingle
+# TOTAL (the base hash); the n_hashes permutations are integer
+# multiply-add — versus n_hashes md5s per shingle for seeded digests.
+MINHASH_P = 4294967311
 
 
-def minhash_sig(tokens: Column, n_hashes: int) -> Column:
-    """MinHash signature: array of lexicographic-min md5 digests, one per
-    seed. Per-row higher-order functions only — no explode, no shuffle."""
+def minhash_params(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) coefficients, identical across engines."""
+    import random
+    rnd = random.Random(0xC0FFEE)
+    a = [rnd.randrange(1, 1 << 31) for _ in range(n_hashes)]
+    b = [rnd.randrange(0, 1 << 31) for _ in range(n_hashes)]
+    return a, b
+
+
+def minhash_sig(base_hashes: Column, n_hashes: int) -> Column:
+    """MinHash signature (array<long>) over precomputed 32-bit base
+    hashes of the shingles (``md5_long`` each shingle ONCE upstream —
+    and materialize that column, or projection collapse re-inlines the
+    md5 into all n_hashes lambdas). Per-row higher-order functions only
+    — no explode, no shuffle."""
+    av, bv = minhash_params(n_hashes)
+
+    def perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
     return F.array(*[
-        F.array_min(F.transform(tokens, lambda t: md5_hex(seeded(t, s))))
-        for s in range(n_hashes)
+        F.array_min(F.transform(base_hashes, perm(av[k], bv[k])))
+        for k in range(n_hashes)
     ])
 
 
@@ -54,7 +70,7 @@ def band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     Docs sharing any band key become candidate near-dup pairs."""
     return F.array(*[
         F.md5(F.concat_ws(
-            "|", *[F.element_at(sig, b * rows_per_band + r + 1)
+            "|", *[F.element_at(sig, b * rows_per_band + r + 1).cast("string")
                    for r in range(rows_per_band)]))
         for b in range(n_bands)
     ])

@@ -56,17 +56,27 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
         key_col, "fingerprint", "canonical_id", "group_size")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column."""
-    toks = tokens(text)
-    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
-    # texts need an explicit empty-array branch.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
+
+    Pass an ATTRIBUTE (a materialized column), not a tokens(...)
+    expression: the lambda references ``toks`` per shingle, and an
+    inlined expression would re-run the tokenizer once per shingle.
+    NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
+    texts need an explicit empty-array branch."""
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
             F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
                         lambda i: F.array_join(F.slice(toks, i, n), " ")))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column. Convenience form;
+    prefer tokenizing into a real column first (see shingles_from_tokens)
+    when the shingle expression feeds further per-element work."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def jaccard(a: Column, b: Column, ndigits: int = 6) -> Column:
@@ -91,33 +101,47 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     the two key-joins that fetch shingle sets for candidate pairs.
     """
     rows_per_band = n_hashes // n_bands
-    # Signature hashing is compute-bound (n_hashes md5s per shingle); a
-    # compact input (one parquet split) would serialize it on one core,
-    # so spread rows across the cluster first. At real scale the scan
-    # already yields many splits and AQE coalesces any excess.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    sh = df.select(F.col(key_col).alias("k"),
-                   word_shingles(F.col(text_col), shingle_n).alias("sh"))
-    # The signature table feeds three plan branches (banding, and both
-    # sides of the candidate-pair verification join); persist it so the
-    # n_hashes-md5s-per-shingle subtree is computed once, not three
-    # times. Same move MLlib's LSH models make.
-    sh = sh.withColumn("sig", H.minhash_sig(F.col("sh"), n_hashes)).persist()
+    # Tokenize BELOW the repartition exchange: the exchange both spreads
+    # a compact input (one parquet split) across the cluster and blocks
+    # projection collapse, so the tokenizer runs once per doc instead of
+    # being re-inlined into every per-shingle lambda above it. At real
+    # scale the scan already yields many splits and AQE coalesces excess.
+    tk = (df.select(F.col(key_col).alias("k"),
+                    tokens(F.col(text_col)).alias("tk"))
+          .repartition(df.sparkSession.sparkContext.defaultParallelism))
+    sh = tk.select("k", shingles_from_tokens(F.col("tk"), shingle_n).alias("sh"))
+    # Hash each shingle ONCE (md5 -> 32-bit base); the n_hashes MinHash
+    # permutations are then integer multiply-adds over these bases
+    # (H.minhash_sig), not n_hashes md5s per shingle. Persisting here
+    # (a) stops projection collapse from re-inlining the md5 into every
+    # permutation lambda and (b) shares the shingle table across the
+    # three plan branches (banding + both sides of pair verification) —
+    # the same materialization move MLlib's LSH models make.
+    sh = sh.withColumn("hv", F.transform(F.col("sh"),
+                                         lambda t: H.md5_long(t))).persist()
+    sig = H.minhash_sig(F.col("hv"), n_hashes)
     bands = sh.select(
-        "k", F.posexplode(H.band_keys(F.col("sig"), n_bands, rows_per_band))
+        "k", F.posexplode(H.band_keys(sig, n_bands, rows_per_band))
         .alias("band", "bk"))
-    # skew guard: drop pathological buckets (handled by the exact pass)
-    bucket_sizes = bands.groupBy("band", "bk").agg(F.count(F.lit(1)).alias("bn"))
-    bands = (bands.join(bucket_sizes.where(F.col("bn") <= max_bucket),
-                        ["band", "bk"]).drop("bn"))
+    # Skew guard: drop pathological buckets (a bucket wider than the cap
+    # IS a duplicate cluster — the exact pass handles it). The oversized
+    # set is tiny by construction; AQE turns the anti-join into a
+    # broadcast from its runtime size — an explicit broadcast() hint
+    # here measured SLOWER (it forces an eager driver collect per hint,
+    # serializing what AQE overlaps).
+    oversized = (bands.groupBy("band", "bk")
+                 .agg(F.count(F.lit(1)).alias("bn"))
+                 .where(F.col("bn") > max_bucket).drop("bn"))
+    bands = bands.join(oversized, ["band", "bk"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bk") == F.col("b.bk"))
                    & (F.col("a.k") < F.col("b.k")))
             .select(F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b"))
             .distinct())
+    # Verification: candidate pairs are a small fraction of the corpus
+    # (bounded by max_bucket * n_bands per doc); AQE broadcasts them
+    # into the persisted shingle table, which then never shuffles.
     sa = sh.select(F.col("k").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("k").alias("id_b"), F.col("sh").alias("sh_b"))
     return (cand.join(sa, "id_a").join(sb, "id_b")

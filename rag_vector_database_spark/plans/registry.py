@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_tables
+from ..functions import hashing
 from ..operators import retrieval
 
 # ---------------------------------------------------------------------------
@@ -419,9 +420,11 @@ WITH sh AS (
 ),
 sig AS (
   SELECT doc_id, sh,
-         list_transform(generate_series(0, {nh1}),
-           k -> list_min(list_transform(sh, t -> md5(CAST(k AS VARCHAR) || ':' || t)))) AS sig
-  FROM sh
+         list_transform(generate_series(1, {nh}),
+           k -> list_min(list_transform(hv, x -> ({A}[k] * x + {B}[k]) % {P}))) AS sig
+  FROM (SELECT doc_id, sh,
+               list_transform(sh, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS hv
+        FROM sh)
 ),
 bands AS (
   SELECT doc_id, i - 1 AS band,
@@ -450,7 +453,10 @@ WHERE CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
       THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
            / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
       ELSE 0.0 END >= {th}
-""".format(shingles=dd_shingles("text", 2), nh1=_MH["n_hashes"] - 1,
+""".format(shingles=dd_shingles("text", 2), nh=_MH["n_hashes"],
+           A=list(hashing.minhash_params(_MH["n_hashes"])[0]),
+           B=list(hashing.minhash_params(_MH["n_hashes"])[1]),
+           P=hashing.MINHASH_P,
            r=_MH["rows_per_band"], b=_MH["n_bands"],
            mb=_MH["max_bucket"], th=_MH["threshold"]),
     headline=True)
