@@ -1514,3 +1514,127 @@ def q_rag_answer_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ctx.select(prompt)
     return out.select("prompt",
                       generation.answer_stub(F.col("prompt")).alias("ai_response"))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming + sketch aggregates + relational breadth
+
+@register(
+    "streaming_stateful_counts",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+""")
+def q_streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming operator (applyInPandasWithState):
+    per-user cumulative counts; the max emission per key (counts are
+    monotone across micro-batches) equals the batch groupBy — Kappa
+    parity like the windowed twins."""
+    stream = streaming_events.read_events_stream(spark, sf_dir)
+    emitted = streaming_events.run_available_now(
+        streaming_events.stateful_user_counts(stream), output_mode="update")
+    return (emitted.groupBy("user_id")
+            .agg(F.max("n_events").cast("long").alias("n_events")))
+
+
+@register("approx_sketches", oracle=None)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
+    users and t-digest-style percentiles over events — one pass, fixed
+    memory, mergeable across partitions (the whole point at scale; an
+    exact distinct shuffles every key). Approximate by design, so no
+    value oracle: the driver records the rows-only check, and
+    value_percentiles / stats_moments carry the exact twins."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_type").alias("approx_types"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.95).alias("p95_value"))
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""")
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, return the
+    max-revenue supplier(s) (scalar-subquery max, tie-preserving)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (li.where((F.col("l_shipdate") >= "1995-01-01")
+                    & (F.col("l_shipdate") < "1995-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4)
+                .alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (s.join(rev, s.s_suppkey == rev.l_suppkey)
+            .join(mx, rev.total_rev == mx.mx)
+            .select("s_suppkey", "s_name", "total_rev"))
+
+
+@register(
+    "large_orders",
+    oracle="""
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(l.l_quantity), 6) AS total_qty
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+HAVING sum(l.l_quantity) > 150
+""")
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with the buying customer (join -> agg -> HAVING)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    return (o.join(li, li.l_orderkey == o.o_orderkey)
+            .join(c, c.c_custkey == o.o_custkey)
+            .groupBy("c_name", "o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                      .alias("orderdate"))
+            .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+            .where(F.col("total_qty") > 150))
+
+
+@register(
+    "cheapest_line_per_part",
+    oracle="""
+WITH priced AS (
+  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+         round(l_extendedprice / l_quantity, 6) AS unit_price,
+         min(round(l_extendedprice / l_quantity, 6))
+           OVER (PARTITION BY l_partkey) AS min_price
+  FROM lineitem WHERE l_quantity > 0
+)
+SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, unit_price
+FROM priced WHERE unit_price = min_price
+""")
+def q_cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min subquery): per part, the line(s)
+    achieving the minimum unit price — window min, one shuffle on the
+    part key instead of a per-row correlated rescan."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    w = Window.partitionBy("l_partkey")
+    priced = li.select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+         .alias("unit_price"))
+    return (priced
+            .withColumn("min_price", F.min("unit_price").over(w))
+            .where(F.col("unit_price") == F.col("min_price"))
+            .drop("min_price"))

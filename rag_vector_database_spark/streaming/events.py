@@ -87,3 +87,34 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "complete",
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    cumulative event count. This is the engine's arbitrary-state
+    surface — the shape the reference's conversation memory (#60) or
+    any bespoke per-key accumulator takes when it must live IN the
+    stream rather than driver-side. State is one struct per user_id
+    (O(distinct keys), partitioned by the groupBy hash — no skew beyond
+    the key distribution itself); each micro-batch emits the updated
+    running total, so the LAST (= max, counts are monotone) emission
+    per key equals the batch groupBy count — which is what the oracle
+    checks (Kappa parity, same as the windowed twins above).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType([StructField("user_id", LongType()),
+                             StructField("n_events", LongType())])
+    state_schema = StructType([StructField("n", LongType())])
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -37,3 +37,17 @@ def test_incremental_pacing(spark, sf_dir):
         se.tumbling_counts(
             se.read_events_stream(spark, sf_dir, max_files_per_trigger=1)))
     assert stream.count() == registry.q_events_tumbling(spark, sf_dir).count()
+
+
+def test_stateful_counts_equal_batch_groupby(spark, sf_dir):
+    """applyInPandasWithState cumulative counts: last (= max) emission
+    per user equals the batch groupBy count."""
+    from pyspark.sql import functions as F
+    emitted = se.run_available_now(
+        se.stateful_user_counts(se.read_events_stream(spark, sf_dir)),
+        output_mode="update")
+    got = (emitted.groupBy("user_id")
+           .agg(F.max("n_events").alias("n")))
+    batch = (spark.read.parquet(f"{sf_dir}/events.parquet")
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
+    assert _rows(got, ["user_id", "n"]) == _rows(batch, ["user_id", "n"])
