@@ -11,6 +11,14 @@ from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
 
+# Python's Unicode \s (the reference's engine, scrape_youtube_metadata.py:62)
+# matches more than Java's ASCII \s: the C0 separators \x1c-\x1f, NEL \x85,
+# NBSP \xa0, and the Unicode space separators. Spark-side whitespace handling
+# must collapse the same class or sanitize_filename('\x1f') returns '\x1f'
+# where the reference contract returns ''.
+PY_WS_CLASS = (r"[\s\x1c-\x1f\x85\u00a0\u1680\u2000-\u200a"
+               r"\u2028\u2029\u202f\u205f\u3000]")
+
 
 def tokens(c: Column | str) -> Column:
     """Whitespace tokenization (empty input -> empty array)."""
@@ -46,7 +54,9 @@ def sanitize_filename(c: Column | str, max_len: int = 200) -> Column:
     trim, clamp length (scrape_youtube_metadata.py:56-73)."""
     c = F.col(c) if isinstance(c, str) else c
     cleaned = F.regexp_replace(c, r'[\\/*?:"<>|]', "")
-    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    # Collapse PYTHON's whitespace class (not Java's narrower \s) so the
+    # result matches the reference's re.sub(r'\s+')/str.strip() contract.
+    collapsed = F.trim(F.regexp_replace(cleaned, PY_WS_CLASS + "+", " "))
     return F.substring(collapsed, 1, max_len)
 
 

@@ -27,11 +27,14 @@ def py_sanitize(s: str) -> str:
     return collapsed[:MAX_LEN]
 
 
-# ASCII-only: Java regex \s (Spark) is ASCII while Python's is
-# Unicode-aware — the contract under test is the reference's sanitizer
-# structure, not the engines' Unicode whitespace classes.
+# Full printable-ASCII + control range, PLUS the Unicode whitespace
+# Python's \s matches but Java's does not (\x1c-\x1f, NEL, NBSP, space
+# separators) — sanitize_filename covers them via text.PY_WS_CLASS so
+# both engines agree on the reference's re.sub(r'\s+')/strip contract.
 names = st.text(
-    alphabet=st.characters(min_codepoint=0x09, max_codepoint=0x7E),
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x09, max_codepoint=0x7E),
+        st.sampled_from("\x1c\x1d\x1e\x1f\x85\xa0   　")),
     max_size=300)
 
 
