@@ -25,11 +25,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
-try:  # real decoders, absent in this container
-    from PIL import Image  # noqa: F401
-    HAVE_PIL = True
-except ImportError:
-    HAVE_PIL = False
+def image_decode_kernel(image_mod, blob: bytes) -> tuple[int, int, str | None]:
+    """Real image decode against a PIL.Image-shaped module: open the byte
+    stream, read (width, height, format). Module passed as a parameter so
+    tests exercise this branch with a fake ``PIL`` even though the real
+    library is absent from the container."""
+    import io
+    with image_mod.open(io.BytesIO(bytes(blob))) as im:
+        fmt = (im.format or "").lower() or None
+        return im.width, im.height, fmt
+
+
+def image_stub_kernel(blob: bytes) -> tuple[int, int, str]:
+    """Deterministic fallback when PIL is not installed: derive
+    (width, height, format) from the blob's md5."""
+    h = hashlib.md5(bytes(blob)).hexdigest()
+    return (64 + int(h[:2], 16), 64 + int(h[2:4], 16),
+            ["png", "jpeg", "webp"][int(h[4], 16) % 3])
 
 
 def attach_blob(df: DataFrame, text_col: str = "text",
@@ -57,27 +69,29 @@ DECODE_SCHEMA = StructType([
 
 def decode_images(df: DataFrame, id_col: str = "id",
                   blob_col: str = "blob") -> DataFrame:
-    """Image decode via ``mapInPandas``. With PIL installed this opens
-    real images; here the deterministic stub derives (width, height,
-    format) from the blob's md5 so the full Spark path (Arrow batches
-    in, typed rows out, one Python worker per partition) is exercised.
-    """
+    """Image decode via ``mapInPandas``. The real PIL kernel runs
+    whenever ``PIL.Image`` imports on the executor; the deterministic
+    stub (width/height/format from the blob's md5) is the ImportError
+    fallback — either way the full Spark path (Arrow batches in, typed
+    rows out, one Python worker per partition) is exercised."""
     cols = [id_col, blob_col]
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
+        try:
+            from PIL import Image  # imported executor-side
+        except ImportError:
+            Image = None
         for pdf in batches:
-            if HAVE_PIL:
-                raise NotImplementedError(
-                    "real decode path: io.BytesIO(blob) -> Image.open -> "
-                    "(im.width, im.height, im.format); enable when PIL ships")
-            h = pdf[blob_col].map(
-                lambda b: hashlib.md5(bytes(b)).hexdigest())
+            if Image is not None:
+                rows = [image_decode_kernel(Image, b) for b in pdf[blob_col]]
+            else:
+                rows = [image_stub_kernel(b) for b in pdf[blob_col]]
             yield pd.DataFrame({
                 "id": pdf[id_col],
-                "width": h.map(lambda x: 64 + int(x[:2], 16)).astype("int32"),
-                "height": h.map(lambda x: 64 + int(x[2:4], 16)).astype("int32"),
-                "format": h.map(lambda x: ["png", "jpeg", "webp"][int(x[4], 16) % 3]),
+                "width": pd.Series([r[0] for r in rows], dtype="int32"),
+                "height": pd.Series([r[1] for r in rows], dtype="int32"),
+                "format": [r[2] for r in rows],
             })
 
     return df.select(*cols).mapInPandas(decode, DECODE_SCHEMA)

@@ -62,22 +62,41 @@ def read_binaries(spark: SparkSession, directory: str,
             .load(directory))
 
 
+def pdf_extract_kernel(fitz_mod, blob: bytes) -> tuple[str, int, str | None]:
+    """#4's per-document kernel against a PyMuPDF-shaped module: open the
+    byte stream, pull page text sorted in reading order, join pages with
+    '\\n\\n', and surface the embedded title (chunk_local_pdfs.py:138-159).
+    Module passed as a parameter so tests exercise this real branch with
+    a fake ``fitz`` even though PyMuPDF is absent from the container."""
+    doc = fitz_mod.open(stream=bytes(blob), filetype="pdf")
+    try:
+        text = "\n\n".join(page.get_text(sort=True) for page in doc)
+        meta = doc.metadata or {}
+        return text, doc.page_count, (meta.get("title") or None)
+    finally:
+        doc.close()
+
+
+def pdf_stub_kernel(blob: bytes) -> tuple[str, int, str]:
+    """Deterministic fallback when PyMuPDF is not installed: fake text /
+    page count / title derived only from the bytes."""
+    import hashlib
+    b = bytes(blob)
+    return (b.decode("latin-1", "replace"), max(len(b) // 1024, 1),
+            "doc-" + hashlib.md5(b).hexdigest()[:8])
+
+
 def extract_pdf_text(df: DataFrame, content_col: str = "content"):
     """#4: per-page text extraction over binaryFile content
     (chunk_local_pdfs.py:138-159: page get_text, '\\n\\n' page join, doc
-    metadata). PyMuPDF is not in this container, so the kernel is a
-    deterministic stub; the mapInPandas plumbing (Arrow batches of
-    binary, typed struct out) is the real, tested surface."""
+    metadata). The real PyMuPDF kernel runs whenever ``fitz`` imports on
+    the executor; the deterministic stub is the ImportError fallback, so
+    the mapInPandas plumbing (Arrow batches of binary, typed struct out)
+    is exercised either way."""
     from collections.abc import Iterator
 
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
-
-    try:
-        import fitz  # PyMuPDF  # noqa: F401
-        have_fitz = True
-    except ImportError:
-        have_fitz = False
 
     schema = StructType([
         StructField("path", StringType()),
@@ -87,22 +106,21 @@ def extract_pdf_text(df: DataFrame, content_col: str = "content"):
     ])
 
     def extract(batches: Iterator) -> Iterator:
-        import hashlib
-
         import pandas as pd
+        try:
+            import fitz  # PyMuPDF — imported executor-side
+        except ImportError:
+            fitz = None
         for pdf in batches:
-            if have_fitz:
-                raise NotImplementedError(
-                    "real path: fitz.open(stream=bytes) -> "
-                    "'\\n\\n'.join(page.get_text(sort=True)) + doc.metadata; "
-                    "enable when PyMuPDF ships")
-            blobs = pdf[content_col].map(bytes)
+            if fitz is not None:
+                rows = [pdf_extract_kernel(fitz, b) for b in pdf[content_col]]
+            else:
+                rows = [pdf_stub_kernel(b) for b in pdf[content_col]]
             yield pd.DataFrame({
                 "path": pdf["path"],
-                "text": blobs.map(lambda b: b.decode("latin-1", "replace")),
-                "n_pages": blobs.map(lambda b: max(len(b) // 1024, 1)),
-                "pdf_title": blobs.map(
-                    lambda b: "doc-" + hashlib.md5(b).hexdigest()[:8]),
+                "text": [r[0] for r in rows],
+                "n_pages": [r[1] for r in rows],
+                "pdf_title": [r[2] for r in rows],
             })
 
     return df.select("path", content_col).mapInPandas(extract, schema)

@@ -51,3 +51,35 @@ def test_frame_sampling(blobs):
     assert len(bytes(by_id[2][0]["frame"])) == 256
     # tiny blob still yields frame 0
     assert [r["frame_no"] for r in by_id[3]] == [0]
+
+
+class _FakeImage:
+    def __init__(self, data):
+        self.width = len(data) % 100 + 1
+        self.height = len(data) % 50 + 1
+        self.format = "PNG"
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _FakePIL:
+    """PIL.Image-shaped module for the real decode branch."""
+
+    @staticmethod
+    def open(fp):
+        return _FakeImage(fp.read())
+
+
+def test_image_decode_kernel_real_branch():
+    w, h, fmt = mm.image_decode_kernel(_FakePIL, b"x" * 123)
+    assert (w, h, fmt) == (123 % 100 + 1, 123 % 50 + 1, "png")
+
+
+def test_image_stub_kernel_deterministic():
+    a = mm.image_stub_kernel(b"same-bytes")
+    b = mm.image_stub_kernel(b"same-bytes")
+    assert a == b and a[2] in ("png", "jpeg", "webp")

@@ -73,3 +73,57 @@ def test_binary_glob(spark, tree):
     assert paths == ["x.pdf", "y.pdf"]
     assert all(bytes(r["content"]).startswith(b"%PDF") for r in df.collect())
     assert readers.exclude_paths(df, "y\\.pdf$").count() == 1
+
+
+class _FakePage:
+    def __init__(self, text):
+        self._text = text
+
+    def get_text(self, sort=False):
+        assert sort is True  # reference uses get_text(sort=True)
+        return self._text
+
+
+class _FakeFitzDoc:
+    def __init__(self, pages, title):
+        self._pages = pages
+        self.page_count = len(pages)
+        self.metadata = {"title": title}
+        self.closed = False
+
+    def __iter__(self):
+        return iter(self._pages)
+
+    def close(self):
+        self.closed = True
+
+
+class _FakeFitz:
+    """PyMuPDF-shaped module: open(stream=...) -> doc of pages."""
+
+    def __init__(self):
+        self.last_doc = None
+
+    def open(self, stream=None, filetype=None):
+        assert filetype == "pdf"
+        pages = [_FakePage(p.decode("latin-1"))
+                 for p in bytes(stream).split(b"\x0c") if p]
+        self.last_doc = _FakeFitzDoc(pages, "T-" + str(len(pages)))
+        return self.last_doc
+
+
+def test_pdf_extract_kernel_real_branch():
+    """The REAL PyMuPDF branch (not the stub): page texts joined with
+    \\n\\n, page count and embedded title surfaced, doc closed."""
+    fitz = _FakeFitz()
+    text, n_pages, title = readers.pdf_extract_kernel(
+        fitz, b"page one\x0cpage two\x0cpage three")
+    assert text == "page one\n\npage two\n\npage three"
+    assert n_pages == 3
+    assert title == "T-3"
+    assert fitz.last_doc.closed
+
+
+def test_pdf_stub_kernel_is_fallback_only():
+    text, n_pages, title = readers.pdf_stub_kernel(b"%PDF hello")
+    assert "hello" in text and n_pages >= 1 and title.startswith("doc-")
