@@ -33,6 +33,25 @@ from ..functions import hashing as H
 from ..functions.text import distinct_tokens, tokens
 
 
+# Persisted shingle tables from minhash_lsh_pairs, newest last. Each new
+# call evicts the previous call's cache so repeated invocations in one
+# session don't accumulate blocks; call release_caches() to free the last.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    release_caches()
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist any shingle table cached by minhash_lsh_pairs. Safe to
+    call once the returned pair DataFrame has been fully consumed."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 def normalize_text(c: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
@@ -101,14 +120,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     the two key-joins that fetch shingle sets for candidate pairs.
     """
     rows_per_band = n_hashes // n_bands
-    # Tokenize BELOW the repartition exchange: the exchange both spreads
-    # a compact input (one parquet split) across the cluster and blocks
-    # projection collapse, so the tokenizer runs once per doc instead of
-    # being re-inlined into every per-shingle lambda above it. At real
-    # scale the scan already yields many splits and AQE coalesces excess.
-    tk = (df.select(F.col(key_col).alias("k"),
-                    tokens(F.col(text_col)).alias("tk"))
-          .repartition(df.sparkSession.sparkContext.defaultParallelism))
+    # Tokenize BELOW a repartition exchange — but ONLY when the input is
+    # narrower than the cluster (e.g. one compact parquet split locally):
+    # the exchange spreads the scan and blocks projection collapse so the
+    # tokenizer runs once per doc instead of being re-inlined into every
+    # per-shingle lambda above it. At 100 TB the scan already yields more
+    # splits than cores, and a full-corpus exchange of token arrays would
+    # dominate the job — so the gate matters, not just the local win.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tk = df.select(F.col(key_col).alias("k"),
+                   tokens(F.col(text_col)).alias("tk"))
+    if df.rdd.getNumPartitions() < par:
+        tk = tk.repartition(par)
     sh = tk.select("k", shingles_from_tokens(F.col("tk"), shingle_n).alias("sh"))
     # Hash each shingle ONCE (md5 -> 32-bit base); the n_hashes MinHash
     # permutations are then integer multiply-adds over these bases
@@ -117,8 +140,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # permutation lambda and (b) shares the shingle table across the
     # three plan branches (banding + both sides of pair verification) —
     # the same materialization move MLlib's LSH models make.
-    sh = sh.withColumn("hv", F.transform(F.col("sh"),
-                                         lambda t: H.md5_long(t))).persist()
+    sh = _persist_tracked(
+        sh.withColumn("hv", F.transform(F.col("sh"), lambda t: H.md5_long(t))))
     sig = H.minhash_sig(F.col("hv"), n_hashes)
     bands = sh.select(
         "k", F.posexplode(H.band_keys(sig, n_bands, rows_per_band))

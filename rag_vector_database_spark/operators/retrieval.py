@@ -146,15 +146,30 @@ def direct_retrieval(df: DataFrame, query_vec: Sequence[float],
         .where(F.col("score") >= F.lit(sim_threshold))
 
 
+def estimate_rows(df: DataFrame, fallback_row_bytes: int = 3200) -> int:
+    """Estimated row count from Catalyst plan statistics — NO job runs.
+    Uses the optimizer's rowCount when available (CBO / AQE-collected),
+    else sizeInBytes divided by an assumed row width (the default suits
+    a 768-float embedding row). Estimates only steer strategy dispatch,
+    so being off by 2x is harmless; running df.count() on a 100 TB table
+    just to pick a strategy is not."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return max(int(str(stats.sizeInBytes())) // fallback_row_bytes, 1)
+
+
 def topk_by_similarity(df: DataFrame, query_vec: Sequence[float], k: int,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        approx_threshold_rows: int = 10_000_000,
                        n_rows: int | None = None) -> DataFrame:
     """The one-call API from SURVEY.md section 4: picks brute-force
     (exact, scan-parallel) for small tables and sign-bucket IVF pruning
-    for large ones. ``n_rows`` may be passed to avoid a count job when
-    the caller already knows table size (e.g. from catalog stats)."""
-    n = n_rows if n_rows is not None else df.count()
+    for large ones. ``n_rows`` may be passed when the caller knows the
+    table size; otherwise the dispatch reads Catalyst plan statistics
+    (estimate_rows) — never an eager count job."""
+    n = n_rows if n_rows is not None else estimate_rows(df)
     if n <= approx_threshold_rows:
         return knn(df, query_vec, k, vec_col, id_col)
     return ivf_knn(df, query_vec, k, vec_col, id_col)

@@ -1396,25 +1396,29 @@ def q_kev_text_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "validation_filter",
     oracle="""
-SELECT CAST(count(*) AS BIGINT) AS n_valid,
-       CAST((SELECT count(*) FROM documents) - count(*) AS BIGINT) AS n_rejected
+SELECT CAST(count(*) FILTER (WHERE coalesce(
+         text IS NOT NULL AND trim(text) <> ''
+         AND doc_id IS NOT NULL AND length(text) >= 40, false)) AS BIGINT)
+         AS n_valid,
+       CAST(count(*) FILTER (WHERE NOT coalesce(
+         text IS NOT NULL AND trim(text) <> ''
+         AND doc_id IS NOT NULL AND length(text) >= 40, false)) AS BIGINT)
+         AS n_rejected
 FROM documents
-WHERE text IS NOT NULL AND trim(text) <> ''
-  AND doc_id IS NOT NULL AND length(text) >= 40
 """)
 def q_validation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#17-21: the validation-filter family (present, non-empty after
     trim, key present, minimum extraction length) with the
-    processed-vs-rejected run counters (#54)."""
+    processed-vs-rejected run counters (#54) — ONE conditional-agg pass
+    over the corpus, not a count job plus a filtered scan."""
     d = _t(spark, sf_dir, "documents")
-    total = d.count()
-    valid = d.where(F.col("text").isNotNull()
-                    & (F.trim("text") != "")
-                    & F.col("doc_id").isNotNull()
-                    & (F.length("text") >= 40))
-    return valid.agg(
-        F.count(F.lit(1)).cast("long").alias("n_valid"),
-        (F.lit(total) - F.count(F.lit(1))).cast("long").alias("n_rejected"))
+    valid = (F.col("text").isNotNull()
+             & (F.trim("text") != "")
+             & F.col("doc_id").isNotNull()
+             & (F.length("text") >= 40))
+    return d.agg(
+        F.sum(F.when(valid, 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(valid, 0).otherwise(1)).cast("long").alias("n_rejected"))
 
 
 # ---------------------------------------------------------------------------

@@ -37,17 +37,23 @@ def read_json_documents(spark: SparkSession, directory: str,
 
 
 def read_jsonl_chunks(spark: SparkSession, path: str,
-                      schema: StructType | None = None) -> DataFrame:
+                      schema: StructType | None = None,
+                      materialize_corrupt: bool = False) -> DataFrame:
     """#5: JSONL chunk scan with malformed-line tolerance
     (ingest_chunks_to_chromadb.py:119-172). PERMISSIVE mode +
-    ``_corrupt_record`` replaces the reference's skip-and-count."""
+    ``_corrupt_record`` replaces the reference's skip-and-count.
+
+    ``materialize_corrupt=True`` caches the parse — required ONLY when
+    the caller filters on ``_corrupt_record`` (Spark disallows queries
+    touching only that column on raw JSON). Off by default: silently
+    caching a 100 TB corpus is a memory-pressure bug, not a convenience.
+    """
     reader = (spark.read.option("mode", "PERMISSIVE")
               .option("columnNameOfCorruptRecord", "_corrupt_record"))
     if schema is not None:
         reader = reader.schema(schema)
-    # Spark disallows queries touching only _corrupt_record on raw JSON;
-    # caching materializes the parse so corrupt rows are filterable.
-    return reader.json(path).cache()
+    df = reader.json(path)
+    return df.cache() if materialize_corrupt else df
 
 
 def read_binaries(spark: SparkSession, directory: str,

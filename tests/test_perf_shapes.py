@@ -1,0 +1,50 @@
+"""Plan-shape regression tests for the round-2 perf fixes: strategy
+dispatch must not run jobs, and minhash must neither repartition an
+already-wide input nor leak persisted blocks across calls."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_vector_database_spark.operators import dedup, retrieval
+
+
+def test_estimate_rows_runs_no_job(spark):
+    df = spark.range(1000).withColumn("x", F.col("id") * 2)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    n = retrieval.estimate_rows(df)
+    assert n >= 1
+    assert tracker.getJobIdsForGroup(None) == before  # stats only, no scan
+
+
+def test_topk_dispatch_uses_estimate(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    out = retrieval.topk_by_similarity(df, [1.0, 0.0, 0.0], 5)
+    assert out.count() == 5  # small table -> exact knn path
+
+
+def test_minhash_no_repartition_when_wide(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(64)],
+        "doc_id long, text string").repartition(
+            spark.sparkContext.defaultParallelism)
+    pairs = dedup.minhash_lsh_pairs(docs)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # the only Repartition node allowed is none at all for a wide input
+    assert "Repartition" not in plan
+    dedup.release_caches()
+
+
+def test_minhash_cache_released_between_calls(spark):
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five {i % 7}") for i in range(40)],
+        "doc_id long, text string")
+    dedup.minhash_lsh_pairs(docs).collect()
+    assert len(dedup._PERSISTED) == 1
+    dedup.minhash_lsh_pairs(docs).collect()
+    assert len(dedup._PERSISTED) == 1  # previous cache evicted, not stacked
+    dedup.release_caches()
+    assert not dedup._PERSISTED

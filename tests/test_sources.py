@@ -60,7 +60,8 @@ def test_jsonl_corrupt_tolerance(spark, tree):
     schema = StructType([StructField("id", StringType()),
                          StructField("text", StringType()),
                          StructField("_corrupt_record", StringType())])
-    df = readers.read_jsonl_chunks(spark, f"{tree}/chunks.jsonl", schema)
+    df = readers.read_jsonl_chunks(spark, f"{tree}/chunks.jsonl", schema,
+                                   materialize_corrupt=True)
     good = df.where(F.col("_corrupt_record").isNull())
     bad = df.where(F.col("_corrupt_record").isNotNull())
     assert sorted(r["id"] for r in good.collect()) == ["a", "b"]
