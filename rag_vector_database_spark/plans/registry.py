@@ -1520,6 +1520,88 @@ def q_rag_answer_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       generation.answer_stub(F.col("prompt")).alias("ai_response"))
 
 
+@register(
+    "rag_followup_turn",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, round({dot}, 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id LIMIT 50
+),
+qt AS (SELECT {qtok} AS qtok FROM documents WHERE doc_id = 0),
+reranked AS (
+  SELECT d.doc_id, c.score,
+         CASE WHEN len(list_distinct(list_concat({dtok}, qt.qtok))) > 0
+              THEN CAST(len(list_intersect({dtok}, qt.qtok)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat({dtok}, qt.qtok))) AS DOUBLE)
+              ELSE 0.0 END AS relevance_score,
+         substring(d.text, 1, 60) AS snip
+  FROM documents d JOIN cand c ON d.doc_id = c.vec_id, qt
+),
+top AS (
+  SELECT doc_id, snip,
+         row_number() OVER (ORDER BY relevance_score DESC, score DESC, doc_id) AS rn
+  FROM reranked
+  ORDER BY relevance_score DESC, score DESC, doc_id LIMIT 5
+),
+ctx AS (
+  SELECT string_agg('Source ' || rn || ' [doc ' || doc_id || ']: ' || snip,
+                    chr(10) || chr(10) ORDER BY rn) AS context
+  FROM top
+),
+q1 AS (SELECT text FROM documents WHERE doc_id = 0),
+q2 AS (SELECT text FROM documents WHERE doc_id = 1),
+p1 AS (
+  SELECT 'Answer using ONLY the context below.' || chr(10) || chr(10) ||
+         'Context:' || chr(10) || ctx.context || chr(10) || chr(10) ||
+         'Chat history:' || chr(10) || chr(10) || chr(10) ||
+         'Question: ' || q1.text || chr(10) || 'Answer:' AS prompt
+  FROM ctx, q1
+),
+a1 AS (
+  SELECT prompt,
+         'ANSWER[' || substring(md5(prompt), 1, 12) || ']' AS ai_response
+  FROM p1
+),
+h2 AS (
+  SELECT 'Human: ' || q1.text || chr(10) || 'AI: ' || a1.ai_response AS h
+  FROM q1, a1
+),
+p2 AS (
+  SELECT 'Answer using ONLY the context below.' || chr(10) || chr(10) ||
+         'Context:' || chr(10) || ctx.context || chr(10) || chr(10) ||
+         'Chat history:' || chr(10) || h2.h || chr(10) || chr(10) ||
+         'Question: ' || q2.text || chr(10) || 'Answer:' AS prompt
+  FROM ctx, q2, h2
+)
+SELECT CAST(1 AS INT) AS turn, 'new_query' AS mode, prompt, ai_response FROM a1
+UNION ALL
+SELECT CAST(2 AS INT) AS turn, 'follow_up' AS mode, prompt,
+       'ANSWER[' || substring(md5(prompt), 1, 12) || ']' AS ai_response
+FROM p2
+""".format(dot=dd_dot("e.embedding", "q.qv"),
+           qtok=dd_distinct_tokens("text"),
+           dtok=dd_distinct_tokens("d.text")))
+def q_rag_followup_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#60-61: a TWO-turn exchange. Turn 1 runs the funnel, caches the
+    retrieval, answers with empty history. Turn 2 is a follow-up: it
+    reuses the CACHED retrieval (no new embeddings scan — the turn-2
+    plan reads InMemoryTableScan; tests/test_conversation.py asserts it)
+    and folds turn 1 into the prompt's history block
+    (Auto_query_rag_database.py:542-563, query_rag_database.py:428-439,
+    memory fold query_rag_database.py:399)."""
+    from ..operators.conversation import RagConversation
+    qv = query_vector(spark, sf_dir)
+    q1 = query_text(spark, sf_dir, 0)
+    q2 = query_text(spark, sf_dir, 1)
+    convo = RagConversation(_t(spark, sf_dir, "documents"),
+                            _t(spark, sf_dir, "embeddings"))
+    t1 = convo.ask(q1, qv)
+    t2 = convo.ask(q2, follow_up=True)
+    return t1.unionByName(t2)
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful streaming + sketch aggregates + relational breadth
 
