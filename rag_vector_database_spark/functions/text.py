@@ -60,6 +60,48 @@ def sanitize_filename(c: Column | str, max_len: int = 200) -> Column:
     return F.substring(collapsed, 1, max_len)
 
 
+# The reference's 4 channel-URL patterns, in ITS priority order
+# (scrape_youtube_metadata.py:75-96: @handle, /c/, /user/, /channel/).
+# The @ pattern keeps the '@' in the captured name, as the reference does.
+CHANNEL_URL_PATTERNS = (
+    r"youtube\.com/(@[^/?#]+)",
+    r"youtube\.com/c/([^/?#]+)",
+    r"youtube\.com/user/([^/?#]+)",
+    r"youtube\.com/channel/([^/?#]+)",
+)
+
+# Path segments the reference refuses as a channel name in its fallback
+# (scrape_youtube_metadata.py:86-90).
+CHANNEL_PATH_SUFFIXES = ("videos", "featured", "community", "about",
+                         "streams", "shorts", "playlists")
+
+
+def channel_name(url: Column | str) -> Column:
+    """#40: channel-name extraction — the reference's 4 regex
+    alternatives then its path fallback (last path segment unless it is
+    a known page suffix, else the previous segment, else the first), all
+    as one coalesce chain (scrape_youtube_metadata.py:75-96).
+
+    regexp_extract yields '' on no-match in both Spark and DuckDB, so
+    each alternative is nullif-wrapped for the coalesce."""
+    url = F.col(url) if isinstance(url, str) else url
+    alts = [F.nullif(F.regexp_extract(url, p, 1), F.lit(""))
+            for p in CHANNEL_URL_PATTERNS]
+    # path = URL minus scheme+host minus query/fragment, '/'-trimmed
+    path = F.regexp_replace(url, r"^https?://[^/]*", "")
+    path = F.regexp_replace(path, r"[?#].*", "")
+    parts = F.split(F.regexp_replace(path, r"^/+|/+$", ""), "/")
+    last = F.get(parts, F.size(parts) - 1)
+    prev = F.get(parts, F.size(parts) - 2)
+    first = F.get(parts, 0)
+    fallback = (
+        F.when(~F.lower(last).isin(*CHANNEL_PATH_SUFFIXES) & (last != ""),
+               last)
+        .when((F.size(parts) > 1) & (prev != ""), prev)
+        .otherwise(first))
+    return F.coalesce(*alts, F.nullif(fallback, F.lit("")))
+
+
 def coalesce_title(*cols: Column) -> Column:
     """Title coalescing across source types with 'N/A' fallback
     (query_rag_database.py:158, Auto_query_rag_database.py:189)."""

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..session import load_tables
 from ..functions import hashing
+from ..functions import text as text_fns
 from ..operators import retrieval
 
 # ---------------------------------------------------------------------------
@@ -1188,29 +1189,106 @@ def q_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH urls AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0
-              THEN 'https://www.youtube.com/@' || source || '/videos'
-              ELSE 'https://archive.org/details/' || source || '_coll' END AS url
+         CASE doc_id % 6
+           WHEN 0 THEN 'https://www.youtube.com/@' || source || '/videos'
+           WHEN 1 THEN 'https://www.youtube.com/channel/UC' || source
+           WHEN 2 THEN 'https://www.youtube.com/c/' || source || '?tab=videos'
+           WHEN 3 THEN 'https://www.youtube.com/user/' || source || '#about'
+           WHEN 4 THEN 'https://www.youtube.com/' || source || '/videos'
+           ELSE 'https://archive.org/details/' || source || '_coll' END AS url
   FROM documents
+),
+parsed AS (
+  SELECT doc_id, url,
+         string_split(trim(regexp_replace(regexp_replace(
+           url, '^https?://[^/]*', ''), '[?#].*', ''), '/'), '/') AS parts
+  FROM urls
 )
 SELECT doc_id, url,
-       regexp_extract(url, '/@([^/]+)', 1) AS channel,
+       coalesce(
+         nullif(regexp_extract(url, 'youtube\\.com/(@[^/?#]+)', 1), ''),
+         nullif(regexp_extract(url, 'youtube\\.com/c/([^/?#]+)', 1), ''),
+         nullif(regexp_extract(url, 'youtube\\.com/user/([^/?#]+)', 1), ''),
+         nullif(regexp_extract(url, 'youtube\\.com/channel/([^/?#]+)', 1), ''),
+         nullif(CASE
+           WHEN NOT list_contains(['videos','featured','community','about',
+                                   'streams','shorts','playlists'],
+                                  lower(parts[len(parts)]))
+                AND parts[len(parts)] <> '' THEN parts[len(parts)]
+           WHEN len(parts) > 1 AND parts[len(parts)-1] <> ''
+                THEN parts[len(parts)-1]
+           ELSE parts[1] END, '')) AS channel,
        regexp_extract(url, '/details/([^/]+)', 1) AS collection_id
-FROM urls
+FROM parsed
 """)
 def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#40-41: channel-name / collection-id extraction from URLs via
-    regexp alternatives (no-match -> '' in both engines)."""
+    """#40-41: channel-name extraction over ALL of the reference's URL
+    shapes — /@handle, /channel/ID, /c/name, /user/name, and the bare
+    path that exercises the suffix-skipping fallback
+    (scrape_youtube_metadata.py:75-96) — plus archive.org collection-id
+    extraction (download_ia_collection.py:25-36)."""
     d = _t(spark, sf_dir, "documents")
-    url = F.when(F.col("doc_id") % 2 == 0,
-                 F.concat(F.lit("https://www.youtube.com/@"),
-                          F.col("source"), F.lit("/videos"))) \
-           .otherwise(F.concat(F.lit("https://archive.org/details/"),
-                               F.col("source"), F.lit("_coll")))
+    s = F.col("source")
+    m = F.col("doc_id") % 6
+    url = (F.when(m == 0, F.concat(F.lit("https://www.youtube.com/@"), s,
+                                   F.lit("/videos")))
+           .when(m == 1, F.concat(F.lit("https://www.youtube.com/channel/UC"), s))
+           .when(m == 2, F.concat(F.lit("https://www.youtube.com/c/"), s,
+                                  F.lit("?tab=videos")))
+           .when(m == 3, F.concat(F.lit("https://www.youtube.com/user/"), s,
+                                  F.lit("#about")))
+           .when(m == 4, F.concat(F.lit("https://www.youtube.com/"), s,
+                                  F.lit("/videos")))
+           .otherwise(F.concat(F.lit("https://archive.org/details/"), s,
+                               F.lit("_coll"))))
     return d.select(
         "doc_id", url.alias("url"),
-        F.regexp_extract(url, r"/@([^/]+)", 1).alias("channel"),
+        text_fns.channel_name(url).alias("channel"),
         F.regexp_extract(url, r"/details/([^/]+)", 1).alias("collection_id"))
+
+
+@register(
+    "transcript_assembly",
+    oracle="""
+WITH segs AS (
+  SELECT doc_id,
+         list_transform(string_split(trim(text), ' '),
+                        w -> {'text': w}) AS segments
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       array_to_string(list_transform(segments, s -> s.text), ' ')
+         AS transcript,
+       CAST(len(segments) AS INT) AS n_segments,
+       strftime(TIMESTAMP '2026-08-13 00:00:00', '%Y-%m-%dT%H:%M:%SZ')
+         AS timestamp_fetched_utc
+FROM segs
+""")
+def q_transcript_assembly(spark: SparkSession, sf_dir: str,
+                          job_start: str = "2026-08-13 00:00:00") -> DataFrame:
+    """#38 + #43: transcript segment join — the reference's
+    ``" ".join(segment.text)`` over a struct array
+    (scrape_youtube_metadata.py:129-131) as
+    ``array_join(transform(segments, s -> s.text), ' ')`` — plus the
+    UTC fetch-timestamp stamp (scrape_youtube_metadata.py:256), fixed
+    at job start (a plan literal) for determinism as SURVEY section 2
+    #43 prescribes. Segments are synthesized from the documents text;
+    the operator under test is the join-back."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    segments = F.transform(F.split(F.trim(text), " "),
+                           lambda w: F.struct(w.alias("text")))
+    return (d.where(F.length(F.trim(text)) > 0)
+            .select("doc_id", segments.alias("segments"))
+            .select(
+                "doc_id",
+                F.array_join(F.transform(F.col("segments"),
+                                         lambda s: s["text"]), " ")
+                 .alias("transcript"),
+                F.size("segments").alias("n_segments"),
+                F.date_format(F.lit(job_start).cast("timestamp"),
+                              "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                 .alias("timestamp_fetched_utc")))
 
 
 @register(

@@ -75,3 +75,42 @@ def test_collection_id_extraction_roundtrip(spark, ids):
            df.select(F.regexp_extract("u", r"/details/([^/]+)", 1)
                      .alias("c")).collect()]
     assert got == ids
+
+
+SUFFIXES = {"videos", "featured", "community", "about", "streams",
+            "shorts", "playlists"}
+
+
+def py_channel_name(url: str) -> str | None:
+    """The reference's get_channel_name chain
+    (scrape_youtube_metadata.py:75-96), minus the final sanitize."""
+    for p in (r"youtube\.com/(@[^/?#]+)", r"youtube\.com/c/([^/?#]+)",
+              r"youtube\.com/user/([^/?#]+)", r"youtube\.com/channel/([^/?#]+)"):
+        m = re.search(p, url)
+        if m:
+            return m.group(1)
+    path = re.sub(r"^https?://[^/]*", "", url)
+    path = re.sub(r"[?#].*", "", path).strip("/")
+    parts = path.split("/")
+    last = parts[-1]
+    if last.lower() not in SUFFIXES and last:
+        return last
+    if len(parts) > 1 and parts[-2]:
+        return parts[-2]
+    return parts[0] or None
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(
+    st.from_regex(r"[A-Za-z0-9_\-.]{1,15}", fullmatch=True),
+    st.sampled_from(["@{n}/videos", "channel/UC{n}", "c/{n}?tab=x",
+                     "user/{n}#about", "{n}/videos", "{n}/streams",
+                     "watch", "{n}", "playlists"])),
+    min_size=1, max_size=40))
+def test_channel_name_matches_python(spark, cases):
+    urls = [f"https://www.youtube.com/{shape.format(n=name)}"
+            for name, shape in cases]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r["c"] for r in
+           df.select(T.channel_name(F.col("u")).alias("c")).collect()]
+    assert got == [py_channel_name(u) for u in urls]
