@@ -49,7 +49,8 @@ def chunk_documents(docs: DataFrame,
                     text_col: str = "text", key_col: str = "doc_id",
                     size: int = DEFAULT_CHUNK_SIZE,
                     overlap: int = DEFAULT_CHUNK_OVERLAP,
-                    keep_cols: tuple[str, ...] = ()) -> DataFrame:
+                    keep_cols: tuple[str, ...] = (),
+                    soft: bool = False) -> DataFrame:
     """Explode documents into the canonical chunk record (FIXTURES.md #3):
 
     (chunk_id, <key_col>, chunk_number, total_chunks, chunk_text,
@@ -57,6 +58,16 @@ def chunk_documents(docs: DataFrame,
 
     Whitespace-only inputs produce zero chunks (the reference's empty
     filter); all other chunks are non-empty by construction.
+
+    ``soft=True`` is the separator-aware mode approximating the
+    reference's RecursiveCharacterTextSplitter word-boundary behavior
+    (chunk_cisa_kev.py:32-37): a non-final chunk that would cut
+    mid-word is trimmed back to its last whitespace (the dropped
+    partial word reappears at the next chunk's start via the overlap,
+    provided the word is shorter than ``overlap`` — natural-language
+    text; a chunk that is one unbroken token keeps the hard cut).
+    Chunk numbering, totals, and ids are identical to hard mode — only
+    chunk_text/chunk_len change — so both modes share one oracle CTE.
     """
     if not 0 <= overlap < size:
         raise ValueError("require 0 <= overlap < size")
@@ -71,6 +82,17 @@ def chunk_documents(docs: DataFrame,
                          .alias("chunk_number")))
     start = (F.col("chunk_number") - 1) * stride + 1
     chunk_text = text.substr(start, F.lit(size))
+    if soft:
+        # next char AFTER the window: if whitespace, the window already
+        # ends on a word boundary; if not, drop the trailing partial
+        # word (unless that empties the chunk — single unbroken token).
+        next_ch = text.substr(start + size, F.lit(1))
+        trimmed = F.rtrim(F.regexp_replace(chunk_text, r"\s+\S*$", ""))
+        chunk_text = (
+            F.when(F.col("chunk_number") == F.col("total_chunks"), chunk_text)
+            .when(next_ch.rlike(r"^\s$"), chunk_text)
+            .when(trimmed != "", trimmed)
+            .otherwise(chunk_text))
     return (numbered
             .select(
                 chunk_id(F.col(key_col), F.col("chunk_number") - 1).alias("chunk_id"),
@@ -83,17 +105,30 @@ def chunk_documents(docs: DataFrame,
 
 def dd_chunk_cte(size: int, overlap: int,
                  table: str = "documents", key: str = "doc_id",
-                 text: str = "text", keep_cols: tuple[str, ...] = ()) -> str:
+                 text: str = "text", keep_cols: tuple[str, ...] = (),
+                 soft: bool = False) -> str:
     """DuckDB CTE body producing the same chunk rows as
-    ``chunk_documents`` (same integer chunk-count law); compose it into
-    oracle SQL as ``WITH chunks AS ({this}) SELECT ...``."""
+    ``chunk_documents`` (same integer chunk-count law, same soft-mode
+    word-boundary rule); compose it into oracle SQL as
+    ``WITH chunks AS ({this}) SELECT ...``."""
     stride = size - overlap
     keep = "".join(f", {c}" for c in keep_cols)
+    hard = f"substring(b.t, (n.chunk_number - 1) * {stride} + 1, {size})"
+    if soft:
+        next_ch = f"substring(b.t, (n.chunk_number - 1) * {stride} + 1 + {size}, 1)"
+        trimmed = f"rtrim(regexp_replace({hard}, '\\s+\\S*$', ''))"
+        chunk_expr = f"""CASE
+           WHEN n.chunk_number = b.total_chunks THEN {hard}
+           WHEN regexp_matches({next_ch}, '^\\s$') THEN {hard}
+           WHEN {trimmed} <> '' THEN {trimmed}
+           ELSE {hard} END"""
+    else:
+        chunk_expr = hard
     return f"""
   SELECT CAST(b.{key} AS VARCHAR) || '_chunk_' || CAST(n.chunk_number AS VARCHAR) AS chunk_id,
          b.{key}, CAST(n.chunk_number AS INT) AS chunk_number, b.total_chunks,
-         substring(b.t, (n.chunk_number - 1) * {stride} + 1, {size}) AS chunk_text,
-         CAST(length(substring(b.t, (n.chunk_number - 1) * {stride} + 1, {size})) AS INT) AS chunk_len
+         {chunk_expr} AS chunk_text,
+         CAST(length({chunk_expr}) AS INT) AS chunk_len
          {keep}
   FROM (
     SELECT {key}, {text} AS t{keep},

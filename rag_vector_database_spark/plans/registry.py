@@ -270,6 +270,21 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_soft",
+    oracle="WITH chunks AS ({cte}) SELECT * FROM chunks".format(
+        cte=chunking.dd_chunk_cte(_CHUNK_SIZE, _CHUNK_OVERLAP, soft=True)))
+def q_chunk_documents_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#33 separator-aware upgrade: non-final chunks end on a word
+    boundary (the reference's RecursiveCharacterTextSplitter behavior,
+    chunk_cisa_kev.py:32-37) — trailing partial words are trimmed and
+    recovered by the next chunk's overlap. Same ids/numbering as the
+    fixed-stride default."""
+    return chunking.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP, soft=True)
+
+
+@register(
     "chunk_stats",
     oracle="""
 WITH chunks AS ({cte})

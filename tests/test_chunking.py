@@ -93,3 +93,51 @@ def test_consecutive_overlap(chunks):
 def test_param_validation(docs):
     with pytest.raises(ValueError):
         chunk_documents(docs, size=100, overlap=100)
+
+
+@pytest.fixture(scope="module")
+def worded_docs(spark):
+    rows = [
+        (10, "the quick brown fox jumps over the lazy dog " * 20),
+        (11, "a" * 500),                       # one unbroken token
+        (12, "word " * 100),                   # boundary-aligned
+        (13, "mixed " + "y" * 200 + " tail words here " * 10),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_soft_chunks_invariants(worded_docs):
+    hard = chunk_documents(worded_docs, size=SIZE, overlap=OVERLAP).collect()
+    soft = chunk_documents(worded_docs, size=SIZE, overlap=OVERLAP,
+                           soft=True).collect()
+    hard_by_id = {r["chunk_id"]: r for r in hard}
+    assert set(hard_by_id) == {r["chunk_id"] for r in soft}  # same ids
+    texts = {r["doc_id"]: r["text"] for r in worded_docs.collect()}
+    for s in soft:
+        h = hard_by_id[s["chunk_id"]]
+        # soft chunk is a prefix of the hard chunk, never longer
+        assert h["chunk_text"].startswith(s["chunk_text"])
+        assert s["chunk_len"] <= SIZE
+        assert (s["chunk_number"], s["total_chunks"]) == \
+            (h["chunk_number"], h["total_chunks"])
+        # non-final chunks end on a word boundary unless the chunk is
+        # one unbroken token (doc 11)
+        if s["chunk_number"] < s["total_chunks"] and " " in s["chunk_text"]:
+            # either the hard cut already landed on a boundary (kept
+            # whole) or the trim left no trailing whitespace/partial word
+            assert (len(s["chunk_text"]) == SIZE
+                    or not s["chunk_text"][-1].isspace())
+            if len(s["chunk_text"]) < SIZE:
+                # what was dropped is whitespace + at most one partial
+                # word — re-covered by the next chunk's overlap
+                dropped = h["chunk_text"][len(s["chunk_text"]):]
+                assert " " not in dropped.strip()
+    assert texts  # fixture sanity
+
+
+def test_soft_single_token_keeps_hard_cut(worded_docs):
+    soft = chunk_documents(worded_docs.where("doc_id = 11"),
+                           size=SIZE, overlap=OVERLAP, soft=True).collect()
+    for r in soft:
+        if r["chunk_number"] < r["total_chunks"]:
+            assert r["chunk_len"] == SIZE  # no whitespace to break at
