@@ -1061,6 +1061,42 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_events.tumbling_counts(stream))
 
 
+@register(
+    "streaming_sessionize",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, tus,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(min(tus) AS BIGINT) AS session_start_us,
+       CAST(max(tus) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""")
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#59: native streaming session_window (30-min gap, watermarked),
+    drained with Trigger.AvailableNow — oracle-checked against the
+    batch lag+cumsum sessionizer (Kappa parity). session_window merges
+    events whose [ts, ts+gap) windows overlap, so a new session starts
+    at gap >= 30 min and window end = last event + gap."""
+    stream = streaming_events.read_events_stream(spark, sf_dir)
+    return streaming_events.run_available_now(
+        streaming_events.session_counts(stream))
+
+
 # ---------------------------------------------------------------------------
 # Upsert / retry / session-shaped ops (SURVEY §2 #31-32, #55) + breadth
 
