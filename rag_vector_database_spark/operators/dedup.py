@@ -45,6 +45,20 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Scan width from Catalyst plan statistics — a few ms, NO job and
+    no RDD materialization (df.rdd costs ~1 s of plan conversion just
+    to read a partition count). sizeInBytes / maxPartitionBytes is how
+    the file source itself sizes splits, so the estimate matches what
+    the scan would actually do."""
+    spark = df.sparkSession
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes()))
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                   str(128 * 1024 * 1024)).rstrip("b"))
+    return max(1, -(-size // max_split))
+
+
 def release_caches() -> None:
     """Unpersist any shingle table cached by minhash_lsh_pairs. Safe to
     call once the returned pair DataFrame has been fully consumed."""
@@ -130,7 +144,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     par = df.sparkSession.sparkContext.defaultParallelism
     tk = df.select(F.col(key_col).alias("k"),
                    tokens(F.col(text_col)).alias("tk"))
-    if df.rdd.getNumPartitions() < par:
+    if _estimated_scan_partitions(df) < par:
         tk = tk.repartition(par)
     sh = tk.select("k", shingles_from_tokens(F.col("tk"), shingle_n).alias("sh"))
     # Hash each shingle ONCE (md5 -> 32-bit base); the n_hashes MinHash

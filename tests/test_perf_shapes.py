@@ -27,14 +27,38 @@ def test_topk_dispatch_uses_estimate(spark):
 
 
 def test_minhash_no_repartition_when_wide(spark):
+    """An input whose estimated scan width already covers the cluster
+    must NOT be re-exchanged (at 100 TB that exchange would dominate).
+    Width is estimated from plan stats; shrinking maxPartitionBytes
+    makes this small table 'wide'."""
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta {i}") for i in range(64)],
-        "doc_id long, text string").repartition(
-            spark.sparkContext.defaultParallelism)
+        "doc_id long, text string")
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16")
+    try:
+        assert dedup._estimated_scan_partitions(docs) >= \
+            spark.sparkContext.defaultParallelism
+        pairs = dedup.minhash_lsh_pairs(docs)
+        plan = pairs._jdf.queryExecution().analyzed().toString()
+        assert "Repartition" not in plan
+    finally:
+        spark.conf.set(key, old)
+    dedup.release_caches()
+
+
+def test_minhash_repartitions_narrow_input(spark):
+    """A compact parquet scan (one small split) IS spread across the
+    cluster before tokenize — the local-mode win the gate preserves.
+    (In-memory relations report a placeholder size and skip the
+    exchange; the gate is tuned for file scans, the production path.)"""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert dedup._estimated_scan_partitions(docs) < \
+        spark.sparkContext.defaultParallelism
     pairs = dedup.minhash_lsh_pairs(docs)
-    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
-    # the only Repartition node allowed is none at all for a wide input
-    assert "Repartition" not in plan
+    plan = pairs._jdf.queryExecution().analyzed().toString()
+    assert "Repartition" in plan
     dedup.release_caches()
 
 
