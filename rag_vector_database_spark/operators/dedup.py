@@ -210,20 +210,45 @@ def hamming16(a: Column, b: Column) -> Column:
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   key_col: str = "doc_id", max_hamming: int = 2,
-                  prefix_bits: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Blocking: pairs are
-    only compared within equal high-``prefix_bits`` buckets (at scale,
-    run 16/prefix_bits rotations to cover all splits; here one block
-    pass demonstrates the shape sub-quadratically)."""
+                  prefix_bits: int = 4,
+                  n_rotations: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, sub-quadratic via
+    bit-group blocking: each doc emits one block key per rotation (the
+    r-th ``prefix_bits``-wide bit group of its hash) and only same-block
+    pairs are compared — the same band structure as MinHash LSH.
+
+    Recall guarantee (pigeonhole): with ``groups = 16 / prefix_bits``
+    rotations, a pair at Hamming distance d < groups has at least one
+    untouched bit group, so it shares that rotation's block — FULL
+    recall for ``max_hamming < groups``, at ``groups`` narrow rows per
+    doc instead of an all-pairs join. ``n_rotations`` defaults to full
+    recall; pass 1 for the single-prefix demo shape."""
+    if 16 % prefix_bits:
+        raise ValueError("prefix_bits must divide 16")
+    groups = 16 // prefix_bits
+    if n_rotations is None:
+        n_rotations = groups
     s = df.select(F.col(key_col).alias("k"),
                   simhash16(F.col(text_col)).alias("sh"))
-    s = s.withColumn("blk", F.shiftright(F.col("sh"), 16 - prefix_bits))
-    a, b = s.alias("a"), s.alias("b")
-    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+    mask = (1 << prefix_bits) - 1
+    blocks = s.select(
+        "k", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.shiftright(F.col("sh"), 16 - prefix_bits * (r + 1))
+                 .bitwiseAND(F.lit(mask)).alias("bk"))
+            for r in range(n_rotations)])).alias("b")
+    ).select("k", "sh", "b.r", "b.bk")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (a.join(b, (F.col("a.r") == F.col("b.r"))
+                   & (F.col("a.bk") == F.col("b.bk"))
                    & (F.col("a.k") < F.col("b.k")))
             .select(F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b"),
                     hamming16(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
+            .where(F.col("hamming") <= max_hamming)
+            # a pair can surface from several clean rotations
+            .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

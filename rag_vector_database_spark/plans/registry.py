@@ -508,12 +508,14 @@ s AS (
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(CAST(xor(a.sh::BIGINT, b.sh::BIGINT) AS BIGINT)) AS INT) AS hamming
-FROM s a JOIN s b
-  ON (a.sh >> 12) = (b.sh >> 12) AND a.doc_id < b.doc_id
+FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(CAST(xor(a.sh::BIGINT, b.sh::BIGINT) AS BIGINT)) <= 3
 """.format(tok=DD_TOKENS.format(c="text")))
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with prefix blocking (sampled input)."""
+    """SimHash near-dup pairs via multi-rotation bit-group blocking —
+    FULL recall for hamming <= 3 with 4-bit groups (pigeonhole over 4
+    rotations), so the oracle is the clean all-pairs contract while the
+    Spark plan stays sub-quadratic (4 narrow block rows per doc)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
     return dedup.simhash_pairs(docs, max_hamming=3, prefix_bits=4)
 
@@ -978,6 +980,7 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding generation, multimodal plumbing, structured streaming
 
 from ..embedding import HashingEmbedder  # noqa: E402
+from ..operators import storage as storage_ops  # noqa: E402
 from ..sources import multimodal  # noqa: E402
 from ..streaming import events as streaming_events  # noqa: E402
 
@@ -1042,6 +1045,56 @@ def q_multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.attach_blob(_t(spark, sf_dir, "documents")))
     return d.select("doc_id", "blob_len", "blob_md5",
                     F.expr("(blob_len + 255) div 256").alias("n_frames"))
+
+
+@register(
+    "multimodal_frame_stats",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+),
+n AS (
+  SELECT doc_id, L,
+         greatest(CAST(ceil(L / 256.0) AS INT), 1) AS nb
+  FROM b
+)
+SELECT n.doc_id,
+       CAST((n.nb + 1) // 2 AS INT) AS n_frames,
+       CAST(sum(least(256, n.L - g.i * 256)) AS BIGINT) AS frame_bytes
+FROM n, unnest(generate_series(0, n.nb - 1)) g(i)
+WHERE g.i % 2 = 0
+GROUP BY n.doc_id, n.nb
+""")
+def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling end-to-end through the mapInPandas
+    plumbing (1 blob row -> N typed frame rows, every 2nd 256-byte
+    frame kept) with per-doc frame counts and byte totals — the
+    sampling arithmetic is exact, so the whole multimodal path sits
+    inside the value-hash oracle gate."""
+    d = _t(spark, sf_dir, "documents")
+    blobs = multimodal.attach_blob(d)
+    frames = multimodal.sample_frames(blobs, id_col="doc_id",
+                                      frame_bytes=256, stride=2)
+    return (frames.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_frames"),
+                 F.sum(F.length("frame")).cast("long").alias("frame_bytes"))
+            .select(F.col("id").alias("doc_id"), "n_frames", "frame_bytes"))
+
+
+@register(
+    "salted_count_skewed",
+    oracle="""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_salted_count_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a pathologically skewed key
+    (3 distinct l_returnflag values across all of lineitem): phase 1
+    spreads each hot key over 16 salted reducers, phase 2 merges the
+    partials — identical result to the plain groupBy the oracle runs,
+    but no single reducer ever sees a whole hot key at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return storage_ops.salted_count(li, "l_returnflag")
 
 
 @register(
