@@ -1906,3 +1906,163 @@ def q_cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("min_price", F.min("unit_price").over(w))
             .where(F.col("unit_price") == F.col("min_price"))
             .drop("min_price"))
+
+
+# ---------------------------------------------------------------------------
+# Round 2 breadth: #25 dedicated projection, UDF-mounted generation,
+# and three more TPC-H decision-support shapes
+
+@register(
+    "transcript_projection",
+    oracle="""
+SELECT doc_id,
+       'vid' || CAST(doc_id AS VARCHAR) AS video_id,
+       CASE WHEN doc_id % 3 <> 0
+            THEN 'https://youtu.be/vid' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://www.youtube.com/watch?v=vid' || CAST(doc_id AS VARCHAR)
+       END AS url,
+       strftime(DATE '2024-01-01' + CAST(doc_id % 365 AS INT), '%Y-%m-%d')
+         AS upload_date,
+       coalesce(nullif(source, ''), 'N/A') AS title
+FROM documents
+""")
+def q_transcript_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#25: the transcript metadata projection as ONE dedicated op —
+    video_url with its computed watch-URL default
+    (chunk_youtube_transcripts.py:167-173 ``video_url or
+    f'https://www.youtube.com/watch?v={video_id}'``), upload-date
+    normalization yyyyMMdd -> yyyy-MM-dd (#42,
+    scrape_youtube_metadata.py:215-218), and 'N/A' title fallback
+    (#24/#45). Video records are synthesized from documents; every
+    third row has a NULL stored URL to drive the coalesce default."""
+    d = _t(spark, sf_dir, "documents")
+    vid = F.concat(F.lit("vid"), F.col("doc_id").cast("string"))
+    stored_url = F.when(F.col("doc_id") % 3 != 0,
+                        F.concat(F.lit("https://youtu.be/"), vid))
+    raw_date = F.date_format(
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("doc_id") % 365).cast("int")), "yyyyMMdd")
+    return d.select(
+        "doc_id",
+        vid.alias("video_id"),
+        F.coalesce(stored_url,
+                   F.concat(F.lit("https://www.youtube.com/watch?v="), vid))
+         .alias("url"),
+        text_fns.normalize_date(raw_date).alias("upload_date"),
+        F.coalesce(F.nullif(F.col("source"), F.lit("")), F.lit("N/A"))
+         .alias("title"))
+
+
+@register(
+    "rag_answer_turn_udf",
+    oracle=None)  # set below: identical contract to rag_answer_turn
+def q_rag_answer_turn_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#62's PLUGGABLE path: the same turn as rag_answer_turn but with
+    the answer produced by a real Python backend mounted through
+    generation.generate_with (Arrow-batched pandas UDF) instead of the
+    SQL stub — proving the extension surface stays inside the oracle
+    gate when the backend is deterministic."""
+    import hashlib as _hashlib
+
+    from ..operators import generation
+
+    def backend(prompts: list[str]) -> list[str]:
+        return ["ANSWER[" + _hashlib.md5(p.encode("utf-8")).hexdigest()[:12] + "]"
+                for p in prompts]
+
+    base = q_rag_answer_turn(spark, sf_dir).select("prompt")
+    return generation.generate_with(base, backend)
+
+
+# the UDF-mounted turn must equal the SQL-stub turn row for row
+REGISTRY[-1].oracle = next(q.oracle for q in REGISTRY
+                           if q.name == "rag_answer_turn")
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""")
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (per priority) having at least one line
+    shipped >60 days after the order date — EXISTS as a left-semi join,
+    one shuffle on the order key, never a row explosion."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(o.select("o_orderkey", "o_orderdate"),
+                   li.l_orderkey == F.col("o_orderkey")) \
+             .where(F.col("l_shipdate") >
+                    F.date_add(F.col("o_orderdate").cast("date"), 60)) \
+             .select("l_orderkey")
+    return (o.where((F.col("o_orderdate") >= "1995-01-01")
+                    & (F.col("o_orderdate") < "1995-07-01"))
+            .join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
+
+
+@register(
+    "supplier_cnt_by_part",
+    oracle="""
+SELECT p.p_brand, p.p_size, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size IN (5, 10, 15, 20)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+""")
+def q_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, size),
+    excluding an anti-set of suppliers (NOT IN -> broadcast left-anti
+    join; the exclusion list is tiny and never shuffles the fact)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").isin(5, 10, 15, 20))
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0) \
+        .select("s_suppkey")
+    return (li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("long")
+                 .alias("supplier_cnt")))
+
+
+@register(
+    "dormant_rich_customers",
+    oracle="""
+WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0),
+active AS (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 5)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 4) AS total_bal
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM active)
+GROUP BY 1
+""")
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance but low
+    order activity (<= 5 orders) — scalar subquery (1-row broadcast
+    cross join), NOT IN as a left-anti join against the pre-aggregated
+    active set, grouped by nation (broadcast dim join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = c.where(F.col("c_acctbal") > 0) \
+        .agg(F.avg("c_acctbal").alias("a"))
+    active = (o.groupBy("o_custkey")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") > 5).select("o_custkey"))
+    return (c.join(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("a"))
+            .join(active, c.c_custkey == active.o_custkey, "left_anti")
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 4).alias("total_bal")))
