@@ -2066,3 +2066,47 @@ def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n_name")
             .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
                  F.round(F.sum("c_acctbal"), 4).alias("total_bal")))
+
+
+@register(
+    "events_value_band_join",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e12)
+)
+SELECT b.band, CAST(count(*) AS BIGINT) AS n,
+       round(sum(e.value), 4) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+""")
+def q_events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: events banded by value against a tiny interval
+    dimension — the non-equi condition rides a broadcast nested-loop
+    join of 3 rows, so the fact table never shuffles; the banding then
+    feeds a plain aggregation. (The scalable pattern for interval
+    dims: broadcast when small, else bucket both sides by floor(value)
+    and equi-join the bucket.)"""
+    e = _events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e12)],
+        "band string, lo double, hi double")
+    return (e.join(F.broadcast(bands),
+                   (e.value >= bands.lo) & (e.value < bands.hi))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+@register("brp_ann_topk", oracle=None)
+def q_brp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib batch ANN index (BucketedRandomProjectionLSH, fixed seed):
+    build the index and run approxNearestNeighbors for the test query
+    vector — the 'batch build, not online ANN' north star. Approximate
+    by design (hash-bucket pruning), so no value oracle: recall vs the
+    exact kNN is asserted in tests/test_mllib_index.py; the driver
+    records the rows-only check."""
+    from ..operators import mllib_index
+    emb = _t(spark, sf_dir, "embeddings")
+    model, indexed = mllib_index.build_brp_index(emb)
+    qv = query_vector(spark, sf_dir)
+    return mllib_index.brp_topk(model, indexed, qv, k=10)
