@@ -2110,3 +2110,26 @@ def q_brp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, indexed = mllib_index.build_brp_index(emb)
     qv = query_vector(spark, sf_dir)
     return mllib_index.brp_topk(model, indexed, qv, k=10)
+
+
+@register(
+    "events_props_json",
+    oracle="""
+SELECT CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1
+""")
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured props column — the
+    reference's dynamic-dict data model (SURVEY section 1.6) done the
+    Spark way: from_json with an explicit typed schema (not
+    get_json_object string plucking), then a plain aggregation. The
+    parse is a row-local projection inside whole-stage codegen — no
+    Python, no shuffle beyond the final groupBy."""
+    e = _events(spark, sf_dir)
+    k = F.from_json("props", "k INT").getField("k")
+    return (e.withColumn("k", k)
+            .groupBy((F.col("k") % 10).cast("int").alias("k_mod"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("k").cast("long").alias("sum_k")))

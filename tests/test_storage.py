@@ -56,3 +56,30 @@ def test_salted_count_matches_plain(spark, sf_dir):
     salted = {r["source"]: r["cnt"] for r in
               storage.salted_count(docs, "source").collect()}
     assert plain == salted
+
+
+def test_ivf_partition_pruning(spark, tmp_path):
+    """The IVF scale path made physical: embeddings written partitioned
+    by their sign bucket; a bucket-filtered read must prune at the
+    LISTING level (PartitionFilters) and touch only that bucket's
+    files — the 'skip ~(1 - 1/2^bits) of the data' claim, verified."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.operators.retrieval import _sign_bucket
+    from rag_vector_database_spark.operators import storage
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bucketed = emb.withColumn("bucket", _sign_bucket(F.col("embedding"), 3))
+    path = str(tmp_path / "emb_by_bucket")
+    storage.write_partitioned(bucketed, path, "bucket")
+
+    back = spark.read.parquet(path)
+    pruned = back.where(F.col("bucket") == 5)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # listing-level: the pruned scan touches only one bucket's files
+    # (inputFiles() lists pre-pruning, so count the files actually read)
+    touched = pruned.select(F.input_file_name()).distinct().count()
+    total = back.select(F.input_file_name()).distinct().count()
+    assert 0 < touched < total
+    assert pruned.select("bucket").distinct().collect()[0][0] == 5
