@@ -97,6 +97,65 @@ def decode_images(df: DataFrame, id_col: str = "id",
     return df.select(*cols).mapInPandas(decode, DECODE_SCHEMA)
 
 
+def image_resize_kernel(image_mod, blob: bytes,
+                        width: int, height: int) -> bytes:
+    """Real resize against a PIL.Image-shaped module: open, resize,
+    re-encode in the source format (PNG when unknown)."""
+    import io
+    with image_mod.open(io.BytesIO(bytes(blob))) as im:
+        out = io.BytesIO()
+        im.resize((width, height)).save(out, format=im.format or "PNG")
+        return out.getvalue()
+
+
+def resize_stub_kernel(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic fallback: tile/truncate the source bytes to exactly
+    width*height bytes — preserves the 1-blob-in/1-blob-out shape and a
+    size contract downstream stages can assert on."""
+    b = bytes(blob)
+    n = width * height
+    if not b:
+        return b"\x00" * n
+    reps = -(-n // len(b))
+    return (b * reps)[:n]
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("resized", BinaryType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+])
+
+
+def resize_images(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
+                  width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize via ``mapInPandas`` — same gate discipline as
+    decode_images: real PIL kernel when the library imports
+    executor-side, deterministic stub on ImportError."""
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None
+        for pdf in batches:
+            if Image is not None:
+                blobs = [image_resize_kernel(Image, b, width, height)
+                         for b in pdf[blob_col]]
+            else:
+                blobs = [resize_stub_kernel(b, width, height)
+                         for b in pdf[blob_col]]
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "resized": blobs,
+                "out_w": pd.Series([width] * len(pdf), dtype="int32"),
+                "out_h": pd.Series([height] * len(pdf), dtype="int32"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(resize, RESIZE_SCHEMA)
+
+
 FEATURE_DIM = 8
 FEATURE_SCHEMA = ArrayType(FloatType())
 

@@ -83,3 +83,43 @@ def test_image_stub_kernel_deterministic():
     a = mm.image_stub_kernel(b"same-bytes")
     b = mm.image_stub_kernel(b"same-bytes")
     assert a == b and a[2] in ("png", "jpeg", "webp")
+
+
+class _FakeResizableImage(_FakeImage):
+    def __init__(self, data):
+        super().__init__(data)
+        self._data = data
+
+    def resize(self, size):
+        im = _FakeResizableImage(self._data)
+        im.width, im.height = size
+        return im
+
+    def save(self, fp, format=None):
+        assert format  # source format forwarded
+        fp.write(bytes(self.width * self.height))
+
+
+class _FakeResizingPIL:
+    @staticmethod
+    def open(fp):
+        return _FakeResizableImage(fp.read())
+
+
+def test_image_resize_kernel_real_branch():
+    out = mm.image_resize_kernel(_FakeResizingPIL, b"img-bytes", 4, 3)
+    assert out == bytes(12)
+
+
+def test_resize_stub_kernel_contract():
+    out = mm.resize_stub_kernel(b"abc", 4, 4)
+    assert out == b"abcabcabcabcabca"[:16] and len(out) == 16
+    assert mm.resize_stub_kernel(b"", 2, 2) == b"\x00" * 4
+
+
+def test_resize_images_plumbing(blobs):
+    out = mm.resize_images(blobs, width=8, height=8).collect()
+    assert len(out) == blobs.count()
+    for r in out:
+        assert len(bytes(r["resized"])) == 64
+        assert (r["out_w"], r["out_h"]) == (8, 8)
