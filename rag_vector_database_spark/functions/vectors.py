@@ -54,3 +54,28 @@ def l2_normalize(a: Column | str) -> Column:
 def query_vec_lit(vec) -> Column:
     """A literal query vector column (broadcast as part of the plan)."""
     return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization of a unit-norm vector:
+    clamp(round(x * 127), -127, 127). 4x smaller at rest than float32
+    (the first lever when the 100 TB table is mostly embeddings), and
+    int dot products are integer-exact — no float-order drift, so the
+    quantized scorer is hash-oracle-checkable."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.transform(
+        a, lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127),
+                    F.round(x.cast("double") * 127).cast("int"))))
+
+
+def dot_int(a: Column | str, b: Column | str) -> Column:
+    """Exact integer dot product of two array<int> columns."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

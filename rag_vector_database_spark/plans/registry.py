@@ -2133,3 +2133,47 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy((F.col("k") % 10).cast("int").alias("k_mod"))
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.sum("k").cast("long").alias("sum_k")))
+
+
+_DD_Q8 = ("list_transform({v}, x -> CAST(greatest(-127, least(127, "
+          "CAST(round(CAST(x AS DOUBLE) * 127) AS INT))) AS INT))")
+
+
+@register(
+    "knn_quantized",
+    oracle="""
+WITH q AS (
+  SELECT {q8q} AS qv FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, {q8e} AS ev FROM embeddings
+)
+SELECT e.vec_id,
+       CAST(list_reduce(list_transform(generate_series(1, len(e.ev)),
+              i -> CAST(e.ev[i] AS BIGINT) * CAST(q.qv[i] AS BIGINT)),
+            (acc, x) -> acc + x) AS BIGINT) AS iscore
+FROM e, q
+ORDER BY iscore DESC, e.vec_id
+LIMIT 10
+""".format(q8q=_DD_Q8.format(v="embedding"), q8e=_DD_Q8.format(v="embedding")))
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized brute-force kNN: vectors stored 4x smaller,
+    scored with an EXACT integer dot product (no float summation-order
+    drift — the whole ranking is hash-oracle-checkable). Same plan
+    shape as knn_bruteforce: scan -> project -> TakeOrderedAndProject;
+    at rest the quantized column replaces the float array and the
+    float path remains the re-ranking refinement."""
+    import math
+
+    from ..functions import vectors as V
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    # half-away-from-zero, matching Spark/DuckDB round() (Python's
+    # built-in round is banker's rounding — a halfway case would skew)
+    q8 = [max(-127, min(127, int(math.copysign(
+        math.floor(abs(float(x)) * 127 + 0.5), x)))) for x in qv]
+    scored = emb.select(
+        "vec_id",
+        V.dot_int(V.quantize_int8(F.col("embedding")),
+                  F.array(*[F.lit(int(x)) for x in q8])).alias("iscore"))
+    return scored.orderBy(F.desc("iscore"), F.col("vec_id")).limit(10)
