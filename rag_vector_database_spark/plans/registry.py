@@ -2177,3 +2177,49 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.dot_int(V.quantize_int8(F.col("embedding")),
                   F.array(*[F.lit(int(x)) for x in q8])).alias("iscore"))
     return scored.orderBy(F.desc("iscore"), F.col("vec_id")).limit(10)
+
+
+@register(
+    "streaming_sliding",
+    oracle="""
+WITH slotted AS (
+  SELECT e.*, unnest([date_trunc('hour', ts)
+                        + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                               ELSE INTERVAL 0 MINUTE END,
+                      date_trunc('hour', ts)
+                        + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                               ELSE INTERVAL 0 MINUTE END
+                        - INTERVAL 30 MINUTE]) AS ws
+  FROM events e
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws,
+       CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS avg_value
+FROM slotted GROUP BY 1
+""")
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#59: streaming sliding windows drained with AvailableNow,
+    oracle-checked against the batch slotting SQL (Kappa parity, same
+    as the tumbling/session twins)."""
+    stream = streaming_events.read_events_stream(spark, sf_dir)
+    return streaming_events.run_available_now(
+        streaming_events.sliding_counts(stream))
+
+
+@register(
+    "streaming_dedup",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events)
+GROUP BY event_type
+""")
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#30's streaming form: watermarked dropDuplicates on the record
+    key, then per-type counts of the emitted (unique) rows — equal to
+    the batch DISTINCT the oracle runs (event_id is unique in the
+    source, so the contract is exact, not horizon-dependent)."""
+    stream = streaming_events.read_events_stream(spark, sf_dir)
+    deduped = streaming_events.dedup_events(stream)
+    emitted = streaming_events.run_available_now(deduped,
+                                                 output_mode="append")
+    return (emitted.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_unique")))

@@ -65,6 +65,29 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
                     "event_type", "n", "sum_value"))
 
 
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked sliding windows (1h length / 30m slide): each event
+    lands in two overlapping windows — the streaming twin of
+    plans.registry.q_events_sliding."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.avg("value"), 6).alias("avg_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                    "n", "avg_value"))
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the stream form of the ingest anti-join
+    (#30, ingest_chunks_to_chromadb.py:175-186): dropDuplicates on the
+    record key with a watermark bounding the dedup state (keys older
+    than the watermark age out — at 100 TB the state store holds the
+    active horizon, not history; the historical guard stays the batch
+    anti-join against the sink)."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicates(["event_id"]))
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "1 hour") -> DataFrame:
     """Native session windows (gap-merged) per user — the streaming twin
