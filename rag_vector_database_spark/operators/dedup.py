@@ -192,6 +192,46 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .where(F.col("jaccard") >= F.lit(jaccard_threshold)))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Duplicate-cluster assignment from near-dup pairs: iterative
+    min-label propagation over the undirected pair graph. Returns
+    (id, cluster_id = min id reachable) for every id in a pair —
+    the step that turns pairwise dedup output into "keep one doc per
+    cluster" (the reference dedups by exact id only,
+    ingest_chunks_to_chromadb.py:175-186; clustering is the corpus-scale
+    completion of that contract).
+
+    Scale shape: each round is one join + one groupBy (shuffles on the
+    node id), and rounds = graph diameter — dup clusters are shallow
+    (near-clique), so this converges in a handful of rounds.
+    ``localCheckpoint`` truncates the growing lineage per round; the
+    driver sees only a converged flag, never the data. (A reliable
+    ``checkpoint`` dir replaces localCheckpoint on a real cluster.)
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst"))))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges.src == labels.id)
+                .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
+        new_labels = (labels.join(prop, labels.id == prop.dst, "left")
+                      .select("id", F.least(F.col("lbl"),
+                                            F.coalesce("nlbl", "lbl"))
+                              .alias("lbl"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over distinct tokens: bit i is the sign of the
     sum over tokens of (+1/-1 by bit i of the token's 16-bit md5 hash).

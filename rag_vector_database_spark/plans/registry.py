@@ -428,10 +428,9 @@ _MH = dict(shingle_n=2, n_hashes=12, n_bands=4, rows_per_band=3,
            threshold=0.5, max_bucket=64)
 
 
-@register(
-    "minhash_neardup",
-    oracle="""
-WITH sh AS (
+# MinHash pair CTE chain + final pair SELECT, shared by the pairs query
+# and the recursive-CTE clustering oracle below.
+_DD_MH_CTES = """sh AS (
   SELECT doc_id, {shingles} AS sh FROM documents
 ),
 sig AS (
@@ -458,8 +457,13 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM kept a JOIN kept b
     ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-)
-SELECT c.id_a, c.id_b,
+)""".format(shingles=dd_shingles("text", 2), nh=_MH["n_hashes"],
+            A=list(hashing.minhash_params(_MH["n_hashes"])[0]),
+            B=list(hashing.minhash_params(_MH["n_hashes"])[1]),
+            P=hashing.MINHASH_P,
+            r=_MH["rows_per_band"], b=_MH["n_bands"], mb=_MH["max_bucket"])
+
+_DD_MH_PAIRS_SELECT = """SELECT c.id_a, c.id_b,
        round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
              THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
@@ -468,13 +472,12 @@ FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
 WHERE CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
       THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
            / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
-      ELSE 0.0 END >= {th}
-""".format(shingles=dd_shingles("text", 2), nh=_MH["n_hashes"],
-           A=list(hashing.minhash_params(_MH["n_hashes"])[0]),
-           B=list(hashing.minhash_params(_MH["n_hashes"])[1]),
-           P=hashing.MINHASH_P,
-           r=_MH["rows_per_band"], b=_MH["n_bands"],
-           mb=_MH["max_bucket"], th=_MH["threshold"]),
+      ELSE 0.0 END >= {th}""".format(th=_MH["threshold"])
+
+
+@register(
+    "minhash_neardup",
+    oracle="WITH " + _DD_MH_CTES + "\n" + _DD_MH_PAIRS_SELECT + "\n",
     headline=True)
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (the scalable
@@ -484,6 +487,39 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
         n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
         max_bucket=_MH["max_bucket"])
+
+
+@register(
+    "minhash_dedup_clusters",
+    oracle=("WITH RECURSIVE " + _DD_MH_CTES + ",\n"
+            + "pairs AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+            + """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""))
+def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DEDUP decision: MinHash pairs -> connected
+    components -> cluster id per doc ("keep min-id doc per cluster").
+    Spark runs iterative min-label propagation (converges in
+    O(cluster diameter) shuffle rounds); the oracle computes the same
+    transitive closure with a recursive CTE — an exact hash check over
+    an iterative-algorithm result."""
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    return dedup.connected_components(pairs)
 
 
 @register(

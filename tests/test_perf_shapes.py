@@ -99,3 +99,18 @@ def test_headline_plans_push_down_and_broadcast(spark):
     assert "TakeOrderedAndProject" in kplan  # top-k, not global sort
     # nothing below the top-k shuffles the scored vectors
     assert "Exchange" not in kplan.split("TakeOrderedAndProject", 1)[1]
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation: a 4-chain, a triangle, and a lone pair
+    collapse to their min ids; convergence needs diameter rounds."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # pair
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
