@@ -2259,3 +2259,61 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  output_mode="append")
     return (emitted.groupBy("event_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n_unique")))
+
+
+@register(
+    "zscore_by_type",
+    oracle="""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd ELSE 0.0 END, 6)
+         AS zscore
+FROM events e JOIN stats s USING (event_type)
+""")
+def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-event-type z-score normalization
+    computed INSIDE a pandas group (the engine's grouped-UDF surface —
+    one Arrow batch per group, vectorized numpy math). The oracle is
+    the windowed SQL formulation; round(6) absorbs summation-order
+    float differences. At scale: groups shuffle once on the key; a
+    skewed group is better served by the two-pass SQL twin."""
+    import pandas as pd
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        mu = pdf["value"].mean()
+        z = (pdf["value"] - mu) / sd if sd and sd > 0 else 0.0
+        return pd.DataFrame({"event_id": pdf["event_id"],
+                             "event_type": pdf["event_type"],
+                             "zscore": z.round(6) if sd and sd > 0
+                             else [0.0] * len(pdf)})
+
+    return e.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, zscore double")
+
+
+@register(
+    "weighted_mean_udaf",
+    oracle="""
+SELECT source,
+       CAST(sum(n_chars * (doc_id % 7 + 1)) AS BIGINT)
+         // CAST(sum(doc_id % 7 + 1) AS BIGINT) AS wmean_chars
+FROM documents GROUP BY source
+""")
+def q_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a pandas GROUPED_AGG UDF: integer weighted
+    mean of n_chars per source (weights doc_id%7+1). All-integer math
+    (numpy int64 sums, floor division) so the custom-UDAF surface is
+    EXACTLY oracle-checkable — no float summation order to absorb."""
+    from ..functions.udafs import weighted_mean_long
+
+    wmean = weighted_mean_long()
+    d = _t(spark, sf_dir, "documents")
+    return (d.withColumn("w", (F.col("doc_id") % 7 + 1))
+            .groupBy("source")
+            .agg(wmean(F.col("n_chars"), F.col("w")).alias("wmean_chars")))
