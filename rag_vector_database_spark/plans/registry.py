@@ -2317,3 +2317,82 @@ def q_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.withColumn("w", (F.col("doc_id") % 7 + 1))
             .groupBy("source")
             .agg(wmean(F.col("n_chars"), F.col("w")).alias("wmean_chars")))
+
+
+def _sparse_hash_embed(df: DataFrame, key: str, text_col: str,
+                       dim: int = 16) -> DataFrame:
+    """Sparse hashing embedding (key, dim_idx, val): tokens -> 32-bit
+    md5 -> signed bucket sums -> L2 normalize. The unrounded sparse twin
+    of embedding.HashingEmbedder, reused by the end-to-end pipeline."""
+    from ..functions.hashing import md5_long
+    tok = df.select(key, F.explode(T.tokens(F.col(text_col))).alias("t"))
+    h = tok.select(key, md5_long(F.col("t"), 8).alias("hv"))
+    sign = (F.shiftright("hv", 16).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
+    buckets = (h.groupBy(key, (F.col("hv") % dim).cast("int").alias("dim_idx"))
+               .agg(F.sum(sign).alias("v")))
+    nrm = F.sqrt(F.sum(F.col("v") * F.col("v")).over(Window.partitionBy(key)))
+    return (buckets.withColumn("nrm", nrm)
+            .select(key, "dim_idx",
+                    F.when(F.col("nrm") > 0, F.col("v") / F.col("nrm"))
+                     .otherwise(F.col("v")).alias("val")))
+
+
+_DD_SPARSE_EMBED = """{name}_tok AS (
+  SELECT {key}, unnest({tokens}) AS t FROM {src}
+),
+{name}_h AS (
+  SELECT {key}, ('0x' || substring(md5(t), 1, 8))::BIGINT AS hv FROM {name}_tok
+),
+{name}_b AS (
+  SELECT {key}, CAST(hv % 16 AS INT) AS dim_idx,
+         sum(CASE WHEN (hv >> 16) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS v
+  FROM {name}_h GROUP BY {key}, hv % 16
+),
+{name} AS (
+  SELECT {key}, dim_idx,
+         CASE WHEN nrm > 0 THEN v / nrm ELSE v END AS val
+  FROM (SELECT {key}, dim_idx, v,
+               sqrt(sum(v * v) OVER (PARTITION BY {key})) AS nrm
+        FROM {name}_b)
+)"""
+
+
+@register(
+    "pipeline_chunk_embed_knn",
+    oracle="""
+WITH chunks AS ({chunk_cte}),
+{cemb},
+{qemb}
+SELECT e.chunk_id, round(sum(e.val * q.val), 6) AS score
+FROM cemb e JOIN qemb q USING (dim_idx)
+GROUP BY e.chunk_id
+ORDER BY score DESC, chunk_id
+LIMIT 10
+""".format(
+        chunk_cte=chunking.dd_chunk_cte(400, 50),
+        cemb=_DD_SPARSE_EMBED.format(
+            name="cemb", key="chunk_id",
+            tokens=DD_TOKENS.format(c="chunk_text"),
+            src="chunks"),
+        qemb=_DD_SPARSE_EMBED.format(
+            name="qemb", key="doc_id",
+            tokens=DD_TOKENS.format(c="text"),
+            src="(SELECT doc_id, text FROM documents WHERE doc_id = 0)")))
+def q_pipeline_chunk_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole lifecycle as ONE composed DAG (SURVEY
+    section 3.1 + 3.2): chunk (#33) -> hashing embedding (#46, sparse
+    form) -> cosine score against the embedded query (#47) -> top-k.
+    Every stage is the same operator the standalone queries verify;
+    this entry proves they COMPOSE under the value-hash oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(docs, size=400, overlap=50)
+    cemb = _sparse_hash_embed(chunks, "chunk_id", "chunk_text")
+    qdoc = docs.where(F.col("doc_id") == 0)
+    qemb = (_sparse_hash_embed(qdoc, "doc_id", "text")
+            .select("dim_idx", F.col("val").alias("qval")))
+    return (cemb.join(F.broadcast(qemb), "dim_idx")
+            .groupBy("chunk_id")
+            .agg(F.round(F.sum(F.col("val") * F.col("qval")), 6)
+                 .alias("score"))
+            .orderBy(F.desc("score"), F.col("chunk_id"))
+            .limit(10))
