@@ -81,6 +81,26 @@ def ivf_knn(df: DataFrame, query_vec: Sequence[float], k: int,
             .orderBy(F.desc(score_col), F.col(id_col)).limit(k))
 
 
+def ivf_knn_multiprobe(df: DataFrame, query_vec: Sequence[float], k: int,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       score_col: str = "score",
+                       sign_bits: int = 3) -> DataFrame:
+    """Multiprobe IVF: search the query's sign-bucket PLUS every bucket
+    at Hamming distance 1 (one flipped sign bit) — recall recovers the
+    near-boundary vectors single-probe IVF misses, while still pruning
+    ~(1 - (sign_bits+1)/2^sign_bits) of the data. The probe predicate
+    is ``bucket XOR q_bucket in {0, 1, 2, 4, ...}`` — a pushable filter
+    on a stored bucket column, i.e. partition pruning at rest."""
+    bucket = _sign_bucket(F.col(vec_col), sign_bits)
+    qbucket = sum((1 << i) for i in range(sign_bits)
+                  if float(query_vec[i]) >= 0)
+    probes = [0] + [1 << i for i in range(sign_bits)]
+    pruned = df.where(bucket.bitwiseXOR(F.lit(qbucket)).isin(probes))
+    scored = score_against(pruned, query_vec, vec_col, score_col)
+    return (scored.select(id_col, score_col)
+            .orderBy(F.desc(score_col), F.col(id_col)).limit(k))
+
+
 def _sign_bucket(vec: Column, sign_bits: int) -> Column:
     b = F.lit(0)
     for i in range(sign_bits):

@@ -2396,3 +2396,76 @@ def q_pipeline_chunk_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("score"))
             .orderBy(F.desc("score"), F.col("chunk_id"))
             .limit(10))
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+WITH t AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE t_click > t_view) AS BIGINT)
+         AS n_click_after_view,
+       CAST(count(*) FILTER (WHERE t_click > t_view AND t_buy > t_click)
+         AS BIGINT) AS n_full_funnel
+FROM t
+""")
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users whose earliest view precedes their
+    earliest click precedes their earliest purchase — one groupBy with
+    conditional mins, then conditional counts (NULL stage timestamps
+    drop out of the > comparisons in both engines). One shuffle total;
+    no per-stage self-joins."""
+    e = _events(spark, sf_dir)
+    t = (e.groupBy("user_id")
+         .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+              .alias("t_view"),
+              F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+              .alias("t_click"),
+              F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+              .alias("t_buy")))
+    one = F.lit(1)
+    return t.agg(
+        F.sum(F.when(F.col("t_view").isNotNull(), one).otherwise(0))
+         .cast("long").alias("n_view"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), one).otherwise(0))
+         .cast("long").alias("n_click_after_view"),
+        F.sum(F.when((F.col("t_click") > F.col("t_view"))
+                     & (F.col("t_buy") > F.col("t_click")), one).otherwise(0))
+         .cast("long").alias("n_full_funnel"))
+
+
+@register(
+    "ivf_knn_multiprobe",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END) AS b
+  FROM q
+),
+v AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS b
+  FROM embeddings
+)
+SELECT v.vec_id, round({dot}, 6) AS score
+FROM v, q, qb
+WHERE CAST(xor(v.b::BIGINT, qb.b::BIGINT) AS INT) IN (0, 1, 2, 4)
+ORDER BY score DESC, v.vec_id
+LIMIT 10
+""".format(dot=dd_dot("v.embedding", "q.qv")))
+def q_ivf_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe IVF top-k: query bucket + all Hamming-1 sign buckets
+    (XOR-probe predicate) — recall recovers boundary vectors while the
+    scan still prunes half the corpus at 3 sign bits."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return retrieval.ivf_knn_multiprobe(emb, query_vector(spark, sf_dir), 10)

@@ -114,3 +114,16 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multiprobe IVF must recall at least as much of the exact top-10
+    as single-probe IVF (it searches a superset of buckets)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = list(emb.where("vec_id = 0").select("embedding").first()[0])
+    exact = {r["vec_id"] for r in retrieval.knn(emb, qv, 10).collect()}
+    single = {r["vec_id"] for r in retrieval.ivf_knn(emb, qv, 10).collect()}
+    multi = {r["vec_id"]
+             for r in retrieval.ivf_knn_multiprobe(emb, qv, 10).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert single <= multi or len(multi) == 10  # superset of buckets
