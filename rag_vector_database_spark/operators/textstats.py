@@ -115,3 +115,42 @@ def word_frequencies(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.col("token"))
             .limit(top_k))
+
+
+ROLL_B = 1000003          # polynomial base
+ROLL_P = (1 << 31) - 1    # Mersenne modulus keeps acc * B inside int64
+
+
+def rolling_hash(hv_array: Column) -> Column:
+    """Rabin-Karp polynomial hash over a token-hash array:
+    h_i = (h_{i-1} * B + x_i) mod P, strictly left-to-right — exact
+    integer arithmetic, portable to any engine with a list fold."""
+    return F.aggregate(
+        hv_array, F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_B + x) % ROLL_P)
+
+
+def rolling_fingerprints(df: DataFrame, text_col: str = "text",
+                         key_col: str = "doc_id",
+                         window: int = 4) -> DataFrame:
+    """True rolling-hash fingerprinting (the doc_fingerprints md5
+    stand-in upgraded): per doc, the full-sequence Rabin-Karp hash and
+    the MINIMUM windowed hash over ``window``-token windows (the
+    winnowing signature used for local plagiarism/near-dup matching —
+    two docs sharing any w-token run share window hashes).
+    Short docs (< window tokens) fall back to the full hash."""
+    from ..functions.hashing import md5_long
+    from ..functions.text import tokens
+    tk = df.select(F.col(key_col), tokens(F.col(text_col)).alias("tk"))
+    hv = F.transform(F.col("tk"), lambda t: md5_long(t))
+    with_hv = tk.select(key_col, hv.alias("hv"))
+    n = F.size("hv")
+    windows = F.when(
+        n >= window,
+        F.transform(F.sequence(F.lit(1), n - (window - 1)),
+                    lambda i: rolling_hash(F.slice(F.col("hv"), i, window)))
+    ).otherwise(F.array(rolling_hash(F.col("hv"))))
+    return with_hv.select(
+        key_col,
+        rolling_hash(F.col("hv")).alias("rk_hash"),
+        F.array_min(windows).alias("winnow_min"))

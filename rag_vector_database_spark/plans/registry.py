@@ -2469,3 +2469,62 @@ def q_ivf_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan still prunes half the corpus at 3 sign bits."""
     emb = _t(spark, sf_dir, "embeddings")
     return retrieval.ivf_knn_multiprobe(emb, query_vector(spark, sf_dir), 10)
+
+
+@register(
+    "rolling_fingerprint",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id,
+         list_transform({tok}, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, hv),
+                   (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rk_hash,
+       CASE WHEN len(hv) >= 4 THEN
+         list_min(list_transform(generate_series(1, len(hv) - 3),
+           i -> list_reduce(list_prepend(0::BIGINT, hv[i:i+3]),
+                            (acc, x) -> (acc * 1000003 + x) % 2147483647)))
+       ELSE list_reduce(list_prepend(0::BIGINT, hv),
+                        (acc, x) -> (acc * 1000003 + x) % 2147483647)
+       END AS winnow_min
+FROM tk
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Rabin-Karp rolling-hash fingerprints + winnowing minimum
+    over 4-token windows — integer-exact in both engines (the rolling
+    recurrence is a strict left fold; DuckDB's list_reduce seeds with a
+    prepended 0 to match Spark's aggregate zero)."""
+    return textstats.rolling_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dataset_split",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM s GROUP BY 1
+""")
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test assignment (80/10/10)
+    — the reproducible-split primitive every training-data pipeline
+    needs at 100 TB: no sampling seed, no shuffle of the corpus, the
+    same doc always lands in the same split on any cluster, and the
+    assignment is a pushable scan-local projection."""
+    from ..functions.hashing import md5_long
+    d = _t(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("text")) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (d.select(split.alias("split"), "doc_id")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("min_doc_id")))
