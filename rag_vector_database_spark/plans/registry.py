@@ -2528,3 +2528,94 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.min("doc_id").cast("long").alias("min_doc_id")))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 3
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: corpus document frequencies joined back to per-doc term
+    frequencies, top-3 terms per doc. The RANKING is integer-only
+    (tf desc, df asc, term) so engine float-log differences cannot
+    reorder rows; the tfidf value itself is display-rounded. Plan: two
+    shuffles (tf groupBy, df groupBy) + one broadcast-able join on term
+    — no cross join, no collect."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = (tok.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dfreq = (tok.groupBy("term")
+             .agg(F.countDistinct("doc_id").cast("long").alias("df")))
+    n_docs = d.count()  # 1 scalar; scan is metadata-only count
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.col("df"), F.col("term"))
+    return (tf.join(dfreq, "term")
+            .withColumn("tfidf", F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("doc_id", "term", "tf", "df", "tfidf"))
+
+
+@register(
+    "redact_pii",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         'contact user' || doc_id || '@example.com or +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' re: ' || substring(text, 1, 40) AS msg
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(msg,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
+           '\\+?[0-9][0-9()\\-]{6,}', '[PHONE]', 'g') AS redacted
+  FROM synth
+)
+SELECT doc_id, redacted,
+       CAST(len(regexp_extract_all(redacted, '\\[EMAIL\\]')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(redacted, '\\[PHONE\\]')) AS INT) AS n_phones
+FROM red
+""")
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: email/phone patterns redacted
+    to typed placeholders with per-doc counts — chained regexp_replace,
+    scan-local, zero Python (synthetic contact lines are stamped onto
+    the documents so the redaction paths are actually exercised)."""
+    d = _t(spark, sf_dir, "documents")
+    msg = F.concat(F.lit("contact user"), F.col("doc_id").cast("string"),
+                   F.lit("@example.com or +1-555-"),
+                   F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                   F.lit(" re: "), F.substring("text", 1, 40))
+    redacted = F.regexp_replace(
+        F.regexp_replace(msg, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "[EMAIL]"),
+        r"\+?[0-9][0-9()\-]{6,}", "[PHONE]")
+    return (d.select("doc_id", redacted.alias("redacted"))
+            .withColumn("n_emails",
+                        F.size(F.regexp_extract_all("redacted",
+                                                    F.lit(r"\[EMAIL\]"), 0)))
+            .withColumn("n_phones",
+                        F.size(F.regexp_extract_all("redacted",
+                                                    F.lit(r"\[PHONE\]"), 0))))
