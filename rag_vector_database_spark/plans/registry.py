@@ -2619,3 +2619,62 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_phones",
                         F.size(F.regexp_extract_all("redacted",
                                                     F.lit(r"\[PHONE\]"), 0))))
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT c_custkey AS custkey FROM customer
+""")
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): order rows per customer beyond
+    the one matching customer row survive with their multiplicity —
+    the duplicate-preserving twin of set_except."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+INTERSECT ALL
+SELECT c_custkey AS custkey FROM customer
+""")
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): min(multiplicity) copies
+    per key survive."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.intersectAll(c)
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderstatus,
+         round(sum(o_totalprice), 4) AS total_price,
+         round(avg(o_totalprice), 6) AS avg_price,
+         round(max(o_totalprice), 6) AS max_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, round(value, 4) AS value
+FROM agg
+UNPIVOT (value FOR metric IN (total_price, avg_price, max_price))
+""")
+def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-status metrics to long (metric, value)
+    rows — the inverse of pivot_status_by_month's shape."""
+    o = _t(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_orderstatus")
+           .agg(F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+                F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+                F.round(F.max("o_totalprice"), 6).alias("max_price")))
+    return (agg.unpivot("o_orderstatus",
+                        ["total_price", "avg_price", "max_price"],
+                        "metric", "value")
+            .withColumn("value", F.round("value", 4)))
