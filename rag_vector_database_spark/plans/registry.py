@@ -2678,3 +2678,82 @@ def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["total_price", "avg_price", "max_price"],
                         "metric", "value")
             .withColumn("value", F.round("value", 4)))
+
+
+@register(
+    "cosine_neardup_blocked",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot}, 6) AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({dot}, 6) >= 0.45
+""".format(dot=dd_dot("a.embedding", "b.embedding")))
+def q_cosine_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale, DETERMINISTIC path: sign-bucket
+    pre-blocking (the IVF quantizer) cuts the pair space ~2^bits-fold,
+    then exact cosine within blocks — unlike the BRP approx join this
+    is hash-oracle-checkable, and with the bucket as a partition column
+    the block join is partition-local. Recall loss is boundary pairs
+    only (multiprobe blocks recover them; cosine_neardup remains the
+    exhaustive baseline)."""
+    from ..operators.retrieval import _sign_bucket
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.withColumn("bucket", _sign_bucket(F.col("embedding"), 3))
+    a = v.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"), F.col("bucket"))
+    b = v.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"), F.col("bucket"))
+    from ..functions import vectors as V
+    return (a.join(b, ["bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(V.dot(F.col("va"), F.col("vb")), 6)
+                     .alias("cosine"))
+            .where(F.col("cosine") >= 0.45))
+
+
+@register(
+    "events_session_window_batch",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, tus,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(min(tus) AS BIGINT) AS session_start_us,
+       CAST(max(tus) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""")
+def q_events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window in BATCH mode (one groupBy, state-free) —
+    the third formulation of the same session semantics (lag+cumsum
+    batch, streaming session_window, and this), all sharing one oracle:
+    gap-merge at >= 30 min, window end = last event + gap."""
+    e = _events(spark, sf_dir)
+    return (e.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                      "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select("user_id",
+                    F.unix_micros("w.start").alias("session_start_us"),
+                    F.unix_micros("w.end").alias("session_end_us"),
+                    "n_events"))
