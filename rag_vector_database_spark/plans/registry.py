@@ -2757,3 +2757,99 @@ def q_events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame
                     F.unix_micros("w.start").alias("session_start_us"),
                     F.unix_micros("w.end").alias("session_end_us"),
                     "n_events"))
+
+
+@register(
+    "jsonl_sink_roundtrip",
+    oracle="""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       substring(text, 1, 50) AS head
+FROM documents WHERE doc_id % 5 = 0
+""")
+def q_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#10/#5 through the driver gate: write a projected slice to a
+    JSON-lines table directory (the engine's replacement for the
+    reference's shared JSONL append file, SURVEY section 7), read it
+    back through the PERMISSIVE chunk reader, and hash-compare against
+    the source — type fidelity (long/string) survives the round trip.
+    Overwrite mode keeps the query idempotent across driver reruns."""
+    import tempfile
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from ..sources import readers
+
+    d = _t(spark, sf_dir, "documents")
+    out = (d.where(F.col("doc_id") % 5 == 0)
+           .select("doc_id", "source",
+                   F.col("n_chars").cast("long").alias("n_chars"),
+                   F.substring("text", 1, 50).alias("head")))
+    path = f"{tempfile.gettempdir()}/rvdb_jsonl_sink_check"
+    out.write.mode("overwrite").json(path)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("head", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    back = readers.read_jsonl_chunks(spark, path, schema,
+                                     materialize_corrupt=True)
+    return (back.where(F.col("_corrupt_record").isNull())
+            .select("doc_id", "source", "n_chars", "head"))
+
+
+@register(
+    "retrieval_funnel_ivf",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END) AS b
+  FROM q
+),
+v AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS b
+  FROM embeddings
+),
+cand AS (
+  SELECT v.vec_id, round({dot}, 6) AS score
+  FROM v, q, qb
+  WHERE CAST(xor(v.b::BIGINT, qb.b::BIGINT) AS INT) IN (0, 1, 2, 4)
+  ORDER BY score DESC, v.vec_id LIMIT 50
+),
+qt AS (SELECT {qtok} AS qtok FROM documents WHERE doc_id = 0)
+SELECT d.doc_id, c.score,
+       round(CASE WHEN len(list_distinct(list_concat({dtok}, qt.qtok))) > 0
+             THEN CAST(len(list_intersect({dtok}, qt.qtok)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat({dtok}, qt.qtok))) AS DOUBLE)
+             ELSE 0.0 END, 6) AS relevance_score
+FROM documents d JOIN cand c ON d.doc_id = c.vec_id, qt
+ORDER BY relevance_score DESC, score DESC, doc_id
+LIMIT 5
+""".format(dot=dd_dot("v.embedding", "q.qv"),
+           qtok=dd_distinct_tokens("text"),
+           dtok=dd_distinct_tokens("d.text")))
+def q_retrieval_funnel_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage funnel with the APPROXIMATE first stage swapped in
+    (SURVEY section 7: 'both paths live behind one API'): multiprobe
+    IVF candidates (k=50) -> rerank -> top-5. Composition of
+    ivf_knn_multiprobe + the rerank stage under one oracle."""
+    qv = query_vector(spark, sf_dir)
+    qtext = query_text(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    cand = retrieval.ivf_knn_multiprobe(emb, qv, 50)
+    joined = docs.join(F.broadcast(cand), docs.doc_id == cand.vec_id)
+    return (retrieval.rerank(joined, qtext)
+            .select("doc_id",
+                    F.round("score", 6).alias("score"),
+                    F.round("relevance_score", 6).alias("relevance_score"))
+            .orderBy(F.desc("relevance_score"), F.desc("score"),
+                     F.col("doc_id"))
+            .limit(5))
