@@ -83,3 +83,32 @@ def test_ivf_partition_pruning(spark, tmp_path):
     total = back.select(F.input_file_name()).distinct().count()
     assert 0 < touched < total
     assert pruned.select("bucket").distinct().collect()[0][0] == 5
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with
+    ZERO Exchange nodes — the co-located-join contract write_bucketed
+    exists to provide (at 100 TB this is the difference between a
+    shuffle of the fact table and none)."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.operators import storage
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        storage.write_bucketed(emb.select("vec_id", "label"),
+                               "t_emb_b", "vec_id", 4)
+        storage.write_bucketed(docs.select("doc_id", "source"),
+                               "t_doc_b", "doc_id", 4)
+        j = (spark.table("t_emb_b")
+             .join(spark.table("t_doc_b"),
+                   F.col("vec_id") == F.col("doc_id")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_emb_b")
+        spark.sql("DROP TABLE IF EXISTS t_doc_b")

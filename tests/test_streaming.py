@@ -51,3 +51,26 @@ def test_stateful_counts_equal_batch_groupby(spark, sf_dir):
     batch = (spark.read.parquet(f"{sf_dir}/events.parquet")
              .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
     assert _rows(got, ["user_id", "n"]) == _rows(batch, ["user_id", "n"])
+
+
+def test_checkpoint_is_the_processed_log(spark, sf_dir, tmp_path):
+    """#59's core claim: the checkpoint IS the processed-log. A
+    checkpointed file-source stream drained twice over the same input
+    writes every row exactly once — the second drain finds no new
+    files and appends nothing (the reference re-derives this guarantee
+    from hand-kept log files; here it is free)."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (se.read_events_stream(spark, sf_dir)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    drain()
+    n2 = spark.read.parquet(out).count()
+    assert n1 > 0 and n2 == n1  # run-twice => +0 rows
