@@ -60,7 +60,9 @@ class RagConversation:
     def __init__(self, documents: DataFrame, embeddings: DataFrame,
                  k_candidates: int = retrieval.DEFAULT_K_CANDIDATES,
                  top_n: int = retrieval.DEFAULT_TOP_N,
-                 snippet_len: int = DEFAULT_SNIPPET_LEN):
+                 snippet_len: int = DEFAULT_SNIPPET_LEN,
+                 session_id: str | None = None):
+        from .session_log import SessionLog
         self.documents = documents
         self.embeddings = embeddings
         self.k_candidates = k_candidates
@@ -69,6 +71,11 @@ class RagConversation:
         self.memory: list[tuple[str, str]] = []
         self.last_retrieval: DataFrame | None = None
         self.turn = 0
+        # #13/#60: every turn also lands in the engine-shaped session
+        # log (nested_log()/write() give the reference's teardown JSON,
+        # query_rag_database.py:606-650)
+        self.log = SessionLog(documents.sparkSession,
+                              session_id or "session-1")
 
     def _retrieve(self, query_vec: Sequence[float], query_text: str) -> DataFrame:
         """The funnel (#51) ending in ordered (rn, doc_id, snip) rows."""
@@ -117,6 +124,8 @@ class RagConversation:
         # locality call as the reference's in-process buffer).
         row = out.collect()[0]
         self.memory.append((query_text, row["ai_response"]))
+        self.log.append(mode, query_text, "Success", self.top_n,
+                        row["ai_response"])
         return out
 
     def close(self) -> None:

@@ -112,6 +112,39 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "complete",
     return stream_df.sparkSession.table(name)
 
 
+def foreach_batch_upsert(stream_df: DataFrame, path: str, key: str,
+                         order_col: str, checkpoint: str) -> None:
+    """Streaming keep-latest MERGE into a parquet table via
+    ``foreachBatch`` — the stream form of the batch upsert (#31) and
+    the vector-store batch write (#12): each micro-batch unions with
+    the current sink and keeps the max-``order_col`` row per key
+    (the Delta-less MERGE emulation from SURVEY section 2 #31).
+    Blocks until AvailableNow drains. At scale the rewrite step is a
+    partition-scoped overwrite (partition by a stable bucket of the
+    key), not a full-table rewrite."""
+    from pyspark.sql import Window
+
+    def merge(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        try:
+            current = spark.read.parquet(path)
+            merged = current.unionByName(batch)
+        except Exception:  # first batch: sink does not exist yet
+            merged = batch
+        w = Window.partitionBy(key).orderBy(F.desc(order_col))
+        latest = (merged.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn"))
+        # materialize before overwrite (reading and overwriting the
+        # same path in one plan would race)
+        latest.localCheckpoint(eager=True) \
+            .write.mode("overwrite").parquet(path)
+
+    q = (stream_df.writeStream.foreachBatch(merge)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     cumulative event count. This is the engine's arbitrary-state

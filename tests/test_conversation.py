@@ -77,3 +77,19 @@ def test_followup_without_cache_raises(spark):
     c = RagConversation(docs, emb)
     with pytest.raises(ValueError):
         c.ask("no first turn yet", follow_up=True)
+
+
+def test_conversation_session_log(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c = RagConversation(docs, emb, k_candidates=5, top_n=2,
+                        session_id="s-42")
+    qv = list(emb.where("vec_id = 0").select("embedding").first()[0])
+    c.ask("first question", qv)
+    c.ask("follow up", follow_up=True)
+    nested = c.log.nested_log().collect()
+    assert len(nested) == 1 and nested[0]["n_turns"] == 2
+    turns = nested[0]["conversation_turns"]
+    assert [t["mode"] for t in turns] == ["new_query", "follow_up"]
+    assert all(t["ai_response"].startswith("ANSWER[") for t in turns)
+    c.close()

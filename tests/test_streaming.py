@@ -74,3 +74,25 @@ def test_checkpoint_is_the_processed_log(spark, sf_dir, tmp_path):
     drain()
     n2 = spark.read.parquet(out).count()
     assert n1 > 0 and n2 == n1  # run-twice => +0 rows
+
+
+def test_foreach_batch_upsert_keep_latest(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE sink: drained stream leaves exactly one row
+    per key (the latest by ts), matching the batch keep-latest; a
+    second drain over the same input changes nothing."""
+    out = str(tmp_path / "merged")
+    ckpt = str(tmp_path / "ck")
+    stream = se.read_events_stream(spark, sf_dir) \
+        .select("user_id", "ts", "event_type")
+    se.foreach_batch_upsert(stream, out, key="user_id",
+                            order_col="ts", checkpoint=ckpt)
+    got = spark.read.parquet(out)
+    # one row per user, and it is that user's max-ts event
+    per_user = got.groupBy("user_id").count().where("count > 1").count()
+    assert per_user == 0
+    e = spark.read.schema(se.EVENTS_RAW_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet")
+    e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    want = e.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    joined = got.join(want, ["user_id", "ts"])
+    assert joined.count() == got.count() == want.count()
