@@ -19,7 +19,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_tables
 from ..functions import hashing
 from ..functions import text as text_fns
 from ..operators import retrieval

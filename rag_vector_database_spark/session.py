@@ -53,5 +53,17 @@ def load_tables(spark: SparkSession, sf_dir: str,
                     "region", "nation", "customer", "supplier", "part",
                     "orders", "lineitem", "events", "documents",
                     "embeddings")) -> dict:
-    """Load the driver's parquet tables as DataFrames keyed by name."""
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    """Load the driver's parquet tables as DataFrames keyed by name.
+    events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
+    rejects — read nanos as long and floor-convert to microseconds
+    (exactly what DuckDB's reader does)."""
+    from pyspark.sql import functions as F
+    out = {}
+    for n in names:
+        if n == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            e = spark.read.parquet(f"{sf_dir}/events.parquet")
+            out[n] = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+    return out

@@ -128,3 +128,12 @@ def test_pdf_extract_kernel_real_branch():
 def test_pdf_stub_kernel_is_fallback_only():
     text, n_pages, title = readers.pdf_stub_kernel(b"%PDF hello")
     assert "hello" in text and n_pages >= 1 and title.startswith("doc-")
+
+
+def test_load_tables_all_named(spark):
+    from rag_vector_database_spark.session import load_tables
+    tables = load_tables(spark, "/root/testdata/sf0.001")
+    assert set(tables) == {"region", "nation", "customer", "supplier",
+                           "part", "orders", "lineitem", "events",
+                           "documents", "embeddings"}
+    assert tables["region"].count() > 0
