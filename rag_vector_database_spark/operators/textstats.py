@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import distinct_tokens, tokens
-from .dedup import fingerprint, normalize_text
+from .dedup import fingerprint
 
 # Tiny stopword lists for the n-gram/stopword language heuristic.
 # Deliberately short — the heuristic's structure (overlap argmax), not
