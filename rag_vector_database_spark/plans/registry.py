@@ -2852,3 +2852,197 @@ def q_retrieval_funnel_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("relevance_score"), F.desc("score"),
                      F.col("doc_id"))
             .limit(5))
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H decision-support shapes expressible over the available
+# tables (no partsupp in the test data, so Q2/Q11/Q20 stay out of scope).
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where the customer and the
+    supplier share a nation, restricted to one region and one order
+    year. Two fact-side shuffles (orders<->lineitem on orderkey); all
+    dims broadcast; the local-supplier predicate is a post-join filter
+    on two broadcast-sourced columns."""
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region")).where(F.col("r_name") == "ASIA")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .join(s, (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1) - F.col("l_discount"))), 6)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.col("n_name")))
+
+
+@register(
+    "revenue_forecast",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg. All three predicates
+    push to the parquet scan (min/max row-group pruning on shipdate);
+    the agg is a map-side partial + single-row final — the cheapest
+    possible full-table query at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6)
+             .alias("revenue_delta")))
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       strftime(l_shipdate, '%Y') AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year (nation names follow the synthetic test data). The
+    nation dim is joined twice (supplier side and
+    customer side) under distinct aliases; both are broadcast, so the
+    only shuffles are the two fact joins and the final small agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = _t(spark, sf_dir, "orders")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    sn = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation")))
+    cn = F.broadcast(_t(spark, sf_dir, "nation")
+                     .select(F.col("n_nationkey").alias("cn_key"),
+                             F.col("n_name").alias("cust_nation")))
+    pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) | \
+           ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(sn, s.s_nationkey == F.col("sn_key"))
+            .join(cn, c.c_nationkey == F.col("cn_key"))
+            .where(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.date_format("l_shipdate", "yyyy").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1) - F.col("l_discount"))), 6)
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@register(
+    "returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    lines in one quarter. Selective date filter hits the orders scan
+    first, shrinking the lineitem join; the top-20 is
+    TakeOrderedAndProject over the agg, never a full sort."""
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1) - F.col("l_discount"))), 6)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.desc("revenue"), F.col("c_custkey"))
+            .limit(20))
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+""")
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from a part class
+    ('ECONOMY' stands in for PROMO% — the test data's p_type is a flat
+    enum). Broadcast part join, conditional agg, single-row result."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .agg(F.round(F.lit(100.0)
+                         * F.sum(F.when(F.col("p_type") == "ECONOMY", rev)
+                                 .otherwise(F.lit(0.0)))
+                         / F.sum(rev), 6)
+                 .alias("promo_pct")))
