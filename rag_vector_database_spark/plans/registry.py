@@ -3046,3 +3046,97 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  .otherwise(F.lit(0.0)))
                          / F.sum(rev), 6)
                  .alias("promo_pct")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: deterministic stratified sampling, quantile bucketing,
+# and length-distribution profiling.
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+WITH s AS (
+  SELECT lang, doc_id,
+         ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM s
+WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
+GROUP BY lang ORDER BY lang
+""")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-rebalancing
+    primitive (e.g. cap the dominant language, keep the tail): the
+    same content-hash bucket as dataset_split, compared against a
+    per-stratum rate. No RNG seed, no shuffle — a scan-local filter
+    whose rate table could equally come from a broadcast dim."""
+    from ..functions.hashing import md5_long
+    d = _t(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("text")) % 100
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return (d.where(bucket < rate)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"),
+                 F.min("doc_id").cast("long").alias("min_doc_id"),
+                 F.max("doc_id").cast("long").alias("max_doc_id"))
+            .orderBy("lang"))
+
+
+@register(
+    "quantile_buckets",
+    oracle="""
+WITH q AS (
+  SELECT o_totalprice,
+         ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+SELECT quartile, CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 6) AS lo,
+       round(max(o_totalprice), 6) AS hi,
+       round(avg(o_totalprice), 6) AS mean
+FROM q GROUP BY quartile ORDER BY quartile
+""")
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile bucketing via NTILE — the profiling shape
+    behind outlier capping and curriculum binning. The global-order
+    window is the one legitimately expensive step (single-partition
+    sort); at 100 TB the approx path (value_percentiles'
+    percentile_approx cutpoints + a scan-local CASE) replaces it —
+    this query is the exact twin the approx path is checked against.
+    Ordering is tie-broken on o_orderkey so the bucket assignment is
+    deterministic across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+            .groupBy("quartile")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 6).alias("lo"),
+                 F.round(F.max("o_totalprice"), 6).alias("hi"),
+                 F.round(F.avg("o_totalprice"), 6).alias("mean"))
+            .orderBy("quartile"))
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+SELECT (n_chars // 50) * 50 AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY bin_lo ORDER BY bin_lo
+""")
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution in fixed 50-char bins — the
+    pre-filter profile every curation pass starts from. Pure
+    scan-local projection + small agg; the binning expression
+    (integer-div floor) is identical in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy((F.floor(F.col("n_chars") / 50) * 50)
+                      .cast("long").alias("bin_lo"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .orderBy("bin_lo"))
