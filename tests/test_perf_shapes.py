@@ -127,3 +127,50 @@ def test_multiprobe_recall_dominates_single_probe(spark):
              for r in retrieval.ivf_knn_multiprobe(emb, qv, 10).collect()}
     assert len(multi & exact) >= len(single & exact)
     assert single <= multi or len(multi) == 10  # superset of buckets
+
+
+def test_tpch_shape_plans(spark):
+    """Scale assertions for the TPC-H decision-support additions:
+    Q6's three predicates reach the parquet scan, Q5/Q10 broadcast
+    every dim (no sort-merge join of customer/nation/region), and
+    Q10's top-20 is TakeOrderedAndProject, never a global sort."""
+    from rag_vector_database_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+
+    q6 = registry.q_revenue_forecast(spark, sf)
+    plan = q6._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "l_discount" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+    q5 = registry.q_local_supplier_volume(spark, sf)
+    plan5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan5
+    assert "SortMergeJoin" not in plan5
+
+    q10 = registry.q_returned_items(spark, sf)
+    plan10 = q10._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan10
+    assert "SortMergeJoin" not in plan10
+    # the returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan10
+
+
+def test_curation_shape_plans(spark):
+    """stratified_sample and doc_length_histogram must stay scan-local
+    (one agg shuffle, no join, no window); quantile_buckets is the one
+    query allowed a global-order window (documented exact twin)."""
+    from rag_vector_database_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+
+    samp = registry.q_stratified_sample(spark, sf)
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+    hist = registry.q_doc_length_histogram(spark, sf)
+    hplan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in hplan and "Join" not in hplan
+    assert hplan.count("HashAggregate") >= 2
