@@ -3023,7 +3023,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_share",
     oracle="""
-SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0.0 END)
              / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
@@ -3032,9 +3032,8 @@ JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
 """)
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: share of one month's revenue from a part class
-    ('ECONOMY' stands in for PROMO% — the test data's p_type is a flat
-    enum). Broadcast part join, conditional agg, single-row result."""
+    """TPC-H Q14 shape: share of one month's revenue from promo-class
+    parts. Broadcast part join, conditional agg, single-row result."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
@@ -3042,7 +3041,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (li.join(p, li.l_partkey == p.p_partkey)
             .agg(F.round(F.lit(100.0)
-                         * F.sum(F.when(F.col("p_type") == "ECONOMY", rev)
+                         * F.sum(F.when(F.col("p_type") == "PROMO", rev)
                                  .otherwise(F.lit(0.0)))
                          / F.sum(rev), 6)
                  .alias("promo_pct")))
@@ -3140,3 +3139,76 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("total_chars"))
             .orderBy("bin_lo"))
+
+
+@register(
+    "product_type_profit",
+    oracle="""
+SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS profit
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN part     ON p_partkey = l_partkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_type = 'STANDARD'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+""")
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year for
+    one part class (the test data has no partsupp, so revenue stands
+    in for revenue-minus-supplycost). The part filter shrinks the
+    broadcast side BEFORE the join — Catalyst pushes p_type into the
+    part scan, so the join probe only sees matching parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .where(F.col("p_type") == "STANDARD"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.date_format("o_orderdate", "yyyy").alias("o_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1) - F.col("l_discount"))), 6)
+                 .alias("profit"))
+            .orderBy(F.col("nation"), F.desc("o_year")))
+
+
+@register(
+    "discounted_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""")
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate that mixes columns
+    from both join sides. Catalyst splits it: the common subexpression
+    (brand IN its 3 values, size bounds) pushes into the part scan and
+    the quantity envelope (1..50) into the lineitem scan, leaving only
+    the cross-side conjunctions as the post-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 50)))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .where(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1) - F.col("l_discount"))), 6)
+                 .alias("revenue")))
