@@ -324,3 +324,39 @@ def cosine_dup_pairs(df: DataFrame, vec_col: str = "embedding",
             .select("id_a", "id_b",
                     F.round(V.dot(F.col("va"), F.col("vb")), 6).alias("cosine"))
             .where(F.col("cosine") >= F.lit(threshold)))
+
+
+def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
+                          text_col: str = "text", key_col: str = "doc_id",
+                          shingle_n: int = 3) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word n-grams also occur anywhere in the benchmark set
+    (reference behavior class: dedup/validation family — the
+    training-data step that strips eval contamination before training).
+
+    Plan shape for 100 TB: the benchmark's distinct n-gram set is tiny
+    relative to the corpus (an eval suite, not a crawl), so it is
+    deduplicated and BROADCAST; the corpus side is scan-local
+    (shingle + explode) into a broadcast hash join, then one groupBy
+    on the corpus key. No corpus self-shuffle, no benchmark re-scan.
+
+    Returns (key, n_shingles, n_shared, overlap_frac) for documents
+    with at least one shared n-gram, so downstream can threshold."""
+    tok = F.col("__toks")
+    c = (corpus
+         .withColumn("__toks", tokens(F.col(text_col)))
+         .select(F.col(key_col),
+                 shingles_from_tokens(tok, shingle_n).alias("__sh"))
+         .withColumn("n_shingles", F.size("__sh").cast("long"))
+         .select(key_col, "n_shingles",
+                 F.explode("__sh").alias("__g")))
+    b = (benchmark
+         .withColumn("__toks", tokens(F.col(text_col)))
+         .select(F.explode(
+             shingles_from_tokens(tok, shingle_n)).alias("__g"))
+         .distinct())
+    return (c.join(F.broadcast(b), "__g")
+            .groupBy(key_col, "n_shingles")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .withColumn("overlap_frac",
+                        F.round(F.col("n_shared") / F.col("n_shingles"), 6)))

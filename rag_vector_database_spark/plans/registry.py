@@ -3212,3 +3212,78 @@ def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (F.lit(1) - F.col("l_discount"))), 6)
                  .alias("revenue")))
+
+
+@register(
+    "benchmark_decontaminate",
+    oracle="""
+WITH bench AS (
+  SELECT DISTINCT unnest({sh}) AS g
+  FROM documents WHERE doc_id < 10
+),
+corpus AS (
+  SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id >= 10
+),
+cg AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, unnest(sh) AS g
+  FROM corpus
+)
+SELECT doc_id, n_shingles,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       round(count(*) / CAST(n_shingles AS DOUBLE), 6) AS overlap_frac
+FROM cg JOIN bench USING (g)
+GROUP BY doc_id, n_shingles
+ORDER BY overlap_frac DESC, doc_id
+LIMIT 50
+""".format(sh=dd_shingles("text", 3)))
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: docs 0-9
+    stand in for the held-out eval set; every other doc is scored by
+    how many of its distinct word 3-grams appear anywhere in that set.
+    The benchmark n-gram dictionary is distinct-ed and broadcast; the
+    corpus side never shuffles except the final per-doc count."""
+    from ..operators import dedup as dd
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(F.col("doc_id") >= 10)
+    return (dd.contamination_overlap(corpus, bench, shingle_n=3)
+            .orderBy(F.desc("overlap_frac"), F.col("doc_id"))
+            .limit(50))
+
+
+@register(
+    "repetition_stats",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         CAST(len({tok}) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct({tok})) AS BIGINT) AS n_uniq
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CASE WHEN n_tok > 0
+                      THEN 1.0 - n_uniq / CAST(n_tok AS DOUBLE)
+                      ELSE 0.0 END), 6) AS avg_repetition,
+       round(max(CASE WHEN n_tok > 0
+                      THEN 1.0 - n_uniq / CAST(n_tok AS DOUBLE)
+                      ELSE 0.0 END), 6) AS max_repetition
+FROM t GROUP BY lang ORDER BY lang
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-token quality signal (the boilerplate/spam detector in
+    curation stacks): per language, mean and worst-case repetition
+    ratio 1 - distinct/total tokens. Scan-local expressions + one tiny
+    agg — the per-doc ratio never leaves the executor."""
+    d = _t(spark, sf_dir, "documents")
+    tok = text_fns.tokens(F.col("text"))
+    d = d.withColumn("__n", F.size(tok).cast("long")) \
+         .withColumn("__u", F.size(F.array_distinct(tok)).cast("long"))
+    rep = F.when(F.col("__n") > 0,
+                 F.lit(1.0) - F.col("__u") / F.col("__n")).otherwise(F.lit(0.0))
+    return (d.select("lang", rep.alias("__rep"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg("__rep"), 6).alias("avg_repetition"),
+                 F.round(F.max("__rep"), 6).alias("max_repetition"))
+            .orderBy("lang"))
