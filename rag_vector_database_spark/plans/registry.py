@@ -3287,3 +3287,43 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("__rep"), 6).alias("avg_repetition"),
                  F.round(F.max("__rep"), 6).alias("max_repetition"))
             .orderBy("lang"))
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+WITH c AS (
+  SELECT lang, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+  FROM documents
+),
+b AS (
+  SELECT lang, doc_id, n_chars, CAST(start_off // 2048 AS BIGINT) AS bin
+  FROM c
+)
+SELECT lang, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_chars) / 2048.0, 6) AS fill_frac
+FROM b GROUP BY lang, bin ORDER BY lang, bin
+""")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the training-data step that concatenates
+    documents in a stable order and cuts at a context-length budget
+    (2048 chars here): each doc's bin is its start offset in the
+    per-language running concatenation, integer-divided by the budget.
+    The window partitions by language, so the sort is per-stratum and
+    parallel — at 100 TB the partition key would be (lang, shard) with
+    shard = hash(doc_id) % K to bound any one sort, same plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_chars").over(w) - F.col("n_chars"))
+    return (d.select("lang", "n_chars",
+                     F.floor(start / 2048).cast("long").alias("bin"))
+            .groupBy("lang", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.round(F.sum("n_chars") / F.lit(2048.0), 6).alias("fill_frac"))
+            .orderBy("lang", "bin"))
