@@ -3327,3 +3327,36 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("long").alias("total_chars"),
                  F.round(F.sum("n_chars") / F.lit(2048.0), 6).alias("fill_frac"))
             .orderBy("lang", "bin"))
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+WITH f AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS freq
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(freq) AS BIGINT) AS max_freq,
+       round(max(freq) / CAST(sum(freq) AS DOUBLE), 6) AS top_share,
+       round(quantile_cont(freq, 0.5), 6) AS p50_freq,
+       round(quantile_cont(freq, 0.99), 6) AS p99_freq
+FROM f
+""")
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis: the per-key frequency distribution of a
+    join/agg key (events.user_id) — the profile that decides whether a
+    key needs salting (storage.salted_agg) before a 100 TB shuffle.
+    Two-level aggregation: per-key counts (one shuffle), then a
+    single-row stats fold; exact interpolated percentiles match
+    DuckDB's quantile_cont."""
+    e = _events(spark, sf_dir)
+    f = (e.groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("freq").cast("long").alias("max_freq"),
+        F.round(F.max("freq") / F.sum("freq").cast("double"), 6)
+        .alias("top_share"),
+        F.round(F.expr("percentile(freq, 0.5)"), 6).alias("p50_freq"),
+        F.round(F.expr("percentile(freq, 0.99)"), 6).alias("p99_freq"))
