@@ -3360,3 +3360,87 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_share"),
         F.round(F.expr("percentile(freq, 0.5)"), 6).alias("p50_freq"),
         F.round(F.expr("percentile(freq, 0.99)"), 6).alias("p99_freq"))
+
+
+@register(
+    "dedup_keep_best",
+    oracle=("WITH RECURSIVE " + _DD_MH_CTES + ",\n"
+            + "pairs AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+            + """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+clusters AS (
+  SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+),
+qf AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len({tok}) > 0
+              THEN CAST(len(list_intersect(list_distinct({ltok}), {en})) AS DOUBLE) / len({tok})
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len({tok}) > 0
+              THEN CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok})
+              ELSE 0.0 END AS ttr,
+         least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) AS len_sat
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(greatest(least(0.4 * len_sat + 0.3 * ttr
+               + 0.3 * least(stop_ratio * 5.0, 1.0)
+               - 0.2 * punct_ratio, 1.0), 0.0), 6) AS quality
+  FROM qf
+),
+ranked AS (
+  SELECT c.cluster_id, c.id, q.quality,
+         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.id) AS rn
+  FROM clusters c JOIN q ON q.doc_id = c.id
+)
+SELECT cluster_id, CAST(id AS BIGINT) AS kept_doc_id,
+       quality AS kept_quality, n_members
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+""".format(tok=DD_TOKENS.format(c="text"),
+           ltok=DD_TOKENS.format(c="lower(text)"),
+           en=_dd_stoplist("en"))))
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup REMOVAL decision: MinHash pairs -> connected
+    components -> keep the highest-quality member of each cluster
+    (ties broken by lowest id). This is what a curation pipeline
+    actually executes — not just pair detection but the keep/drop
+    verdict, with the quality scorer as the canonical-pick policy.
+    Plan: the cluster table is tiny relative to the corpus (only docs
+    in >= 1 pair), so the quality join hits a small side; the pick is
+    one window over cluster_id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    clusters = dedup.connected_components(pairs)
+    q = textstats.quality_score(docs).select("doc_id", "quality")
+    j = clusters.join(q, clusters.id == q.doc_id)
+    wpick = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.col("id"))
+    wcnt = Window.partitionBy("cluster_id")
+    return (j.select("cluster_id",
+                     F.col("id").cast("long").alias("kept_doc_id"),
+                     F.col("quality").alias("kept_quality"),
+                     F.count(F.lit(1)).over(wcnt).cast("long")
+                     .alias("n_members"),
+                     F.row_number().over(wpick).alias("rn"))
+            .where(F.col("rn") == 1).drop("rn")
+            .orderBy("cluster_id"))
