@@ -3444,3 +3444,31 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.row_number().over(wpick).alias("rn"))
             .where(F.col("rn") == 1).drop("rn")
             .orderBy("cluster_id"))
+
+
+@register(
+    "customer_distribution",
+    oracle="""
+WITH co AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    (how many customers placed k orders, including k=0 via the left
+    join). Two aggregations: the first shuffles on c_custkey, the
+    second is a tiny histogram fold — the outer-join-then-histogram
+    pattern behind engagement/activity profiling."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    co = (c.join(o, c.c_custkey == o.o_custkey, "left")
+          .groupBy("c_custkey")
+          .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+    return (co.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))

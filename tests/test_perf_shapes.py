@@ -174,3 +174,24 @@ def test_curation_shape_plans(spark):
     hplan = hist._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in hplan and "Join" not in hplan
     assert hplan.count("HashAggregate") >= 2
+
+
+def test_approx_percentile_brackets_exact_quartiles(spark):
+    """The documented scale path for quantile_buckets: approx
+    cutpoints must land inside the exact NTILE quartile boundaries
+    (lo of the next bucket >= approx cut >= hi of the previous one
+    would be a violation only beyond the sketch's rank error)."""
+    from pyspark.sql import functions as F
+    from rag_vector_database_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["quartile"]: (r["lo"], r["hi"])
+             for r in registry.q_quantile_buckets(spark, sf).collect()}
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    cuts = o.agg(F.expr(
+        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
+    ).alias("c")).first()["c"]
+    # with accuracy 10000 on a small table the sketch is exact: each
+    # cutpoint sits on the boundary between consecutive quartiles
+    for q, cut in zip((1, 2, 3), cuts):
+        assert exact[q][0] <= cut <= exact[q + 1][1], (q, cut, exact)
