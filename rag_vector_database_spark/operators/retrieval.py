@@ -204,3 +204,45 @@ def score_stats(scored: DataFrame, score_col: str = "score",
         F.round(F.max(score_col), ndigits).alias("max_score"),
         F.round(F.avg(score_col), ndigits).alias("avg_score"),
         F.count(F.lit(1)).cast("long").alias("n_candidates"))
+
+
+def knn_batch_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   query_id_col: str = "qid", query_vec_col: str = "qv",
+                   n_salts: int = 8, ndigits: int = 6) -> DataFrame:
+    """Batched kNN: top-k corpus neighbors for MANY query vectors in one
+    pass (the offline scoring shape — the reference answers one query at
+    a time, Auto_query_rag_database.py:64; batch scoring is its
+    N-query generalization).
+
+    Scale design: the query set is broadcast against the corpus scan,
+    so scoring is shuffle-free. A naive per-query window would then
+    shuffle EVERY scored row to one partition per query (k partitions
+    for the whole job); instead top-k is folded in two phases — per
+    (query, salt) partial top-k, then a final top-k over n_salts * k
+    survivor rows per query. Both folds sort tiny arrays; no full sort,
+    no skew, and the shuffle carries k rows per salt instead of the
+    corpus.
+
+    Ties break to the lower corpus id (scores are rounded BEFORE
+    ranking so both engines rank the same values)."""
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .select(F.col(query_id_col),
+                      F.col(id_col),
+                      F.round(V.dot(F.col(vec_col), F.col(query_vec_col)),
+                              ndigits).alias("score")))
+
+    def fold(df: DataFrame, keys: list) -> DataFrame:
+        # sort_array(desc) over struct(score, -id) = score desc, id asc
+        item = F.struct(F.col("score"), (-F.col(id_col)).alias("nid"))
+        return (df.groupBy(*keys)
+                .agg(F.slice(F.sort_array(F.collect_list(item), False),
+                             1, k).alias("top"))
+                .select(*keys, F.explode("top").alias("t"))
+                .select(*keys, (-F.col("t.nid")).alias(id_col),
+                        F.col("t.score").alias("score")))
+
+    partial = fold(
+        scored.withColumn("__salt", F.pmod(F.col(id_col), F.lit(n_salts))),
+        [query_id_col, "__salt"]).drop("__salt")
+    return fold(partial, [query_id_col])

@@ -3472,3 +3472,37 @@ def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (co.groupBy("c_count")
             .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
             .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@register(
+    "knn_batch",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8
+),
+scored AS (
+  SELECT q.qid, c.vec_id, round({dot}, 6) AS score
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, score FROM ranked WHERE rn <= 5
+""".format(dot=dd_dot("c.embedding", "q.qv")))
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched kNN: top-5 neighbors for 8 query vectors in ONE corpus
+    pass — broadcast queries, shuffle-free scoring, salted two-phase
+    top-k fold (see retrieval.knn_batch_topk). The oracle ranks the
+    same rounded scores with a plain window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    corpus = emb.where(F.col("vec_id") >= 8)
+    return retrieval.knn_batch_topk(corpus, queries, 5)
