@@ -3506,3 +3506,61 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("qv")))
     corpus = emb.where(F.col("vec_id") >= 8)
     return retrieval.knn_batch_topk(corpus, queries, 5)
+
+
+@register(
+    "label_centroid_spread",
+    oracle="""
+WITH d AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(cx ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(x) AS cx FROM d GROUP BY label, pos)
+  GROUP BY label
+),
+dist AS (
+  SELECT e.label,
+         round(sqrt(list_reduce(
+             list_transform(generate_series(1, len(e.embedding)),
+               i -> pow(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i], 2)),
+             (acc, v) -> acc + v)), 6) AS dd
+  FROM embeddings e JOIN cent c ON e.label = c.label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(dd), 6) AS avg_dist,
+       round(max(dd), 6) AS max_dist
+FROM dist GROUP BY label ORDER BY label
+""")
+def q_label_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cluster diagnostics: per-label centroid (element-wise
+    mean over the vector column) and each member's L2 distance to it —
+    the drift/compactness monitor for any labeled embedding corpus,
+    and one Lloyd iteration shy of k-means. Plan: posexplode ->
+    (label, dim) partial-agg shuffle; the rebuilt centroid table is
+    tiny (labels x 1) and broadcast back; distances are scan-local
+    zip_with; final stats one small agg. Per-member distances are
+    rounded 6dp BEFORE the fold so both engines aggregate identical
+    values."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (d.groupBy("label", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("cx")))
+    centv = (cent.groupBy("label")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                 lambda t: t.cx).alias("centroid")))
+    j = emb.join(F.broadcast(centv), "label")
+    dd = F.round(F.sqrt(F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("centroid"),
+                   lambda a, b: F.pow(a.cast("double") - b, F.lit(2))),
+        F.lit(0.0), lambda acc, v: acc + v)), 6)
+    return (j.select("label", dd.alias("dd"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.round(F.avg("dd"), 6).alias("avg_dist"),
+                 F.round(F.max("dd"), 6).alias("max_dist"))
+            .orderBy("label"))
