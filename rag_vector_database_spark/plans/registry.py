@@ -3564,3 +3564,61 @@ def q_label_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("dd"), 6).alias("avg_dist"),
                  F.round(F.max("dd"), 6).alias("max_dist"))
             .orderBy("label"))
+
+
+@register(
+    "resample_fill_forward",
+    oracle="""
+WITH span AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT event_type, h FROM types CROSS JOIN hours),
+obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         round(max(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+filled AS (
+  SELECT g.event_type, g.h, o.v IS NOT NULL AS observed,
+         last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS UNBOUNDED PRECEDING) AS v
+  FROM grid g LEFT JOIN obs o
+    ON g.event_type = o.event_type AND g.h = o.h
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour, observed, v
+FROM filled ORDER BY event_type, hour
+""")
+def q_resample_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample events onto a dense hourly
+    grid per event type and forward-fill gaps with the last observed
+    hourly value — the align-before-join step for irregular telemetry.
+    The spine derives from the data (agg min/max -> sequence -> explode
+    -> cross join the tiny type dim, all driver-collect-free); the fill
+    is one last(ignorenulls) window per type, which partitions by
+    event_type so the sort parallelizes per series."""
+    e = _events(spark, sf_dir)
+    span = e.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                 F.date_trunc("hour", F.max("ts")).alias("h1"))
+    hours = span.select(F.explode(F.sequence(
+        "h0", "h1", F.expr("interval 1 hour"))).alias("h"))
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    obs = (e.groupBy("event_type",
+                     F.date_trunc("hour", "ts").alias("h"))
+           .agg(F.round(F.max("value"), 6).alias("v")))
+    g = (grid.join(obs, ["event_type", "h"], "left")
+         .withColumn("observed", F.col("v").isNotNull()))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (g.select("event_type",
+                     F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+                     "observed",
+                     F.last("v", ignorenulls=True).over(w).alias("v"))
+            .orderBy("event_type", "hour"))
