@@ -3622,3 +3622,60 @@ def q_resample_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "observed",
                      F.last("v", ignorenulls=True).over(w).alias("v"))
             .orderBy("event_type", "hour"))
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+),
+cohort_size AS (
+  SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM first_seen GROUP BY cohort_w
+),
+j AS (
+  SELECT f.cohort_w,
+         CAST(date_diff('day', f.cohort_w, a.w) // 7 AS BIGINT) AS week_offset,
+         a.user_id
+  FROM first_seen f JOIN active a ON f.user_id = a.user_id
+)
+SELECT strftime(j.cohort_w, '%Y-%m-%d') AS cohort_week,
+       j.week_offset,
+       CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+       round(count(DISTINCT j.user_id) / CAST(s.n_cohort AS DOUBLE), 6)
+           AS retention
+FROM j JOIN cohort_size s ON j.cohort_w = s.cohort_w
+GROUP BY j.cohort_w, j.week_offset, s.n_cohort
+ORDER BY cohort_week, week_offset
+""")
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over the events stream: users grouped
+    by first-activity week, then the fraction still active k weeks
+    later. Two aggregations over the same (user, week) projection —
+    the first-seen table is small (one row per user) and reused for
+    both the join and the cohort denominator."""
+    e = _events(spark, sf_dir)
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts")).alias("cohort_w")))
+    active = (e.select("user_id",
+                       F.date_trunc("week", "ts").alias("w")).distinct())
+    cohort_size = (first_seen.groupBy("cohort_w")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_cohort")))
+    j = (first_seen.join(active, "user_id")
+         .select("cohort_w",
+                 F.floor(F.datediff(F.col("w"), F.col("cohort_w")) / 7)
+                 .cast("long").alias("week_offset"),
+                 "user_id"))
+    return (j.join(F.broadcast(cohort_size), "cohort_w")
+            .groupBy("cohort_w", "week_offset", "n_cohort")
+            .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+            .select(F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+                    "week_offset", "n_active",
+                    F.round(F.col("n_active") / F.col("n_cohort")
+                            .cast("double"), 6).alias("retention"))
+            .orderBy("cohort_week", "week_offset"))

@@ -195,3 +195,26 @@ def test_approx_percentile_brackets_exact_quartiles(spark):
     # cutpoint sits on the boundary between consecutive quartiles
     for q, cut in zip((1, 2, 3), cuts):
         assert exact[q][0] <= cut <= exact[q + 1][1], (q, cut, exact)
+
+
+def test_batch_and_decontaminate_plans(spark):
+    """knn_batch: the query side is broadcast (nested-loop over the
+    corpus scan, no Exchange before scoring) and the partial fold
+    aggregates before the final one. benchmark_decontaminate: the
+    benchmark n-gram dictionary is broadcast, never sort-merge
+    joined."""
+    from rag_vector_database_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+
+    kb = registry.q_knn_batch(spark, sf)
+    plan = kb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # scoring happens before any exchange: the only Exchanges are the
+    # two top-k fold aggregations
+    assert "SortMergeJoin" not in plan
+
+    bd = registry.q_benchmark_decontaminate(spark, sf)
+    bplan = bd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bplan
+    assert "SortMergeJoin" not in bplan
