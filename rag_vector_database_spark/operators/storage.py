@@ -56,3 +56,32 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
         agg_cols=[F.count(F.lit(1)).alias("_partial")],
         final_aggs=[F.sum("_partial").cast("long").alias("cnt")],
         n_salts=n_salts)
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate for a plan, without running a job
+    (same stats source as retrieval.estimate_rows — file-scan plans
+    report real file sizes; in-memory relations a placeholder)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+
+
+def compact(path: str, spark, target_bytes: int = 128 * 1024 * 1024,
+            out_path: str | None = None) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_bytes)`` files (the maintenance job
+    that keeps scan parallelism healthy — thousands of kilobyte files
+    turn a 100 TB scan into a listing + task-overhead problem).
+
+    Reads the dataset, computes the output file count from the plan's
+    size statistics (no data job), and writes with ``coalesce`` —
+    a narrow, shuffle-free re-grouping of input splits. Writes to
+    ``out_path`` (default: ``path + '_compacted'``; in production this
+    is an atomic swap via a metastore table or a manifest). Returns
+    the output file count."""
+    df = spark.read.parquet(path)
+    total = plan_size_bytes(df)
+    n_files = max(1, -(-total // target_bytes))
+    dest = out_path or (path.rstrip("/") + "_compacted")
+    df.coalesce(n_files).write.mode("overwrite").parquet(dest)
+    return n_files

@@ -112,3 +112,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_emb_b")
         spark.sql("DROP TABLE IF EXISTS t_doc_b")
+
+
+def test_compact_small_files(spark, tmp_path):
+    """32 tiny files compact into the stat-derived file count with
+    identical content and no shuffle (coalesce is narrow)."""
+    import glob
+    from rag_vector_database_spark.operators.storage import compact
+
+    src = str(tmp_path / "frag")
+    spark.range(0, 10_000).withColumn("v", F.col("id") * 2) \
+        .repartition(32).write.parquet(src)
+    assert len(glob.glob(src + "/part-*.parquet")) == 32
+
+    n = compact(src, spark, target_bytes=1 << 30)  # everything fits in 1
+    out = src + "_compacted"
+    assert n == 1
+    assert len(glob.glob(out + "/part-*.parquet")) == 1
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(out).orderBy("id").collect()
+    assert a == b
