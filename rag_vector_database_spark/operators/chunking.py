@@ -140,3 +140,32 @@ def dd_chunk_cte(size: int, overlap: int,
     WHERE length(trim({text})) > 0
   ) b, unnest(generate_series(1, b.total_chunks)) AS n(chunk_number)
 """
+
+
+try:  # Python UDTFs: Spark >= 3.5 (this repo targets Spark 4)
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="chunk_number int, chunk_text string, chunk_len int")
+    class ChunkSpansUDTF:
+        """Table-function form of the hard-stride chunker — one input
+        row fans out to total_chunks output rows. Same integer chunk
+        law as ``chunk_documents``; exists to exercise Spark's Python
+        UDTF surface (the reference's splitter is a per-doc generator,
+        chunk_cisa_kev.py:32-37 — a UDTF is its direct Spark analog).
+        The expression pipeline above remains the production path; a
+        row-at-a-time Python UDTF is the slow lane, for sampled slices
+        and API parity only."""
+
+        def eval(self, text, size, overlap):
+            if text is None or not text.strip():
+                return
+            stride = size - overlap
+            n = len(text)
+            total = 1 if n <= size else (n - size + stride - 1) // stride + 1
+            for i in range(1, total + 1):
+                c = text[(i - 1) * stride:(i - 1) * stride + size]
+                yield i, c, len(c)
+
+    HAVE_UDTF = True
+except ImportError:  # pragma: no cover
+    HAVE_UDTF = False

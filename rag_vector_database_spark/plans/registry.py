@@ -3679,3 +3679,28 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_active") / F.col("n_cohort")
                             .cast("double"), 6).alias("retention"))
             .orderBy("cohort_week", "week_offset"))
+
+
+@register(
+    "chunk_spans_udtf",
+    oracle="""
+WITH chunks AS ({cte})
+SELECT doc_id, chunk_number, chunk_text, chunk_len
+FROM chunks
+""".format(cte=chunking.dd_chunk_cte(
+        120, 20,
+        table="(SELECT * FROM documents WHERE doc_id % 11 = 0)")))
+def q_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker through Spark's Python UDTF surface (lateral table
+    function), on a sampled slice — API-parity twin of chunk_documents
+    sharing its oracle CTE. The expression pipeline stays the
+    production path; this proves the row-generator extension point
+    (SURVEY #63 noted the reference has no UDTF — Spark 4 adds one,
+    so the surface matrix covers it)."""
+    spark.udtf.register("chunk_spans", chunking.ChunkSpansUDTF)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, s.chunk_number, s.chunk_text, s.chunk_len
+        FROM udtf_docs d, LATERAL chunk_spans(d.text, 120, 20) s
+    """)
