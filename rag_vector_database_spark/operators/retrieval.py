@@ -246,3 +246,42 @@ def knn_batch_topk(corpus: DataFrame, queries: DataFrame, k: int,
         scored.withColumn("__salt", F.pmod(F.col(id_col), F.lit(n_salts))),
         [query_id_col, "__salt"]).drop("__salt")
     return fold(partial, [query_id_col])
+
+
+def bm25_topk(docs: DataFrame, query_text: str, k: int,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75,
+              ndigits: int = 6) -> DataFrame:
+    """Sparse lexical retrieval: BM25 top-k over a tokenized corpus —
+    the term-match complement to the dense cosine path (the reference
+    retrieves dense-only, query_rag_database.py:144; BM25 is the
+    standard hybrid partner).
+
+    Plan: one explode+groupBy pass builds per-(doc,term) tf; document
+    frequency and the global (N, avgdl) scalars are one-row aggregates
+    cross-joined into the plan (no driver collect); the query's term
+    set is a broadcast semi-filter, so scoring touches only postings
+    of query terms. Final top-k is TakeOrderedAndProject."""
+    q_terms = sorted(set(query_text.split()))
+    toks = T.tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__toks")) \
+               .withColumn("dl", F.size("__toks").cast("double"))
+    tf = (base.select(id_col, "dl", F.explode("__toks").alias("term"))
+          .groupBy(id_col, "dl", "term")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+          .where(F.col("term").isin(q_terms)))
+    df_t = (tf.groupBy("term")
+            .agg(F.countDistinct(id_col).cast("double").alias("df")))
+    glob = base.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * (F.col("tf") * (k1 + 1.0)
+                     / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                            / F.col("avgdl"))))
+    return (tf.join(F.broadcast(df_t), "term")
+            .crossJoin(F.broadcast(glob))
+            .groupBy(id_col)
+            .agg(F.round(F.sum(contrib), ndigits).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.col(id_col))
+            .limit(k))

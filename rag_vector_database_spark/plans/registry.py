@@ -3704,3 +3704,122 @@ def q_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.chunk_number, s.chunk_text, s.chunk_len
         FROM udtf_docs d, LATERAL chunk_spans(d.text, 120, 20) s
     """)
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, CAST(len({tok}) AS DOUBLE) AS dl, {tok} AS toks
+  FROM documents
+),
+qdoc AS (SELECT text FROM documents WHERE doc_id = 0),
+qt AS (SELECT DISTINCT unnest({qtok}) AS term FROM qdoc),
+tfc AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, dl, term
+),
+tfq AS (SELECT t.* FROM tfc t JOIN qt USING (term)),
+dft AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tfq GROUP BY term
+),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base)
+SELECT doc_id,
+       round(sum(ln((g.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / g.avgdl))), 6)
+           AS bm25
+FROM tfq t JOIN dft d USING (term), g
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id
+LIMIT 10
+""".format(tok=DD_TOKENS.format(c="text"), qtok=DD_TOKENS.format(c="text")))
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse BM25 top-10 for the test query (doc 0's text, the same
+    query the dense funnel uses) — k1=1.2, b=0.75."""
+    return retrieval.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        query_text(spark, sf_dir), 10)
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, CAST(len({tok}) AS DOUBLE) AS dl, {tok} AS toks
+  FROM documents
+),
+qdoc AS (SELECT text FROM documents WHERE doc_id = 0),
+qt AS (SELECT DISTINCT unnest({tok}) AS term FROM qdoc),
+tfc AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, dl, term
+),
+tfq AS (SELECT t.* FROM tfc t JOIN qt USING (term)),
+dft AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tfq GROUP BY term
+),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+bm AS (
+  SELECT doc_id,
+         round(sum(ln((g.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / g.avgdl))), 6)
+             AS bm25
+  FROM tfq t JOIN dft d USING (term), g
+  GROUP BY doc_id ORDER BY bm25 DESC, doc_id
+  LIMIT 20
+),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+  FROM bm
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS doc_id, round({dot}, 6) AS score
+  FROM embeddings e, qv
+  ORDER BY score DESC, e.vec_id
+  LIMIT 20
+),
+cosr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r_cos
+  FROM cos
+)
+SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+       round(coalesce(1.0 / (60 + b.r_bm), 0.0)
+             + coalesce(1.0 / (60 + c.r_cos), 0.0), 6) AS rrf
+FROM bmr b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+""".format(tok=DD_TOKENS.format(c="text"),
+           dot=dd_dot("e.embedding", "qv.qv")))
+def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (c=60) of the sparse
+    BM25 top-20 and the dense cosine top-20 for the same query — the
+    standard two-channel RAG retriever the dense-only reference lacks.
+    Both channels end in 20-row lists, so the rank windows and the
+    full outer join are driver-free but trivially small; the corpus
+    work is the two channel scans."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qtext = query_text(spark, sf_dir)
+    qv = query_vector(spark, sf_dir)
+    bm = retrieval.bm25_topk(docs, qtext, 20)
+    bmr = bm.select("doc_id", F.row_number().over(
+        Window.orderBy(F.desc("bm25"), F.col("doc_id"))).alias("r_bm"))
+    cos = retrieval.knn(emb, qv, 20).withColumnRenamed("vec_id", "doc_id")
+    cosr = cos.select("doc_id", F.row_number().over(
+        Window.orderBy(F.desc("score"), F.col("doc_id"))).alias("r_cos"))
+    j = bmr.join(cosr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_cos")), F.lit(0.0)),
+        6)
+    return (j.select("doc_id", rrf.alias("rrf"))
+            .orderBy(F.desc("rrf"), F.col("doc_id"))
+            .limit(10))
