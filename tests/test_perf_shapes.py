@@ -218,3 +218,18 @@ def test_batch_and_decontaminate_plans(spark):
     bplan = bd._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in bplan
     assert "SortMergeJoin" not in bplan
+
+
+def test_bm25_plan_shapes(spark):
+    """BM25's scale contracts: the query-term filter reaches the
+    postings build (no full-vocabulary df aggregation), dimension-side
+    joins broadcast, and the final top-k is TakeOrderedAndProject."""
+    from rag_vector_database_spark.plans import registry
+
+    bm = registry.q_bm25_topk(spark, "/root/testdata/sf0.001")
+    plan = bm._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the isin(query terms) filter appears below the tf aggregation
+    assert plan.count("HashAggregate") >= 2
