@@ -209,7 +209,8 @@ def score_stats(scored: DataFrame, score_col: str = "score",
 def knn_batch_topk(corpus: DataFrame, queries: DataFrame, k: int,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    query_id_col: str = "qid", query_vec_col: str = "qv",
-                   n_salts: int = 8, ndigits: int = 6) -> DataFrame:
+                   n_salts: int = 8, ndigits: int = 6,
+                   pair_filter: Column | None = None) -> DataFrame:
     """Batched kNN: top-k corpus neighbors for MANY query vectors in one
     pass (the offline scoring shape — the reference answers one query at
     a time, Auto_query_rag_database.py:64; batch scoring is its
@@ -225,8 +226,16 @@ def knn_batch_topk(corpus: DataFrame, queries: DataFrame, k: int,
     corpus.
 
     Ties break to the lower corpus id (scores are rounded BEFORE
-    ranking so both engines rank the same values)."""
-    scored = (corpus.crossJoin(F.broadcast(queries))
+    ranking so both engines rank the same values).
+
+    ``pair_filter`` prunes (corpus row, query row) pairs before any
+    scoring — e.g. a label-mismatch predicate turns this into
+    hard-negative mining. It runs inside the broadcast join, so
+    pruned pairs never cost a dot product."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    if pair_filter is not None:
+        joined = joined.where(pair_filter)
+    scored = (joined
               .select(F.col(query_id_col),
                       F.col(id_col),
                       F.round(V.dot(F.col(vec_col), F.col(query_vec_col)),

@@ -3823,3 +3823,277 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.select("doc_id", rrf.alias("rrf"))
             .orderBy(F.desc("rrf"), F.col("doc_id"))
             .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space clustering, semantic dedup, and data-mixing
+# (training-data pipeline ops beyond the reference; SemDeDup recipe)
+
+def _dd_kmeans_cte(k: int = 5) -> str:
+    """Shared DuckDB CTE chain replicating clustering.kmeans_assign:
+    seed centroids from the k lowest ids, two (assign, recompute)
+    Lloyd iterations, final assignment `f(vec_id, cl, d2)`. Distances
+    and centroid means are rounded 6dp at exactly the same points as
+    the Spark operator, so both engines iterate on identical values."""
+    dist = ("round(list_reduce(list_transform(generate_series(1, len(e.embedding)), "
+            "i -> pow(CAST(e.embedding[i] AS DOUBLE) - c.cv[i], 2)), "
+            "(acc, v) -> acc + v), 6)")
+    assign = ("SELECT vec_id, cl, d2 FROM ("
+              "SELECT vec_id, cl, d2, row_number() OVER "
+              "(PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM ("
+              "SELECT e.vec_id, c.cl, " + dist + " AS d2 "
+              "FROM embeddings e CROSS JOIN {c} c)) WHERE rn = 1")
+    recompute = ("SELECT cl, list(cx ORDER BY pos) AS cv FROM ("
+                 "SELECT m.cl, u.pos, round(sum(u.x) / count(*), 6) AS cx "
+                 "FROM u JOIN {m} m USING (vec_id) GROUP BY m.cl, u.pos) "
+                 "GROUP BY cl")
+    return f"""
+WITH u AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cl,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {k}
+),
+m1 AS ({assign.format(c="c0")}),
+c1 AS ({recompute.format(m="m1")}),
+m2 AS ({assign.format(c="c1")}),
+c2 AS ({recompute.format(m="m2")}),
+f AS ({assign.format(c="c2")})
+"""
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=_dd_kmeans_cte()
+    + "SELECT vec_id, cl AS cluster, d2 AS dist2 FROM f")
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding column (k=5, 2 iterations,
+    deterministic seeding) — the centroid learner behind IVF indexes
+    and SemDeDup blocking. Scale shape: centroids are plan literals,
+    so every assignment pass is scan-local (NO corpus shuffle, no
+    N x k exchange); each recompute shuffles only k x (dim+1)
+    map-side-combined partial sums, and the driver collects k rows
+    per iteration — bounded by k, never by corpus size."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    return CL.kmeans_assign(emb, k=5, iters=2) \
+        .select("vec_id", "cluster", "dist2")
+
+
+@register(
+    "semantic_dedup",
+    oracle=_dd_kmeans_cte() + """
+, p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.d2 AS da, b.d2 AS db,
+         a.cl, round({dot}, 6) AS cosine
+  FROM f a JOIN f b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({dot}, 6) >= 0.42
+)
+SELECT CASE WHEN da > db OR (da = db AND id_a > id_b)
+            THEN id_a ELSE id_b END AS vec_id,
+       cl AS cluster,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(cosine) AS max_cosine
+FROM p GROUP BY 1, 2
+""".format(dot=dd_dot("ea.embedding", "eb.embedding")))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-blocked cosine pruning.
+    Pairs above threshold inside each LEARNED cluster mark the member
+    farther from its centroid as removed. Unlike the fixed sign-bucket
+    blocks of cosine_neardup_blocked, cluster granularity here scales
+    with the corpus (k ~ sqrt(N)), keeping the within-block quadratic
+    term bounded; the cluster key co-locates each block's pairs."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    return CL.semantic_dedup(emb, k=5, iters=2, threshold=0.42)
+
+
+@register(
+    "hard_negatives",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 8
+),
+scored AS (
+  SELECT q.qid, c.vec_id, round({dot}, 6) AS score
+  FROM c CROSS JOIN q
+  WHERE c.label <> q.qlabel
+),
+ranked AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, score FROM ranked WHERE rn <= 5
+""".format(dot=dd_dot("c.embedding", "q.qv")))
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding training: per query, the
+    top-5 most similar corpus vectors with a DIFFERENT label — the
+    highest-value contrastive negatives. Same broadcast + salted
+    two-phase top-k fold as knn_batch; the label-mismatch predicate
+    runs inside the broadcast join, so same-label pairs never cost a
+    dot product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv"),
+                       F.col("label").alias("qlabel")))
+    corpus = emb.where(F.col("vec_id") >= 8)
+    return retrieval.knn_batch_topk(
+        corpus, queries, 5,
+        pair_filter=F.col("label") != F.col("qlabel"))
+
+
+@register(
+    "domain_mixture_weights",
+    oracle="""
+WITH s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(total_chars) AS BIGINT) AS corpus_chars
+  FROM s
+)
+SELECT lang, n_docs, total_chars,
+       round(total_chars / CAST(corpus_chars AS DOUBLE), 6) AS char_frac,
+       round((corpus_chars / CAST(n_langs AS DOUBLE)) / total_chars, 6)
+         AS weight
+FROM s CROSS JOIN t ORDER BY lang
+""")
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-language sampling multiplier that
+    rebalances the corpus to a uniform char budget per domain
+    (weight = target_frac / actual_frac) — the static mixture step of
+    any pretraining data recipe. One map-side-combined agg to lang
+    granularity; the one-row totals re-join is a broadcast of a
+    single row, so corpus cost is exactly one scan."""
+    d = _t(spark, sf_dir, "documents")
+    s = (d.groupBy("lang")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("n_chars").cast("long").alias("total_chars")))
+    t = s.agg(F.count(F.lit(1)).cast("long").alias("n_langs"),
+              F.sum("total_chars").cast("long").alias("corpus_chars"))
+    j = s.crossJoin(F.broadcast(t))
+    return (j.select(
+        "lang", "n_docs", "total_chars",
+        F.round(F.col("total_chars") / F.col("corpus_chars").cast("double"),
+                6).alias("char_frac"),
+        F.round((F.col("corpus_chars") / F.col("n_langs").cast("double"))
+                / F.col("total_chars"), 6).alias("weight"))
+        .orderBy("lang"))
+
+
+@register(
+    "ivf_kmeans_knn",
+    oracle=_dd_kmeans_cte() + """
+, qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (
+  SELECT c.cl,
+         round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+               i -> pow(CAST(q.qv[i] AS DOUBLE) - c.cv[i], 2)),
+             (acc, v) -> acc + v), 6) AS d2
+  FROM c2 c CROSS JOIN qe q
+),
+probes AS (
+  SELECT cl FROM (
+    SELECT cl, row_number() OVER (ORDER BY d2, cl) AS rn FROM qd)
+  WHERE rn <= 2
+)
+SELECT e.vec_id, round({dot}, 6) AS score
+FROM embeddings e
+JOIN f ON f.vec_id = e.vec_id
+JOIN probes p ON f.cl = p.cl
+CROSS JOIN qe q
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+""".format(dot=dd_dot("e.embedding", "q.qv")))
+def q_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with a LEARNED k-means coarse quantizer probing 2
+    of 5 cells — the FAISS-IVF layout (vs ivf_knn's fixed sign
+    buckets). Centroids and the probe set are constant-folded plan
+    literals, so cell selection is scan-local; partitioned-by-cluster
+    storage turns the same filter into file-listing pruning. The
+    oracle replays the full Lloyd chain plus the probe argsort."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    return CL.ivf_kmeans_topk(emb, qv, k=10, n_probe=2, n_clusters=5)
+
+
+@register(
+    "leakage_safe_split",
+    oracle=("WITH RECURSIVE " + _DD_MH_CTES + ",\n"
+            + "pairs AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+            + """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+cc AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY id),
+asn AS (
+  SELECT d.doc_id,
+         COALESCE(cc.cluster_id, CAST(d.doc_id AS BIGINT)) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+           % 100 AS bucket
+  FROM asn
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM b GROUP BY 1
+"""))
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the unit of assignment is
+    the NEAR-DUP CLUSTER, not the document — every MinHash-connected
+    component lands whole in one split (hash of the cluster id), so
+    near-duplicates can never straddle train and test. Singleton docs
+    hash by their own id. Scale shape: the cluster map covers only
+    docs that appear in a dup pair (tiny vs the corpus), so the left
+    join broadcasts; everything else is the scan-local bucket
+    projection of dataset_split."""
+    from ..functions.hashing import md5_long
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    cc = dedup.connected_components(pairs)
+    asn = (d.join(F.broadcast(cc), d.doc_id == cc.id, "left")
+           .select(d.doc_id,
+                   F.coalesce(F.col("cluster_id"),
+                              F.col("doc_id").cast("long"))
+                   .alias("cluster_id")))
+    bucket = md5_long(F.col("cluster_id").cast("string")) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (asn.select(split.alias("split"), "doc_id", "cluster_id")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("cluster_id").cast("long")
+                 .alias("n_clusters")))

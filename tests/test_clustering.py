@@ -1,0 +1,134 @@
+"""k-means / SemDeDup invariants: assignment completeness, Lloyd
+monotonicity, scan-local assignment plan, dedup keep-rule, and the
+label-mismatch guarantee of hard-negative mining."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_vector_database_spark.operators import clustering, retrieval
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_kmeans_assigns_every_row_once(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    asn = clustering.kmeans_assign(emb, k=5, iters=2)
+    n = emb.count()
+    assert asn.count() == n
+    assert asn.select("vec_id").distinct().count() == n
+    stats = asn.agg(F.min("dist2"), F.min("cluster"), F.max("cluster")).first()
+    assert stats[0] >= 0.0
+    assert 0 <= stats[1] and stats[2] <= 4
+
+
+def test_kmeans_inertia_non_increasing(spark, sf_dir):
+    """Lloyd's guarantee: total inertia never goes up with more
+    iterations (6dp rounding can add ~1e-6 jitter per row)."""
+    emb = _emb(spark, sf_dir)
+    inertias = [
+        clustering.kmeans_assign(emb, k=5, iters=i)
+        .agg(F.sum("dist2")).first()[0]
+        for i in (0, 1, 2)]
+    eps = 1e-3
+    assert inertias[1] <= inertias[0] + eps
+    assert inertias[2] <= inertias[1] + eps
+
+
+def test_kmeans_assignment_is_scan_local(spark, sf_dir):
+    """Centroids are plan literals, so the final assignment must be a
+    pure projection over the scan: no Exchange anywhere in the plan."""
+    emb = _emb(spark, sf_dir)
+    asn = clustering.kmeans_assign(emb, k=5, iters=1)
+    plan = asn._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_semantic_dedup_keeps_most_central(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    asn = clustering.kmeans_assign(emb, k=5, iters=2)
+    removed = clustering.semantic_dedup(emb, k=5, iters=2, threshold=0.42)
+    rows = removed.collect()
+    assert len(rows) > 0
+    assert all(r["n_pairs"] >= 1 and r["max_cosine"] >= 0.42 for r in rows)
+    # every removed id exists in the assignment, under the same cluster
+    j = (removed.alias("r")
+         .join(asn.alias("a"), "vec_id")
+         .where(F.col("r.cluster") != F.col("a.cluster")))
+    assert j.count() == 0
+    # the removal rule drops the farther-from-centroid member, so at
+    # least one member of each cluster's dup set must survive
+    surv = (asn.join(removed.select("vec_id"), "vec_id", "left_anti")
+            .groupBy("cluster").count())
+    assert surv.where(F.col("count") == 0).count() == 0
+
+
+def test_hard_negatives_all_cross_label(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv"),
+                       F.col("label").alias("qlabel")))
+    corpus = emb.where(F.col("vec_id") >= 8)
+    out = retrieval.knn_batch_topk(
+        corpus, queries, 5,
+        pair_filter=F.col("label") != F.col("qlabel"))
+    labels = emb.select("vec_id", "label")
+    qlab = labels.withColumnRenamed("vec_id", "qid") \
+                 .withColumnRenamed("label", "qlabel")
+    j = (out.join(labels, "vec_id").join(qlab, "qid"))
+    assert j.where(F.col("label") == F.col("qlabel")).count() == 0
+    per_q = out.groupBy("qid").count().agg(F.max("count")).first()[0]
+    assert per_q <= 5
+
+
+def test_ivf_kmeans_plan_and_recall(spark, sf_dir):
+    """Learned-quantizer IVF: the plan must stay Exchange-free with a
+    TakeOrderedAndProject top-k and a literal probe filter (no per-row
+    argsort of the centroid table); probing 2/5 cells must still find
+    most of the exact top-10."""
+    from rag_vector_database_spark.plans.registry import query_vector
+    emb = _emb(spark, sf_dir)
+    qv = query_vector(spark, sf_dir)
+    out = clustering.ivf_kmeans_topk(emb, qv, k=10, n_probe=2,
+                                     n_clusters=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "array_sort" not in plan  # probe set folded to literals
+    ivf_ids = {r["vec_id"] for r in out.collect()}
+    exact_ids = {r["vec_id"]
+                 for r in retrieval.knn(emb, qv, 10).collect()}
+    assert len(ivf_ids & exact_ids) >= 6
+
+
+def test_leakage_safe_split_no_cluster_straddles(spark, sf_dir):
+    """The whole point of cluster-level splitting: every near-dup
+    cluster must land in exactly one split."""
+    from rag_vector_database_spark.functions.hashing import md5_long
+    from rag_vector_database_spark.operators import dedup
+    from rag_vector_database_spark.plans.registry import _MH
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(
+        d, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    cc = dedup.connected_components(pairs)
+    asn = (d.join(cc, d.doc_id == cc.id, "left")
+           .select(d.doc_id,
+                   F.coalesce(F.col("cluster_id"),
+                              F.col("doc_id").cast("long"))
+                   .alias("cluster_id")))
+    bucket = md5_long(F.col("cluster_id").cast("string")) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    per_cluster = (asn.select("cluster_id", split.alias("split"))
+                   .groupBy("cluster_id")
+                   .agg(F.countDistinct("split").alias("n_splits")))
+    assert per_cluster.where(F.col("n_splits") > 1).count() == 0
+    # and the multi-doc clusters exist, so the invariant is non-vacuous
+    sizes = asn.groupBy("cluster_id").count()
+    assert sizes.where(F.col("count") > 1).count() > 0
