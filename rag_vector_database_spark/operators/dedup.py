@@ -360,3 +360,66 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
             .withColumn("overlap_frac",
                         F.round(F.col("n_shared") / F.col("n_shingles"), 6)))
+
+
+def duplicated_ngram_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                           text_col: str = "text",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Cross-document exact-substring dedup (the ExactSubstr recipe of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find token ``n``-grams that occur in >= ``min_docs``
+    DISTINCT documents, then report per document how much of its text
+    those duplicated spans cover. Downstream either drops high-coverage
+    docs or cuts the spans out.
+
+    The suffix-array construction of the paper is a single-machine
+    shape; the distributed equivalent is this gram-hash join:
+
+    1. scan-local: tokenize, slide an ``n`` window, hash each gram to a
+       60-bit key — only (key, position, hash) rows ever leave the scan,
+       never gram text;
+    2. one map-side-combined groupBy on the gram hash keeps hashes seen
+       in >= ``min_docs`` docs (the dup dictionary — tiny vs the gram
+       stream, exactly like contamination_overlap's benchmark side);
+    3. join the gram stream back to the dup dictionary (AQE turns this
+       into a broadcast join when the dictionary is small) and
+       union-merge overlapping [p, p+n) intervals per doc with one
+       lag window: a gram at position p adds min(n, p - prev_p) newly
+       covered tokens, because sorted starts make coverage ends
+       monotone.
+
+    Returns one row per document that contains at least one duplicated
+    gram: (key, n_tokens, n_dup_grams, dup_covered_tokens, dup_frac).
+    """
+    from pyspark.sql import Window
+
+    tok = (docs
+           .select(F.col(key_col),
+                   tokens(F.lower(F.col(text_col))).alias("__tk"))
+           .where(F.size("__tk") >= n)
+           .select(key_col, "__tk",
+                   F.size("__tk").cast("long").alias("n_tokens")))
+    grams = (tok
+             .select(key_col, "n_tokens", "__tk",
+                     F.explode(F.sequence(
+                         F.lit(0), F.size("__tk") - n)).alias("p"))
+             .select(key_col, "n_tokens", "p",
+                     H.md5_long(F.array_join(
+                         F.slice("__tk", F.col("p") + 1, n), " "),
+                         hex_chars=15).alias("__h")))
+    dup_keys = (grams.groupBy("__h")
+                .agg(F.countDistinct(key_col).alias("__nd"))
+                .where(F.col("__nd") >= min_docs)
+                .select("__h"))
+    hits = grams.join(dup_keys, "__h")
+    w = Window.partitionBy(key_col).orderBy("p")
+    covered = F.when(F.lag("p").over(w).isNull(), F.lit(n)) \
+               .otherwise(F.least(F.lit(n), F.col("p") - F.lag("p").over(w)))
+    return (hits
+            .select(key_col, "n_tokens", covered.alias("__c"))
+            .groupBy(key_col, "n_tokens")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+                 F.sum("__c").cast("long").alias("dup_covered_tokens"))
+            .withColumn("dup_frac",
+                        F.round(F.col("dup_covered_tokens")
+                                / F.col("n_tokens"), 6)))

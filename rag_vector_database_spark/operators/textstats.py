@@ -154,3 +154,50 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
         key_col,
         rolling_hash(F.col("hv")).alias("rk_hash"),
         F.array_min(windows).alias("winnow_min"))
+
+
+def unigram_logprob_quality(docs: DataFrame, vocab_size: int = 200,
+                            text_col: str = "text",
+                            key_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model quality signal (the cheap stand-in for
+    KenLM perplexity filters in web-corpus pipelines): fit an add-one-
+    smoothed unigram model on the corpus itself, then score every doc
+    by mean token log-probability and out-of-vocabulary rate. Low
+    avg_logp / high oov_rate flags boilerplate, non-language, and
+    junk docs for the quality gate.
+
+    Model: vocab = top ``vocab_size`` tokens by corpus frequency (count
+    desc, token asc); p(tok) = (cnt+1)/(N+V+1) for vocab tokens and
+    1/(N+V+1) for any OOV token, N = corpus token count, V = vocab_size.
+
+    Scale shape: token counts are one map-side-combined shuffle; the
+    vocab (top-V) is TakeOrderedAndProject and BROADCASTs with its
+    log-probs back onto the token stream, as does the single-row N —
+    so scoring is a scan-local broadcast join plus one groupBy on the
+    doc key, where partial aggregation collapses each doc's tokens
+    map-side (a doc's tokens never span partitions)."""
+    tk = (docs
+          .select(F.col(key_col),
+                  F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")))
+    cnts = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = cnts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    vocab = (cnts.orderBy(F.desc("cnt"), "tok").limit(vocab_size)
+             .crossJoin(F.broadcast(tot))
+             .select("tok",
+                     F.log((F.col("cnt") + 1)
+                           / (F.col("n_total") + vocab_size + 1))
+                     .alias("logp")))
+    scored = (tk.join(F.broadcast(vocab), "tok", "left")
+              .crossJoin(F.broadcast(tot))
+              .select(key_col,
+                      F.coalesce(
+                          F.col("logp"),
+                          F.log(1.0 / (F.col("n_total") + vocab_size + 1)))
+                      .alias("logp"),
+                      F.col("logp").isNull().cast("int").alias("oov")))
+    return (scored.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tok"),
+                 F.sum("oov").cast("long").alias("n_oov"),
+                 F.round(F.avg("logp"), 6).alias("avg_logp"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tok"), 6)))

@@ -4097,3 +4097,176 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.countDistinct("cluster_id").cast("long")
                  .alias("n_clusters")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc exact-substring dedup, weighted mixture sampling, unigram-LM
+# quality, embedding-distribution monitoring (training-data pipeline ops)
+
+@register(
+    "duplicated_ngram_spans",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+  FROM tok WHERE len(tk) >= 8
+),
+grams AS (
+  SELECT doc_id, n_tokens, p,
+         ('0x' || substring(md5(array_to_string(tk[p+1 : p+8], ' ')),
+                            1, 15))::BIGINT AS h
+  FROM t2, unnest(generate_series(0, len(tk) - 8)) AS u(p)
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.n_tokens, g.p FROM grams g JOIN dup USING (h)),
+cov AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN lag(p) OVER w IS NULL THEN 8
+              ELSE least(8, p - lag(p) OVER w) END AS c
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+)
+SELECT doc_id, n_tokens, CAST(count(*) AS BIGINT) AS n_dup_grams,
+       CAST(sum(c) AS BIGINT) AS dup_covered_tokens,
+       round(sum(c) / CAST(n_tokens AS DOUBLE), 6) AS dup_frac
+FROM cov GROUP BY doc_id, n_tokens
+""")
+def q_duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (Lee et al. 2022): token
+    8-grams occurring in >= 2 distinct docs, merged into per-doc covered
+    spans. The distributed substitute for the paper's suffix array:
+    gram hashes (60-bit, never gram text) shuffle once to build the dup
+    dictionary, the stream re-joins it (broadcast under AQE), and one
+    lag-window merges overlapping intervals. See
+    dedup.duplicated_ngram_spans for the full scale argument."""
+    return dedup.duplicated_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
+@register(
+    "weighted_domain_sample",
+    oracle="""
+WITH s AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(total_chars) AS BIGINT) AS corpus_chars
+  FROM s
+),
+w AS (
+  SELECT lang,
+         round((corpus_chars / CAST(n_langs AS DOUBLE)) / total_chars, 6)
+           AS weight
+  FROM s CROSS JOIN t
+),
+k AS (
+  SELECT d.doc_id, d.lang, w.weight,
+         round(pow(
+           (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            + 1) / 4294967296.0,
+           1.0 / w.weight), 6) AS skey
+  FROM documents d JOIN w USING (lang)
+)
+SELECT doc_id, lang, weight, skey FROM k
+ORDER BY skey DESC, doc_id LIMIT 50
+""")
+def q_weighted_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each doc draws a deterministic uniform u from a 32-bit hash of its
+    id and keeps key u^(1/weight); the global top-k by key IS a weighted
+    sample without replacement. Weights are the uniform-per-language
+    char-budget multipliers of domain_mixture_weights, so this query is
+    the mixture actually APPLIED. Scale shape: the per-lang weight table
+    broadcasts, the key is scan-local arithmetic, and the top-k is
+    TakeOrderedAndProject — no corpus shuffle at any k."""
+    from ..functions.hashing import md5_long
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("total_chars"))
+    t = s.agg(F.count(F.lit(1)).cast("long").alias("n_langs"),
+              F.sum("total_chars").cast("long").alias("corpus_chars"))
+    wts = (s.crossJoin(F.broadcast(t))
+           .select("lang",
+                   F.round((F.col("corpus_chars")
+                            / F.col("n_langs").cast("double"))
+                           / F.col("total_chars"), 6).alias("weight")))
+    u = (md5_long(F.col("doc_id").cast("string")) + 1) / F.lit(4294967296.0)
+    skey = F.round(F.pow(u, 1.0 / F.col("weight")), 6)
+    return (d.join(F.broadcast(wts), "lang")
+            .select("doc_id", "lang", "weight", skey.alias("skey"))
+            .orderBy(F.desc("skey"), "doc_id").limit(50))
+
+
+@register(
+    "unigram_quality",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, unnest({ltok}) AS tok FROM documents
+),
+cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts),
+vocab AS (
+  SELECT tok, ln((cnt + 1) / CAST(n_total + 201 AS DOUBLE)) AS logp
+  FROM (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok LIMIT 200)
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT tk.doc_id,
+         COALESCE(v.logp, ln(1.0 / (t.n_total + 201))) AS logp,
+         CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tk LEFT JOIN vocab v USING (tok) CROSS JOIN tot t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(avg(logp), 6) AS avg_logp,
+       round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM scored GROUP BY doc_id
+""".format(ltok=DD_TOKENS.format(c="lower(text)")))
+def q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit add-one unigram LM quality scores per document (mean
+    token log-prob + OOV rate over a top-200 vocab) — the cheap KenLM-
+    perplexity stand-in of web-corpus quality gates. See
+    textstats.unigram_logprob_quality for the broadcast-model plan."""
+    return textstats.unigram_logprob_quality(
+        _t(spark, sf_dir, "documents"), vocab_size=200)
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+SELECT CAST(i AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(x), 6) AS mean,
+       round(stddev_pop(x), 6) AS sd,
+       round(min(x), 6) AS lo,
+       round(max(x), 6) AS hi
+FROM (
+  SELECT i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+)
+GROUP BY dim ORDER BY dim
+""")
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile (n/mean/std/min/max
+    per coordinate) — the drift monitor run before and after an encoder
+    swap or a re-embedding backfill; collapsed dims (sd~0) and range
+    blowups surface here. Plan: posexplode is scan-local (rows never
+    leave their partition before partial agg), then ONE shuffle of at
+    most dims x partitions partially-aggregated rows — output is
+    bounded by the dimension count, never the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (emb.select(F.posexplode("embedding").alias("pos", "x"))
+            .select((F.col("pos") + 1).cast("int").alias("dim"),
+                    x.alias("x"))
+            .groupBy("dim")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.avg("x"), 6).alias("mean"),
+                 F.round(F.stddev_pop("x"), 6).alias("sd"),
+                 F.round(F.min("x"), 6).alias("lo"),
+                 F.round(F.max("x"), 6).alias("hi"))
+            .orderBy("dim"))

@@ -1,0 +1,83 @@
+"""Invariant tests for the cross-doc substring dedup, weighted mixture
+sampling, unigram-LM quality, and embedding-profile operators (their
+value-level parity vs DuckDB is covered by the registry oracles)."""
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rag_vector_database_spark.operators import dedup, textstats
+
+
+def test_dup_ngram_spans_detects_shared_substring(spark):
+    shared = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=shared + " aaa bbb"),
+        Row(doc_id=2, text="xxx yyy " + shared),
+        Row(doc_id=3, text=" ".join(f"u{i}" for i in range(20))),
+    ])
+    out = dedup.duplicated_ngram_spans(docs, n=8, min_docs=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    # only the two docs sharing the 10-token run appear
+    assert set(rows) == {1, 2}
+    # a 10-token shared run yields 3 overlapping 8-grams covering 10 toks
+    for d in (1, 2):
+        assert rows[d].n_dup_grams == 3
+        assert rows[d].dup_covered_tokens == 10
+    assert abs(rows[1].dup_frac - 10 / 12) < 1e-6
+
+
+def test_dup_ngram_coverage_bounded_by_doc_length(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.duplicated_ngram_spans(docs, n=8, min_docs=2)
+    bad = out.where((F.col("dup_covered_tokens") > F.col("n_tokens"))
+                    | (F.col("dup_frac") > 1.0)
+                    | (F.col("dup_covered_tokens") < 8)).count()
+    assert bad == 0
+
+
+def test_unigram_quality_orders_junk_below_text(spark):
+    common = "the cat sat on the mat and the dog ran to the cat"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=common) for i in range(1, 9)]
+        + [Row(doc_id=9, text="zq9 xv7 qqj kkz wop")])
+    out = {r.doc_id: r for r in
+           textstats.unigram_logprob_quality(docs, vocab_size=10).collect()}
+    # the all-rare doc scores strictly worse and is mostly OOV
+    assert out[9].avg_logp < out[1].avg_logp
+    assert out[9].oov_rate > out[1].oov_rate
+    assert out[1].n_tok == 13
+
+
+def test_unigram_quality_oov_rate_in_unit_interval(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.unigram_logprob_quality(docs, vocab_size=50)
+    bad = out.where((F.col("oov_rate") < 0) | (F.col("oov_rate") > 1)
+                    | (F.col("avg_logp") >= 0)).count()
+    assert bad == 0
+    assert out.count() == docs.where(F.trim("text") != "").count()
+
+
+def test_weighted_sample_favors_rare_language(spark, sf_dir):
+    from rag_vector_database_spark.plans.registry import queries
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = {r["lang"]: r["cnt"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    sample = queries()["weighted_domain_sample"](spark, sf_dir).collect()
+    picked = {}
+    for r in sample:
+        picked[r.lang] = picked.get(r.lang, 0) + 1
+    # upweighted (rare) langs must be over-represented vs their corpus share
+    n = sum(picked.values())
+    tot = sum(corpus.values())
+    rare = min(corpus, key=corpus.get)
+    assert picked.get(rare, 0) / n >= corpus[rare] / tot
+
+
+def test_embedding_dim_stats_shape(spark, sf_dir):
+    from rag_vector_database_spark.plans.registry import queries
+    out = queries()["embedding_dim_stats"](spark, sf_dir).collect()
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == 64
+    assert all(r.n == n_vec for r in out)
+    assert all(r.lo <= r.mean <= r.hi and r.sd >= 0 for r in out)
