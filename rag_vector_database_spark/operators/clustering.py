@@ -171,3 +171,104 @@ def semantic_dedup(emb: DataFrame, k: int = 5, iters: int = 2,
             .groupBy(id_col, "cluster")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
                  F.max("cosine").alias("max_cosine")))
+
+
+def pq_train(emb: DataFrame, m: int = 4, ksub: int = 4, iters: int = 1,
+             dim: int = 64, vec_col: str = "embedding",
+             id_col: str = "vec_id", ndigits: int = 6) -> dict:
+    """Product-quantization codebooks (the PQ of Jegou et al. 2011 /
+    FAISS IVFPQ): split each vector into ``m`` subspaces of dim/m and
+    learn an independent ``ksub``-centroid k-means codebook per
+    subspace, seeding each from the ``ksub`` lowest-id vectors.
+
+    Scale design: all ``m`` codebooks train in ONE scan per iteration —
+    the subspace id is an exploded key, so assignment is a scan-local
+    when-chain over m small literal centroid sets and the recompute is
+    a single map-side-combined groupBy on (subspace, cluster) moving
+    m x ksub x (subdim+1) doubles; the driver collects m x ksub rows
+    per iteration, never the corpus. Returns {subspace: [(cl, cv)]}."""
+    subdim = dim // m
+    spec = F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("sv"))
+        for s in range(m)])
+    sub = (emb.select(F.col(id_col), F.explode(spec).alias("e"))
+           .select(id_col, F.col("e.s").alias("s"), F.col("e.sv").alias("sv")))
+    init = sub.where(F.col(id_col) < ksub)
+    books = {s: [] for s in range(m)}
+    for r in init.collect():
+        books[r["s"]].append((int(r[id_col]),
+                              [float(x) for x in r["sv"]]))
+    books = {s: sorted(v) for s, v in books.items()}
+    for _ in range(iters):
+        best = None
+        for s in range(m):
+            arg = _argmin_centroid(books[s], "sv", ndigits)
+            best = arg if best is None else \
+                F.when(F.col("s") == s, arg).otherwise(best)
+            if s == 0:
+                best = F.when(F.col("s") == 0, arg)
+        means = [F.round(F.sum(F.col("sv")[i].cast("double"))
+                         / F.count(F.lit(1)), ndigits).alias(f"c{i}")
+                 for i in range(subdim)]
+        newc = (sub.select("s", "sv", best.getField("cl").alias("cl"))
+                .groupBy("s", "cl").agg(*means))
+        books = {s: [] for s in range(m)}
+        for r in newc.collect():
+            books[r["s"]].append((int(r["cl"]),
+                                  [r[f"c{i}"] for i in range(subdim)]))
+        books = {s: sorted(v) for s, v in books.items()}
+    return books
+
+
+def pq_adc_topk(emb: DataFrame, qv: list, k: int = 10, m: int = 4,
+                ksub: int = 4, iters: int = 1, vec_col: str = "embedding",
+                id_col: str = "vec_id", ndigits: int = 6) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: encode every vector as
+    m codebook ids (scan-local argmin against codebook literals), build
+    the query's m x ksub distance table ONCE, and score each row as the
+    sum of m table lookups — never touching the raw vector at query
+    time. This is the plan FAISS runs per IVFPQ cell: at 100 TB the
+    codes are 4 bytes/vector vs 256 for the raw floats, the scan is
+    64x lighter, and nothing shuffles (top-k is TakeOrderedAndProject).
+
+    The distance table is evaluated by a 1-row Spark job (same
+    rounding engine as the corpus pass and the DuckDB oracle, see
+    ivf_kmeans_topk's probe-set note). Returns (id, adc) by adc asc."""
+    subdim = len(qv) // m
+    books = pq_train(emb, m=m, ksub=ksub, iters=iters, dim=len(qv),
+                     vec_col=vec_col, id_col=id_col, ndigits=ndigits)
+    dtab_exprs = []
+    for s in range(m):
+        qsub = qv[s * subdim:(s + 1) * subdim]
+        for cl, cv in books[s]:
+            d2 = F.round(F.aggregate(
+                F.zip_with(F.array(*[F.lit(float(x)) for x in qsub]),
+                           F.array(*[F.lit(float(x)) for x in cv]),
+                           lambda a, b: F.pow(a - b, F.lit(2))),
+                F.lit(0.0), lambda acc, v: acc + v), ndigits)
+            dtab_exprs.append(d2.alias(f"d_{s}_{cl}"))
+    drow = emb.sparkSession.range(1).select(*dtab_exprs).first()
+    dtab = {(s, cl): float(drow[f"d_{s}_{cl}"])
+            for s in range(m) for cl, _ in books[s]}
+    # One withColumn per subspace slice, then the summed lookup
+    # when-chains (all scan-local, whole-stage codegen).
+    out = emb
+    terms = []
+    for s in range(m):
+        sv = f"__sv{s}"
+        out = out.withColumn(sv, F.slice(F.col(vec_col),
+                                         s * subdim + 1, subdim))
+        code = _argmin_centroid(books[s], sv, ndigits).getField("cl")
+        lookup = None
+        for cl, _ in reversed(books[s]):
+            term = F.lit(dtab[(s, cl)])
+            lookup = term if lookup is None else \
+                F.when(code == cl, term).otherwise(lookup)
+        terms.append(lookup)
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return (out.select(F.col(id_col), F.round(total, ndigits).alias("adc"))
+            .orderBy("adc", id_col)
+            .limit(k))

@@ -132,3 +132,32 @@ def test_leakage_safe_split_no_cluster_straddles(spark, sf_dir):
     # and the multi-doc clusters exist, so the invariant is non-vacuous
     sizes = asn.groupBy("cluster_id").count()
     assert sizes.where(F.col("count") > 1).count() > 0
+
+
+def test_pq_codebooks_shape_and_determinism(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    books = clustering.pq_train(emb, m=4, ksub=4, iters=1, dim=64)
+    assert set(books) == {0, 1, 2, 3}
+    for s, cents in books.items():
+        assert 1 <= len(cents) <= 4
+        assert all(len(cv) == 16 for _, cv in cents)
+    again = clustering.pq_train(emb, m=4, ksub=4, iters=1, dim=64)
+    assert books == again
+
+
+def test_pq_adc_scan_local_and_approximates_exact(spark, sf_dir):
+    from rag_vector_database_spark.operators import retrieval
+    from rag_vector_database_spark.plans.registry import query_vector
+    emb = _emb(spark, sf_dir)
+    qv = query_vector(spark, sf_dir)
+    top = clustering.pq_adc_topk(emb, qv, k=10, m=4, ksub=4, iters=1)
+    # scoring is code lookups over literals: no Exchange in the plan
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = [r.vec_id for r in top.collect()]
+    assert len(got) == 10
+    # a 4x4x16 codebook is coarse; still, ADC top-10 must overlap the
+    # exact top-20 — the compressed scan finds the true neighborhood
+    exact = {r.vec_id for r in
+             retrieval.knn(emb, qv, 20).collect()}
+    assert len(set(got) & exact) >= 3
