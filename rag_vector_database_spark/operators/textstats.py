@@ -9,7 +9,7 @@ shuffle, oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import distinct_tokens, tokens
@@ -201,3 +201,63 @@ def unigram_logprob_quality(docs: DataFrame, vocab_size: int = 200,
                  F.round(F.avg("logp"), 6).alias("avg_logp"))
             .withColumn("oov_rate",
                         F.round(F.col("n_oov") / F.col("n_tok"), 6)))
+
+
+def bpe_merge_ranks(docs: DataFrame, iters: int = 2, top_n: int = 5,
+                    text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016), the
+    tokenizer-training step of an LLM data pipeline: count adjacent
+    symbol pairs weighted by word frequency, merge the most frequent
+    pair, repeat. Returns the top ``top_n`` pairs of each iteration
+    as (iteration, rank, pair, freq) — iteration i's table is the
+    pair distribution AFTER applying the first i-1 merges.
+
+    Scale design (the HF-tokenizers shape): iterations run over the
+    WORD-FREQUENCY table, not the corpus — one corpus scan builds it
+    (Heaps' law keeps it tiny relative to 100 TB of text), after which
+    each iteration is a pair-explode + map-side-combined groupBy on
+    that small table plus a ONE-ROW broadcast of the winning pair; the
+    merge itself is a scan-local string replace (left-to-right
+    non-overlapping, which IS the greedy BPE merge order).
+
+    Symbols are space-delimited chars with a '</w>' end-of-word mark;
+    a merged pair concatenates its symbols. Ties rank freq desc then
+    pair asc, matching the oracle."""
+    words = (docs
+             .select(F.explode(tokens(F.lower(F.col(text_col))))
+                     .alias("word"))
+             .groupBy("word")
+             .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+             .withColumn("symstr",
+                         F.concat(F.lit(" "),
+                                  F.regexp_replace("word", "(.)", "$1 "),
+                                  F.lit("</w> "))))
+    out = None
+    for it in range(1, iters + 1):
+        syms = F.split(F.trim(F.col("symstr")), " ")
+        pair = F.explode(F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.concat(F.get(syms, i), F.lit(" "),
+                               F.get(syms, i + 1))))
+        pc = (words.select("freq", pair.alias("pair"))
+              .groupBy("pair")
+              .agg(F.sum("freq").cast("long").alias("freq")))
+        ranked = (pc.orderBy(F.desc("freq"), "pair").limit(top_n)
+                  .select(F.lit(it).alias("iteration"),
+                          F.row_number().over(
+                              Window.orderBy(F.desc("freq"), "pair"))
+                          .cast("int").alias("rank"),
+                          "pair", "freq"))
+        out = ranked if out is None else out.unionByName(ranked)
+        if it < iters:
+            best = (pc.orderBy(F.desc("freq"), "pair").limit(1)
+                    .select(F.col("pair").alias("__bp"),
+                            F.regexp_replace("pair", " ", "")
+                            .alias("__merged")))
+            words = (words.crossJoin(F.broadcast(best))
+                     .withColumn(
+                         "symstr",
+                         F.expr("replace(symstr, ' ' || __bp || ' ', "
+                                "' ' || __merged || ' ')"))
+                     .drop("__bp", "__merged"))
+    return out

@@ -4270,3 +4270,126 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("x"), 6).alias("lo"),
                  F.round(F.max("x"), 6).alias("hi"))
             .orderBy("dim"))
+
+
+_DD_PQ_SPACES = "(VALUES (0, 1, 16), (1, 17, 32), (2, 33, 48), (3, 49, 64))"
+
+_DD_PQ_DIST = ("round(list_reduce(list_transform("
+               "generate_series(1, len(e.sv)), "
+               "i -> pow(CAST(e.sv[i] AS DOUBLE) - c.cv[i], 2)), "
+               "(acc, v) -> acc + v), 6)")
+
+_DD_PQ_ASSIGN = ("SELECT vec_id, s, cl FROM ("
+                 "SELECT e.vec_id, e.s, c.cl, row_number() OVER "
+                 "(PARTITION BY e.vec_id, e.s ORDER BY " + _DD_PQ_DIST
+                 + ", c.cl) AS rn FROM sub e JOIN {c} c ON c.s = e.s) "
+                 "WHERE rn = 1")
+
+
+@register(
+    "pq_adc_knn",
+    oracle="""
+WITH sub AS (
+  SELECT e.vec_id, m.s, e.embedding[m.lo : m.hi] AS sv
+  FROM embeddings e CROSS JOIN {spaces} m(s, lo, hi)
+),
+u AS (
+  SELECT vec_id, s, unnest(generate_series(1, len(sv))) AS pos,
+         CAST(unnest(sv) AS DOUBLE) AS x
+  FROM sub
+),
+c0 AS (
+  SELECT s, CAST(vec_id AS BIGINT) AS cl,
+         list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
+  FROM sub WHERE vec_id < 4
+),
+m1 AS ({a0}),
+c1 AS (
+  SELECT s, cl, list(cx ORDER BY pos) AS cv FROM (
+    SELECT m.s, m.cl, u.pos, round(sum(u.x) / count(*), 6) AS cx
+    FROM u JOIN m1 m ON m.vec_id = u.vec_id AND m.s = u.s
+    GROUP BY m.s, m.cl, u.pos)
+  GROUP BY s, cl
+),
+f AS ({a1}),
+qsub AS (
+  SELECT m.s, list_transform(e.embedding[m.lo : m.hi],
+                             x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings e CROSS JOIN {spaces} m(s, lo, hi)
+  WHERE e.vec_id = 0
+),
+dtab AS (
+  SELECT c.s, c.cl,
+         round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+               i -> pow(q.qv[i] - c.cv[i], 2)), (acc, v) -> acc + v), 6) AS d
+  FROM c1 c JOIN qsub q ON q.s = c.s
+)
+SELECT f.vec_id, round(list_reduce(list(d.d ORDER BY f.s),
+                                   (a, b) -> a + b), 6) AS adc
+FROM f JOIN dtab d ON d.s = f.s AND d.cl = f.cl
+GROUP BY f.vec_id ORDER BY adc, vec_id LIMIT 10
+""".format(spaces=_DD_PQ_SPACES,
+           a0=_DD_PQ_ASSIGN.format(c="c0"),
+           a1=_DD_PQ_ASSIGN.format(c="c1")))
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (Jegou et al. 2011, the FAISS
+    IVFPQ residual-free variant): 4 subspaces x 4 centroids learned in
+    one scan per Lloyd iteration, vectors encoded to 4 codebook ids,
+    query scored via a literal 4x4 distance table — 4 bytes touched
+    per vector at query time instead of 256. The oracle replays the
+    subspace-keyed Lloyd chain, the distance table, and the table-sum
+    in the same rounded arithmetic. See clustering.pq_adc_topk."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    return CL.pq_adc_topk(emb, qv, k=10, m=4, ksub=4, iters=1)
+
+
+_DD_BPE_PAIRS = """
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS freq FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, len(a) - 1),
+                 i -> a[i] || ' ' || a[i + 1])) AS pair
+    FROM (SELECT freq, regexp_split_to_array(trim(symstr), ' ') AS a
+          FROM {w}))
+  GROUP BY pair
+"""
+
+
+@register(
+    "bpe_merges",
+    oracle="""
+WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS symstr
+  FROM (SELECT unnest({ltok}) AS word FROM documents)
+  GROUP BY word
+),
+p1 AS ({p1}),
+b1 AS (SELECT pair FROM p1 ORDER BY freq DESC, pair LIMIT 1),
+w2 AS (
+  SELECT w.word, w.freq,
+         replace(w.symstr, ' ' || b1.pair || ' ',
+                 ' ' || replace(b1.pair, ' ', '') || ' ') AS symstr
+  FROM w CROSS JOIN b1
+),
+p2 AS ({p2}),
+r1 AS (SELECT 1 AS iteration, CAST(rn AS INT) AS rank, pair, freq
+       FROM (SELECT pair, freq, row_number() OVER
+             (ORDER BY freq DESC, pair) AS rn FROM p1) WHERE rn <= 5),
+r2 AS (SELECT 2 AS iteration, CAST(rn AS INT) AS rank, pair, freq
+       FROM (SELECT pair, freq, row_number() OVER
+             (ORDER BY freq DESC, pair) AS rn FROM p2) WHERE rn <= 5)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+""".format(ltok=DD_TOKENS.format(c="lower(text)"),
+           p1=_DD_BPE_PAIRS.format(w="w"),
+           p2=_DD_BPE_PAIRS.format(w="w2")))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first two merge iterations (Sennrich et
+    al. 2016): top-5 adjacent-symbol pairs before and after applying
+    the first learned merge. Iterations run over the word-frequency
+    table (one corpus scan total, Heaps-law small), the winning pair
+    broadcasts as one row, and the merge is a scan-local string
+    replace whose left-to-right non-overlap IS greedy BPE. See
+    textstats.bpe_merge_ranks."""
+    return textstats.bpe_merge_ranks(
+        _t(spark, sf_dir, "documents"), iters=2, top_n=5)

@@ -81,3 +81,22 @@ def test_embedding_dim_stats_shape(spark, sf_dir):
     assert len(out) == 64
     assert all(r.n == n_vec for r in out)
     assert all(r.lo <= r.mean <= r.hi and r.sd >= 0 for r in out)
+
+
+def test_bpe_merges_greedy_and_weighted(spark):
+    # corpus: "aaab" x3, "ab" x2 -> char pairs weighted by word freq
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aaab aaab ab"),
+         Row(doc_id=2, text="aaab ab")])
+    out = textstats.bpe_merge_ranks(docs, iters=2, top_n=3).collect()
+    it1 = {r.pair: r.freq for r in out if r.iteration == 1}
+    # "aaab"(x3): pairs (a,a)x2,(a,b),(b,</w>); "ab"(x2): (a,b),(b,</w>)
+    assert it1["a a"] == 6 and it1["a b"] == 5
+    best1 = min(it1, key=lambda p: (-it1[p], p))
+    assert best1 == "a a"
+    # after merging (a,a): "aaab" -> [aa, a, b, </w>] (greedy leftmost),
+    # so (aa,a) appears 3x and (a,b) keeps the 5 from both words
+    it2 = {r.pair: r.freq for r in out if r.iteration == 2}
+    assert it2["aa a"] == 3
+    assert it2["a b"] == 5
+    assert "a a" not in it2
