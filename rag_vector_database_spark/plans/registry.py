@@ -4393,3 +4393,91 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     textstats.bpe_merge_ranks."""
     return textstats.bpe_merge_ranks(
         _t(spark, sf_dir, "documents"), iters=2, top_n=5)
+
+
+@register(
+    "minhash_recall_eval",
+    oracle=("WITH " + _DD_MH_CTES + ",\n"
+            + "pairs AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+            + """ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+        ELSE 0.0 END >= {th}
+),
+j AS (
+  SELECT e.id_a IS NOT NULL AS in_ex, p.id_a IS NOT NULL AS in_mh
+  FROM ex e FULL JOIN pairs p
+    ON e.id_a = p.id_a AND e.id_b = p.id_b
+)
+SELECT CAST(sum(CASE WHEN in_ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       CAST(sum(CASE WHEN in_ex AND in_mh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       round(sum(CASE WHEN in_ex AND in_mh THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN in_ex THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS recall,
+       round(sum(CASE WHEN in_ex AND in_mh THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS precision
+FROM j
+""".format(th=_MH["threshold"])))
+def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: MinHash+LSH pair recall/precision
+    against the exact-Jaccard ground truth at the same threshold —
+    the measure-don't-guess gate run before trusting a banding config
+    at scale. The exact side is quadratic BY DESIGN (an eval on a
+    sampled slice in production; the full corpus here is the sample).
+    Precision is 1.0 by construction (LSH candidates are exact-
+    verified); recall quantifies banding misses."""
+    d = _t(spark, sf_dir, "documents")
+    ex = dedup.ngram_jaccard_pairs(
+        d, shingle_n=_MH["shingle_n"],
+        threshold=_MH["threshold"]).select("id_a", "id_b")
+    mh = dedup.minhash_lsh_pairs(
+        d, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"]).select("id_a", "id_b")
+    j = (ex.withColumn("in_ex", F.lit(1))
+         .join(mh.withColumn("in_mh", F.lit(1)),
+               ["id_a", "id_b"], "full")
+         .select(F.coalesce(F.col("in_ex"), F.lit(0)).alias("in_ex"),
+                 F.coalesce(F.col("in_mh"), F.lit(0)).alias("in_mh")))
+    n_ex = F.sum("in_ex").cast("long")
+    n_mh = F.sum("in_mh").cast("long")
+    n_co = F.sum(F.col("in_ex") * F.col("in_mh")).cast("long")
+    return j.agg(n_ex.alias("n_exact"), n_mh.alias("n_lsh"),
+                 n_co.alias("n_common"),
+                 F.round(n_co / n_ex.cast("double"), 6).alias("recall"),
+                 F.round(n_co / n_mh.cast("double"), 6).alias("precision"))
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM events c JOIN events p ON p.user_id = c.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""")
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#59 extension: watermarked stream-stream interval join (click ->
+    same-user purchase within 30 min), drained via AvailableNow and
+    oracle-checked against the batch self-join — the Kappa-parity
+    check for Structured Streaming's two-sided state management. See
+    streaming.events.click_purchase_join for the state-eviction
+    argument."""
+    s1 = streaming_events.read_events_stream(spark, sf_dir)
+    s2 = streaming_events.read_events_stream(spark, sf_dir)
+    j = streaming_events.click_purchase_join(
+        s1.where(F.col("event_type") == "click"),
+        s2.where(F.col("event_type") == "purchase"))
+    out = j.select(
+        "user_id", "c_id", "p_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"))
+    return streaming_events.run_available_now(out, output_mode="append")

@@ -174,3 +174,28 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     return (events.groupBy("user_id")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
+                        horizon: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join with an event-time interval: each click
+    pairs with the same user's purchases landing within ``horizon``
+    after it — the streaming attribution join. Both sides are
+    watermarked, and the time-bound join condition lets Spark expire
+    buffered state: a click older than (purchase watermark - horizon)
+    can never match again and is evicted, so state is O(events in the
+    horizon window), not O(stream history). The batch twin is the
+    events self-join in plans.registry.q_streaming_stream_join's
+    oracle (Kappa parity)."""
+    c = (clicks
+         .select("user_id", F.col("ts").alias("c_ts"),
+                 F.col("event_id").alias("c_id"))
+         .withWatermark("c_ts", "1 hour"))
+    p = (purchases
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("p_id"))
+         .withWatermark("p_ts", "2 hours"))
+    return c.join(
+        p, F.expr(f"user_id = p_user AND p_ts >= c_ts "
+                  f"AND p_ts <= c_ts + interval {horizon}"))

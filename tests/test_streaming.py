@@ -96,3 +96,33 @@ def test_foreach_batch_upsert_keep_latest(spark, sf_dir, tmp_path):
     want = e.groupBy("user_id").agg(F.max("ts").alias("ts"))
     joined = got.join(want, ["user_id", "ts"])
     assert joined.count() == got.count() == want.count()
+
+
+def test_stream_stream_join_equals_batch_self_join(spark, sf_dir):
+    """Watermarked stream-stream interval join == batch self-join
+    (Kappa parity for two-sided join state)."""
+    s1 = se.read_events_stream(spark, sf_dir)
+    s2 = se.read_events_stream(spark, sf_dir)
+    j = se.click_purchase_join(
+        s1.where(F.col("event_type") == "click"),
+        s2.where(F.col("event_type") == "purchase"))
+    got = se.run_available_now(j.select("user_id", "c_id", "p_id"),
+                               output_mode="append")
+    e = spark.read.schema(se.EVENTS_RAW_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet")
+    e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    c = e.where("event_type = 'click'") \
+        .select("user_id", F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"))
+    p = e.where("event_type = 'purchase'") \
+        .select(F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+    want = c.join(p, (F.col("user_id") == F.col("p_user"))
+                  & (F.col("p_ts") >= F.col("c_ts"))
+                  & (F.col("p_ts") <= F.col("c_ts")
+                     + F.expr("interval 30 minutes"))) \
+        .select("user_id", "c_id", "p_id")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert want.count() > 0
