@@ -90,6 +90,29 @@ def kmeans_assign(emb: DataFrame, k: int = 5, iters: int = 2,
                       best.getField("d2").alias("dist2"))
 
 
+def probe_cells(spark, qv: list, cents: list, n_probe: int,
+                ndigits: int = 6) -> list:
+    """The query's ``n_probe`` nearest coarse cells, by rounded squared
+    L2 then cluster id. Catalyst does not constant-fold lambda
+    expressions, so the argsort is evaluated ONCE as a 1-row job (same
+    Spark arithmetic as the oracle) instead of re-sorting nlist
+    structs per corpus row."""
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    scored = [
+        F.struct(
+            F.round(F.aggregate(
+                F.zip_with(qlit, F.array(*[F.lit(float(x)) for x in cv]),
+                           lambda a, b: F.pow(a - b, F.lit(2))),
+                F.lit(0.0), lambda acc, v: acc + v), ndigits).alias("d2"),
+            F.lit(int(cl)).cast("long").alias("cl"))
+        for cl, cv in cents]
+    probes_expr = F.transform(
+        F.slice(F.array_sort(F.array(*scored)), 1, n_probe),
+        lambda s: s.cl)
+    return [int(c) for c in
+            spark.range(1).select(probes_expr.alias("p")).first()["p"]]
+
+
 def ivf_kmeans_topk(emb: DataFrame, qv: list, k: int = 10,
                     n_probe: int = 2, n_clusters: int = 5, iters: int = 2,
                     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -108,26 +131,10 @@ def ivf_kmeans_topk(emb: DataFrame, qv: list, k: int = 10,
     cents = kmeans_centroids(emb, k=n_clusters, iters=iters,
                              vec_col=vec_col, id_col=id_col,
                              ndigits=ndigits)
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
-    scored = [
-        F.struct(
-            F.round(F.aggregate(
-                F.zip_with(qlit, F.array(*[F.lit(float(x)) for x in cv]),
-                           lambda a, b: F.pow(a - b, F.lit(2))),
-                F.lit(0.0), lambda acc, v: acc + v), ndigits).alias("d2"),
-            F.lit(int(cl)).cast("long").alias("cl"))
-        for cl, cv in cents]
-    probes_expr = F.transform(
-        F.slice(F.array_sort(F.array(*scored)), 1, n_probe),
-        lambda s: s.cl)
-    # Catalyst does not constant-fold lambda expressions, so evaluate
-    # the probe argsort ONCE (1-row job, same Spark arithmetic as the
-    # oracle) instead of re-sorting nlist structs per corpus row.
-    probe_ids = emb.sparkSession.range(1) \
-        .select(probes_expr.alias("p")).first()["p"]
+    probe_ids = probe_cells(emb.sparkSession, qv, cents, n_probe, ndigits)
     best = _argmin_centroid(cents, vec_col, ndigits)
     return (emb.withColumn("cluster", best.getField("cl"))
-            .where(F.col("cluster").isin([int(c) for c in probe_ids]))
+            .where(F.col("cluster").isin(probe_ids))
             .select(F.col(id_col),
                     F.round(V.dot(F.col(vec_col), V.query_vec_lit(qv)),
                             ndigits).alias("score"))
@@ -235,9 +242,25 @@ def pq_adc_topk(emb: DataFrame, qv: list, k: int = 10, m: int = 4,
     The distance table is evaluated by a 1-row Spark job (same
     rounding engine as the corpus pass and the DuckDB oracle, see
     ivf_kmeans_topk's probe-set note). Returns (id, adc) by adc asc."""
-    subdim = len(qv) // m
     books = pq_train(emb, m=m, ksub=ksub, iters=iters, dim=len(qv),
                      vec_col=vec_col, id_col=id_col, ndigits=ndigits)
+    return (pq_score_adc(emb, qv, books, vec_col=vec_col, id_col=id_col,
+                         ndigits=ndigits)
+            .orderBy("adc", id_col)
+            .limit(k))
+
+
+def pq_score_adc(df: DataFrame, qv: list, books: dict,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 ndigits: int = 6) -> DataFrame:
+    """ADC-score ``df`` against trained PQ ``books``: per row, encode
+    each subspace (scan-local argmin against codebook literals) and
+    sum the query's precomputed table distances. Returns (id, adc),
+    unordered — callers rank. The distance table is evaluated by a
+    1-row Spark job (same rounding engine as the corpus pass and the
+    DuckDB oracle, see probe_cells)."""
+    m = len(books)
+    subdim = len(qv) // m
     dtab_exprs = []
     for s in range(m):
         qsub = qv[s * subdim:(s + 1) * subdim]
@@ -248,12 +271,12 @@ def pq_adc_topk(emb: DataFrame, qv: list, k: int = 10, m: int = 4,
                            lambda a, b: F.pow(a - b, F.lit(2))),
                 F.lit(0.0), lambda acc, v: acc + v), ndigits)
             dtab_exprs.append(d2.alias(f"d_{s}_{cl}"))
-    drow = emb.sparkSession.range(1).select(*dtab_exprs).first()
+    drow = df.sparkSession.range(1).select(*dtab_exprs).first()
     dtab = {(s, cl): float(drow[f"d_{s}_{cl}"])
             for s in range(m) for cl, _ in books[s]}
     # One withColumn per subspace slice, then the summed lookup
     # when-chains (all scan-local, whole-stage codegen).
-    out = emb
+    out = df
     terms = []
     for s in range(m):
         sv = f"__sv{s}"
@@ -269,6 +292,34 @@ def pq_adc_topk(emb: DataFrame, qv: list, k: int = 10, m: int = 4,
     total = terms[0]
     for t in terms[1:]:
         total = total + t
-    return (out.select(F.col(id_col), F.round(total, ndigits).alias("adc"))
+    return out.select(F.col(id_col), F.round(total, ndigits).alias("adc"))
+
+
+def ivfpq_topk(emb: DataFrame, qv: list, k: int = 10, n_probe: int = 2,
+               n_clusters: int = 5, coarse_iters: int = 2, m: int = 4,
+               ksub: int = 4, pq_iters: int = 1,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               ndigits: int = 6) -> DataFrame:
+    """IVF + PQ composed — the FAISS IVFPQ layout (by_residual=false
+    variant: global codebooks, no residual re-centering): the learned
+    coarse quantizer prunes the scan to ``n_probe`` cells, then ADC
+    table lookups rank ONLY the surviving rows. At 100 TB this stacks
+    both savings: the cell filter is partition pruning (corpus stored
+    partitioned by cluster), and the rows that do get scored touch
+    4-byte codes, not 256-byte vectors. Both the probe set and the
+    distance table are bounded driver evaluations; nothing shuffles;
+    top-k is TakeOrderedAndProject."""
+    coarse = kmeans_centroids(emb, k=n_clusters, iters=coarse_iters,
+                              vec_col=vec_col, id_col=id_col,
+                              ndigits=ndigits)
+    probes = probe_cells(emb.sparkSession, qv, coarse, n_probe, ndigits)
+    best = _argmin_centroid(coarse, vec_col, ndigits)
+    cand = (emb.withColumn("__cell", best.getField("cl"))
+            .where(F.col("__cell").isin(probes))
+            .drop("__cell"))
+    books = pq_train(emb, m=m, ksub=ksub, iters=pq_iters, dim=len(qv),
+                     vec_col=vec_col, id_col=id_col, ndigits=ndigits)
+    return (pq_score_adc(cand, qv, books, vec_col=vec_col, id_col=id_col,
+                         ndigits=ndigits)
             .orderBy("adc", id_col)
             .limit(k))

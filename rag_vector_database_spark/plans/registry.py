@@ -4481,3 +4481,125 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"))
     return streaming_events.run_available_now(out, output_mode="append")
+
+
+@register(
+    "api_listing_scan",
+    oracle="""
+SELECT i AS seq,
+       substring(md5(CAST(i AS VARCHAR)), 1, 11) AS video_id,
+       'video ' || i AS title,
+       ('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT % 3600
+         AS duration_s,
+       '2024-' || lpad(CAST(1 + ('0x' || substring(md5(CAST(i AS VARCHAR)),
+                        1, 8))::BIGINT % 12 AS VARCHAR), 2, '0')
+               || '-' || lpad(CAST(1 + ('0x' || substring(md5(CAST(i AS VARCHAR)),
+                        1, 8))::BIGINT % 28 AS VARCHAR), 2, '0') AS published
+FROM generate_series(0, 499) t(i)
+WHERE ('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT % 3600 >= 600
+""")
+def q_api_listing_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#6 brought in-engine: the paginated listing API as a Spark 4
+    Python DataSource — one InputPartition per page, so executors pull
+    pages in parallel and the cursor loop becomes a DataFrame scan
+    (sources/api_listing.py; fetch stubbed deterministically, plumbing
+    real). The filter composes on the scan like any source: only
+    listings >= 10 minutes survive."""
+    from ..sources.api_listing import register_api_listing
+    register_api_listing(spark)
+    return (spark.read.format("api_listing")
+            .option("n_items", 500).option("page_size", 50).load()
+            .where(F.col("duration_s") >= 600))
+
+
+def _dd_pq_ctes(pfx: str) -> str:
+    """PQ CTE chain (subspace split, 1 Lloyd iteration per codebook,
+    codes, query distance table) with every CTE name prefixed so it
+    can compose with the coarse-quantizer chain in one WITH clause."""
+    dist = ("round(list_reduce(list_transform("
+            "generate_series(1, len(e.sv)), "
+            "i -> pow(CAST(e.sv[i] AS DOUBLE) - c.cv[i], 2)), "
+            "(acc, v) -> acc + v), 6)")
+    assign = ("SELECT vec_id, s, cl FROM ("
+              "SELECT e.vec_id, e.s, c.cl, row_number() OVER "
+              "(PARTITION BY e.vec_id, e.s ORDER BY " + dist
+              + ", c.cl) AS rn FROM " + pfx + "sub e JOIN {c} c "
+              "ON c.s = e.s) WHERE rn = 1")
+    return """{p}sub AS (
+  SELECT e.vec_id, m.s, e.embedding[m.lo : m.hi] AS sv
+  FROM embeddings e CROSS JOIN {spaces} m(s, lo, hi)
+),
+{p}u AS (
+  SELECT vec_id, s, unnest(generate_series(1, len(sv))) AS pos,
+         CAST(unnest(sv) AS DOUBLE) AS x
+  FROM {p}sub
+),
+{p}c0 AS (
+  SELECT s, CAST(vec_id AS BIGINT) AS cl,
+         list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
+  FROM {p}sub WHERE vec_id < 4
+),
+{p}m1 AS ({a0}),
+{p}c1 AS (
+  SELECT s, cl, list(cx ORDER BY pos) AS cv FROM (
+    SELECT m.s, m.cl, u.pos, round(sum(u.x) / count(*), 6) AS cx
+    FROM {p}u u JOIN {p}m1 m ON m.vec_id = u.vec_id AND m.s = u.s
+    GROUP BY m.s, m.cl, u.pos)
+  GROUP BY s, cl
+),
+{p}f AS ({a1}),
+{p}qsub AS (
+  SELECT m.s, list_transform(e.embedding[m.lo : m.hi],
+                             x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings e CROSS JOIN {spaces} m(s, lo, hi)
+  WHERE e.vec_id = 0
+),
+{p}dtab AS (
+  SELECT c.s, c.cl,
+         round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+               i -> pow(q.qv[i] - c.cv[i], 2)), (acc, v) -> acc + v), 6) AS d
+  FROM {p}c1 c JOIN {p}qsub q ON q.s = c.s
+)""".format(p=pfx, spaces=_DD_PQ_SPACES,
+            a0=assign.format(c=pfx + "c0"),
+            a1=assign.format(c=pfx + "c1"))
+
+
+@register(
+    "ivfpq_knn",
+    oracle=_dd_kmeans_cte()
+    + """, qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (
+  SELECT c.cl,
+         round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+               i -> pow(CAST(q.qv[i] AS DOUBLE) - c.cv[i], 2)),
+             (acc, v) -> acc + v), 6) AS d2
+  FROM c2 c CROSS JOIN qe q
+),
+probes AS (
+  SELECT cl FROM (
+    SELECT cl, row_number() OVER (ORDER BY d2, cl) AS rn FROM qd)
+  WHERE rn <= 2
+),
+"""
+    + _dd_pq_ctes("p")
+    + """
+SELECT pf.vec_id, round(list_reduce(list(d.d ORDER BY pf.s),
+                                    (a, b) -> a + b), 6) AS adc
+FROM pf
+JOIN f ON f.vec_id = pf.vec_id
+JOIN probes pr ON f.cl = pr.cl
+JOIN pdtab d ON d.s = pf.s AND d.cl = pf.cl
+GROUP BY pf.vec_id ORDER BY adc, pf.vec_id LIMIT 10
+""")
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-IVFPQ composed (by_residual=false): learned coarse
+    quantizer prunes to 2 of 5 cells, then PQ ADC table lookups rank
+    only the surviving rows — partition pruning stacked on 64x scan
+    compression. Oracle replays the coarse Lloyd chain, the probe
+    argsort, the subspace-keyed codebook chain, and the table-sum.
+    See clustering.ivfpq_topk."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    return CL.ivfpq_topk(emb, qv, k=10, n_probe=2, n_clusters=5,
+                         coarse_iters=2, m=4, ksub=4, pq_iters=1)

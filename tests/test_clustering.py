@@ -161,3 +161,21 @@ def test_pq_adc_scan_local_and_approximates_exact(spark, sf_dir):
     exact = {r.vec_id for r in
              retrieval.knn(emb, qv, 20).collect()}
     assert len(set(got) & exact) >= 3
+
+
+def test_ivfpq_rows_come_from_probed_cells(spark, sf_dir):
+    from rag_vector_database_spark.plans.registry import query_vector
+    emb = _emb(spark, sf_dir)
+    qv = query_vector(spark, sf_dir)
+    top = clustering.ivfpq_topk(emb, qv, k=10, n_probe=2, n_clusters=5,
+                                coarse_iters=2, m=4, ksub=4, pq_iters=1)
+    got = [r.vec_id for r in top.collect()]
+    assert len(got) == 10
+    coarse = clustering.kmeans_centroids(emb, k=5, iters=2)
+    probes = set(clustering.probe_cells(spark, qv, coarse, 2))
+    asn = {r.vec_id: r.cluster for r in
+           clustering.kmeans_assign(emb, k=5, iters=2).collect()}
+    assert all(asn[v] in probes for v in got)
+    # adc ordering is ascending and deterministic
+    adcs = [r.adc for r in top.collect()]
+    assert adcs == sorted(adcs)

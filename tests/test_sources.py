@@ -137,3 +137,22 @@ def test_load_tables_all_named(spark):
                            "part", "orders", "lineitem", "events",
                            "documents", "embeddings"}
     assert tables["region"].count() > 0
+
+
+def test_api_listing_datasource_pages_are_partitions(spark):
+    from rag_vector_database_spark.sources.api_listing import (
+        register_api_listing)
+    register_api_listing(spark)
+    register_api_listing(spark)  # idempotent re-registration
+    df = (spark.read.format("api_listing")
+          .option("n_items", 120).option("page_size", 50).load())
+    assert df.count() == 120
+    # one InputPartition per page -> ceil(120/50) = 3 scan partitions
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r.seq: r for r in df.collect()}
+    assert len(rows) == 120 and rows[0].video_id == rows[0].video_id
+    # deterministic: a second scan returns identical rows
+    again = {r.seq: r for r in df.collect()}
+    assert all(rows[k] == again[k] for k in rows)
+    assert all(len(r.video_id) == 11 and 0 <= r.duration_s < 3600
+               for r in rows.values())
