@@ -2104,6 +2104,131 @@ def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ship_speed_priority",
+    oracle="""
+SELECT CASE WHEN l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+            THEN 'FAST' ELSE 'SLOW' END AS ship_speed,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+""")
+def q_ship_speed_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional two-way counts per shipping class):
+    the test tables carry no l_shipmode/commitdate, so the class is
+    derived — FAST if shipped within 30 days of the order. The
+    priority split is a pair of conditional sums in ONE aggregation
+    pass; the only shuffle is the orderkey join (AQE-planned), and the
+    shipdate window is pushed to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem") \
+        .where((F.col("l_shipdate") >= "1996-01-01")
+               & (F.col("l_shipdate") < "1997-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    speed = F.when(
+        F.col("l_shipdate") <
+        F.date_add(F.col("o_orderdate").cast("date"), 30),
+        "FAST").otherwise("SLOW")
+    return (li.join(_t(spark, sf_dir, "orders")
+                    .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .groupBy(speed.alias("ship_speed"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                  .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                  .alias("low_line_count")))
+
+
+@register(
+    "small_order_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.half_avg_qty
+""")
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated per-part average): revenue from
+    lines below half their part's average quantity. The correlated
+    rescan becomes ONE partial-agg pass over lineitem (map-side
+    combine shrinks it to a row per part) re-joined on the same
+    partkey — AQE plans both sides of that join from the one shuffle
+    key — and the brand filter rides a broadcast of the tiny part
+    dim. Single-row output."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part") \
+        .where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    avg_q = (li.groupBy("l_partkey")
+             .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty"))
+             .withColumnRenamed("l_partkey", "a_partkey"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(avg_q, li.l_partkey == avg_q.a_partkey)
+            .where(F.col("l_quantity") < F.col("half_avg_qty"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 6)
+                  .alias("avg_yearly")))
+
+
+@register(
+    "suppliers_kept_waiting",
+    oracle="""
+WITH per_order AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l.l_shipdate >
+                 o.o_orderdate + INTERVAL 60 DAY
+               THEN l.l_suppkey END) AS n_late,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+             THEN l.l_suppkey END) AS late_supp
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order po JOIN supplier s ON s.s_suppkey = po.late_supp
+WHERE po.n_supp > 1 AND po.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+""")
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS other-supplier + NOT EXISTS other late
+    supplier): suppliers who were the SOLE late shipper on a
+    multi-supplier finished order. Both correlated EXISTS collapse
+    into one groupBy(orderkey) computing (distinct suppliers, distinct
+    late suppliers, the late supplier) — one shuffle where the
+    textbook plan rescans lineitem twice; 'late' derives from
+    shipdate vs orderdate (no commit/receipt dates in the test
+    tables). Supplier names arrive by broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late_supp = F.when(
+        F.col("l_shipdate") >
+        F.date_add(F.col("o_orderdate").cast("date"), 60),
+        F.col("l_suppkey"))
+    per_order = (li.join(o, li.l_orderkey == o.o_orderkey)
+                 .groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(late_supp).alias("n_late"),
+                      F.max(late_supp).alias("late_supp")))
+    return (per_order
+            .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+            .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(10))
+
+
+@register(
     "events_value_band_join",
     oracle="""
 WITH bands(band, lo, hi) AS (
