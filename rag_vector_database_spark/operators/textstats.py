@@ -261,3 +261,124 @@ def bpe_merge_ranks(docs: DataFrame, iters: int = 2, top_n: int = 5,
                                 "' ' || __merged || ' ')"))
                      .drop("__bp", "__merged"))
     return out
+
+
+def bigrams_all(toks: Column) -> Column:
+    """All adjacent token bigrams (with repeats — an LM counts
+    occurrences, unlike the distinct shingle sets used for dedup).
+    Same slice+join construction as dedup.shingles_from_tokens, minus
+    the array_distinct; the same sequence(1,0)-descends guard applies."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_logprob_quality(docs: DataFrame, vocab_size: int = 200,
+                           text_col: str = "text",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Bigram language-model quality signal — one order up from
+    unigram_logprob_quality and the closest built-in stand-in for the
+    KenLM n-gram perplexity filters of CCNet-style pipelines: fit an
+    add-one-smoothed bigram model on the corpus, then score every doc
+    by mean bigram log-probability and out-of-vocabulary-bigram rate.
+    Word-salad documents score near the OOV floor even when every
+    individual token is common — exactly the junk a unigram model
+    cannot see.
+
+    Model: vocab = top ``vocab_size`` bigrams by corpus frequency
+    (count desc, bigram asc); p(bg) = (cnt+1)/(N+V+1) for vocab
+    bigrams, 1/(N+V+1) otherwise, N = corpus bigram count.
+
+    Scale shape (same as the unigram operator): bigram formation is
+    scan-local (a doc's bigrams never cross partitions); counts are
+    one map-side-combined shuffle; the top-V vocab is
+    TakeOrderedAndProject and BROADCASTs back onto the bigram stream
+    with the single-row N; final per-doc groupBy partial-aggregates
+    map-side."""
+    bg = (docs
+          .select(F.col(key_col),
+                  F.explode(bigrams_all(tokens(F.lower(F.col(text_col)))))
+                  .alias("big")))
+    cnts = bg.groupBy("big").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = cnts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    vocab = (cnts.orderBy(F.desc("cnt"), "big").limit(vocab_size)
+             .crossJoin(F.broadcast(tot))
+             .select("big",
+                     F.log((F.col("cnt") + 1)
+                           / (F.col("n_total") + vocab_size + 1))
+                     .alias("logp")))
+    scored = (bg.join(F.broadcast(vocab), "big", "left")
+              .crossJoin(F.broadcast(tot))
+              .select(key_col,
+                      F.coalesce(
+                          F.col("logp"),
+                          F.log(1.0 / (F.col("n_total") + vocab_size + 1)))
+                      .alias("logp"),
+                      F.col("logp").isNull().cast("int").alias("oov")))
+    return (scored.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.sum("oov").cast("long").alias("n_oov"),
+                 F.round(F.avg("logp"), 6).alias("avg_logp"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_bigrams"), 6)))
+
+
+def gopher_quality_flags(docs: DataFrame, min_words: int = 50,
+                         max_words: int = 100_000,
+                         min_mean_len: float = 3.0,
+                         max_mean_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_alpha_frac: float = 0.8,
+                         min_stop_hits: int = 2,
+                         text_col: str = "text",
+                         key_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    — the rule set MassiveText filtered with, reused by RefinedWeb and
+    Dolma): word-count bounds, mean-word-length window, symbol-to-word
+    ratio (# and ellipsis), fraction of words containing an alphabetic
+    character, and a minimum stopword hit count. Returns the metrics,
+    one 0/1 flag per rule, and the conjunction ``pass_gopher`` — kept
+    separate so downstream can audit WHICH rule rejected a document
+    (the flags are the monitoring dashboard of a filtering run).
+
+    Plan: pure per-row expressions over one scan — no shuffle, no UDF;
+    at 100 TB this runs at parquet-read speed and pushes the projection
+    down to (key, text)."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0),
+                          lambda acc, t: acc + F.length(t))
+    mean_len = F.when(n_words > 0,
+                      sum_len.cast("double") / n_words).otherwise(0.0)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (F.length(text)
+                  - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / 3
+    symbol_ratio = F.when(n_words > 0,
+                          (n_hash + n_ellipsis).cast("double") / n_words
+                          ).otherwise(0.0)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0,
+                        n_alpha.cast("double") / n_words).otherwise(0.0)
+    n_stop = stopword_hits(text, "en")
+    f_words = ((n_words >= min_words) & (n_words <= max_words)).cast("int")
+    f_len = ((mean_len >= min_mean_len)
+             & (mean_len <= max_mean_len)).cast("int")
+    f_sym = (symbol_ratio <= max_symbol_ratio).cast("int")
+    f_alpha = (alpha_frac >= min_alpha_frac).cast("int")
+    f_stop = (n_stop >= min_stop_hits).cast("int")
+    return docs.select(
+        F.col(key_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+        f_words.alias("flag_words"),
+        f_len.alias("flag_mean_len"),
+        f_sym.alias("flag_symbol"),
+        f_alpha.alias("flag_alpha"),
+        f_stop.alias("flag_stop"),
+        (f_words * f_len * f_sym * f_alpha * f_stop).alias("pass_gopher"))

@@ -4728,3 +4728,100 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = query_vector(spark, sf_dir)
     return CL.ivfpq_topk(emb, qv, k=10, n_probe=2, n_clusters=5,
                          coarse_iters=2, m=4, ksub=4, pq_iters=1)
+
+
+@register(
+    "bigram_lm_quality",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, {ltok} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS big
+  FROM tk WHERE len(t) >= 2
+),
+cnts AS (SELECT big, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY big),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts),
+vocab AS (
+  SELECT big, ln((cnt + 1) / CAST(n_total + 201 AS DOUBLE)) AS logp
+  FROM (SELECT big, cnt FROM cnts ORDER BY cnt DESC, big LIMIT 200)
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT bg.doc_id,
+         COALESCE(v.logp, ln(1.0 / (t.n_total + 201))) AS logp,
+         CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END AS oov
+  FROM bg LEFT JOIN vocab v USING (big) CROSS JOIN tot t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(avg(logp), 6) AS avg_logp,
+       round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM scored GROUP BY doc_id
+""".format(ltok=DD_TOKENS.format(c="lower(text)")))
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit add-one BIGRAM LM quality scores per document — the
+    order-2 upgrade of unigram_quality and the built-in stand-in for
+    CCNet/KenLM perplexity gates; word-salad docs whose tokens are all
+    common still land at the OOV floor here. See
+    textstats.bigram_logprob_quality for the broadcast-model plan."""
+    return textstats.bigram_logprob_quality(
+        _t(spark, sf_dir, "documents"), vocab_size=200)
+
+
+_DD_GOPHER_STOPS = "['the','a','of','and','to','in','is','for','on','with']"
+
+@register(
+    "gopher_quality_flags",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         {ltok} AS t,
+         len({ltok}) AS n_words,
+         len(text) - len(replace(text, '#', '')) AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN
+           list_reduce(list_transform(t, s -> len(s)), (a, b) -> a + b)
+             / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN
+           (n_hash + n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0
+         END AS symbol_ratio,
+         CASE WHEN n_words > 0 THEN
+           len(list_filter(t, s -> regexp_matches(s, '[A-Za-z]')))
+             / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_frac,
+         len(list_intersect(list_distinct(list_transform(t, s -> lower(s))),
+                            {stops})) AS n_stop
+  FROM m
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(alpha_frac, 6) AS alpha_frac,
+       CAST(n_stop AS INT) AS n_stop,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS flag_words,
+       CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+         AS flag_mean_len,
+       CAST(symbol_ratio <= 0.1 AS INT) AS flag_symbol,
+       CAST(alpha_frac >= 0.8 AS INT) AS flag_alpha,
+       CAST(n_stop >= 2 AS INT) AS flag_stop,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+         * CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+         * CAST(symbol_ratio <= 0.1 AS INT)
+         * CAST(alpha_frac >= 0.8 AS INT)
+         * CAST(n_stop >= 2 AS INT) AS pass_gopher
+FROM x
+""".format(ltok=DD_TOKENS.format(c="text"),
+           stops=_DD_GOPHER_STOPS))
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set quality filter (Rae et al. 2021 table A1):
+    word-count bounds, mean-word-length window, symbol-to-word ratio,
+    alphabetic-word fraction, stopword minimum — metrics + per-rule
+    0/1 flags + the pass conjunction, all in one scan-local projection
+    (see textstats.gopher_quality_flags)."""
+    return textstats.gopher_quality_flags(_t(spark, sf_dir, "documents"))
