@@ -4825,3 +4825,42 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     0/1 flags + the pass conjunction, all in one scan-local projection
     (see textstats.gopher_quality_flags)."""
     return textstats.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+g AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM e
+),
+i AS (
+  SELECT user_id, event_type, grp, min(ts) AS vf,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM g GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CAST(lead(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL
+            AS INT) AS is_current,
+       n_events
+FROM i
+""")
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals over the event feed: each user's
+    consecutive same-event-type runs collapse to [valid_from, valid_to)
+    rows with an is_current open interval — the history-preserving
+    counterpart of upsert_latest. One shuffle (see
+    history.scd2_intervals for the partitioning-reuse argument)."""
+    from ..operators.history import scd2_intervals
+    return scd2_intervals(_events(spark, sf_dir))

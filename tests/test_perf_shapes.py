@@ -233,3 +233,33 @@ def test_bm25_plan_shapes(spark):
     assert "SortMergeJoin" not in plan
     # the isin(query terms) filter appears below the tf aggregation
     assert plan.count("HashAggregate") >= 2
+
+
+def test_scd2_single_exchange(spark):
+    """scd2_intervals must cluster everything on the key with ONE
+    shuffle: window sort reused by lag + running sum, and the
+    (key, island) groupBy rides the window's hash partitioning
+    (HashPartitioning on a SUBSET of the grouping keys co-locates
+    the groups)."""
+    from rag_vector_database_spark.plans import registry
+
+    df = registry.q_scd2_intervals(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_lm_quality_plans_broadcast_model(spark):
+    """unigram/bigram LM scoring must broadcast the model onto the
+    token stream (no sort-merge join of the corpus against the vocab)
+    and keep gopher_quality_flags scan-local (zero shuffle)."""
+    from rag_vector_database_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+    bg = registry.q_bigram_lm_quality(spark, sf)
+    plan = bg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    gq = registry.q_gopher_quality_flags(spark, sf)
+    gplan = gq._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in gplan and "Join" not in gplan
