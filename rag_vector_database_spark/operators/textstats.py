@@ -382,3 +382,134 @@ def gopher_quality_flags(docs: DataFrame, min_words: int = 50,
         f_alpha.alias("flag_alpha"),
         f_stop.alias("flag_stop"),
         (f_words * f_len * f_sym * f_alpha * f_stop).alias("pass_gopher"))
+
+
+def _word_freq_symstr(docs: DataFrame, text_col: str) -> DataFrame:
+    """Word-frequency table with the space-delimited BPE symbol string
+    (' c h a r s </w> ') that merge learning and encoding both start
+    from. One corpus scan; Heaps' law keeps the result tiny."""
+    return (docs
+            .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .withColumn("symstr",
+                        F.concat(F.lit(" "),
+                                 F.regexp_replace("word", "(.)", "$1 "),
+                                 F.lit("</w> "))))
+
+
+def _apply_best_merge(words: DataFrame) -> DataFrame:
+    """One BPE merge step over the word table: count adjacent symbol
+    pairs (freq-weighted), broadcast the single winning pair, and
+    apply it as a scan-local left-to-right string replace. The
+    size>=2 guard matters once merges can collapse a short word to a
+    single symbol — Spark's sequence(0, -1) DESCENDS instead of
+    yielding empty, which would fabricate null pairs."""
+    syms = F.split(F.trim(F.col("symstr")), " ")
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(syms) - 2),
+                    lambda i: F.concat(F.get(syms, i), F.lit(" "),
+                                       F.get(syms, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    pc = (words.select("freq", F.explode(pairs).alias("pair"))
+          .groupBy("pair")
+          .agg(F.sum("freq").cast("long").alias("pfreq")))
+    best = (pc.orderBy(F.desc("pfreq"), "pair").limit(1)
+            .select(F.col("pair").alias("__bp"),
+                    F.regexp_replace("pair", " ", "").alias("__merged")))
+    return (words.crossJoin(F.broadcast(best))
+            .withColumn("symstr",
+                        F.expr("replace(symstr, ' ' || __bp || ' ', "
+                               "' ' || __merged || ' ')"))
+            .drop("__bp", "__merged"))
+
+
+def bpe_word_segments(docs: DataFrame, n_merges: int = 4,
+                      text_col: str = "text") -> DataFrame:
+    """BPE ENCODING side of the tokenizer (bpe_merge_ranks is the
+    training side): apply ``n_merges`` learned merges in rank order
+    and return each word's final segmentation — (word, freq,
+    segments, n_symbols).
+
+    Scale shape: everything after the initial corpus scan runs on the
+    word-frequency table; each merge is one map-side-combined pair
+    count plus a ONE-ROW broadcast. The returned vocab is the
+    broadcast side of bpe_token_counts."""
+    words = _word_freq_symstr(docs, text_col)
+    for _ in range(n_merges):
+        words = _apply_best_merge(words)
+    seg = F.trim(F.col("symstr"))
+    return words.select(
+        "word", "freq", seg.alias("segments"),
+        F.size(F.split(seg, " ")).cast("int").alias("n_symbols"))
+
+
+def bpe_token_counts(docs: DataFrame, n_merges: int = 4,
+                     text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """Per-document token accounting under the LEARNED BPE tokenizer:
+    join the corpus token stream to the encoded vocab and sum symbol
+    counts — the real token-budget meter of a training-data pipeline
+    (whitespace counts under-estimate; this is what the packer and
+    the cost model consume).
+
+    Plan: vocab is Heaps-law small -> BROADCAST join onto the token
+    stream; one groupBy on the doc key with map-side partials. The
+    corpus is scanned twice (once to fit the vocab, once to score);
+    at 100 TB fit on a sample or persist the token stream."""
+    vocab = bpe_word_segments(docs, n_merges, text_col) \
+        .select("word", "n_symbols")
+    tk = docs.select(F.col(key_col),
+                     F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+    return (tk.join(F.broadcast(vocab), "word")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_symbols").cast("long").alias("n_bpe_tokens"))
+            .withColumn("symbols_per_word",
+                        F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6)))
+
+
+def dsir_importance(docs: DataFrame, target: Column, n_buckets: int = 64,
+                    text_col: str = "text",
+                    key_col: str = "doc_id") -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc
+    by the mean log importance ratio of its hashed bigram features
+    under an add-one model of the TARGET slice vs the RAW corpus.
+    High avg_log_ratio = looks like the target distribution; feed the
+    weights to weighted sampling to tilt a 100 TB crawl toward a
+    quality/domain target.
+
+    Feature space: bigrams hashed into ``n_buckets`` buckets (the
+    paper's hashed n-gram generative model), so both models are
+    ``n_buckets``-row tables regardless of corpus size.
+
+    Plan: one pass builds both bucket-count tables (map-side-combined
+    groupBy over the bigram stream, target side filtered); the
+    log-ratio table BROADCASTs back onto the stream; final per-doc
+    groupBy partial-aggregates map-side. Nothing larger than
+    ``n_buckets`` rows ever sits on the driver side of a join."""
+    from ..functions import hashing as H
+    bg = (docs
+          .select(F.col(key_col), target.cast("int").alias("__t"),
+                  F.explode(bigrams_all(tokens(F.lower(F.col(text_col)))))
+                  .alias("big"))
+          .withColumn("b", H.md5_long(F.col("big")) % n_buckets)
+          .drop("big"))
+    rc = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("rc"))
+    tc = (bg.where(F.col("__t") == 1)
+          .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("tc")))
+    tots = (rc.agg(F.sum("rc").cast("long").alias("nr"))
+            .crossJoin(tc.agg(F.sum("tc").cast("long").alias("nt"))))
+    wt = (rc.join(tc, "b", "left")
+          .crossJoin(F.broadcast(tots))
+          .select("b",
+                  (F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                         / (F.col("nt") + n_buckets))
+                   - F.log((F.col("rc") + 1) / (F.col("nr") + n_buckets)))
+                  .alias("lw")))
+    return (bg.join(F.broadcast(wt), "b")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.round(F.avg("lw"), 6).alias("avg_log_ratio")))

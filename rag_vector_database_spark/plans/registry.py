@@ -4864,3 +4864,83 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     history.scd2_intervals for the partitioning-reuse argument)."""
     from ..operators.history import scd2_intervals
     return scd2_intervals(_events(spark, sf_dir))
+
+
+def _dd_bpe_chain(n_merges: int, ltok: str) -> str:
+    """DuckDB CTE chain replaying ``n_merges`` greedy BPE merges over
+    the word-frequency table — w1 .. w{n+1}, reusing _DD_BPE_PAIRS."""
+    parts = [
+        "w1 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq, "
+        "' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' "
+        "AS symstr FROM (SELECT unnest(" + ltok + ") AS word "
+        "FROM documents) GROUP BY word)"]
+    for i in range(1, n_merges + 1):
+        parts.append(f"p{i} AS ({_DD_BPE_PAIRS.format(w='w%d' % i)})")
+        parts.append(f"b{i} AS (SELECT pair FROM p{i} "
+                     "ORDER BY freq DESC, pair LIMIT 1)")
+        parts.append(
+            f"w{i + 1} AS (SELECT w.word, w.freq, "
+            "replace(w.symstr, ' ' || b.pair || ' ', "
+            "' ' || replace(b.pair, ' ', '') || ' ') AS symstr "
+            f"FROM w{i} w CROSS JOIN b{i} b)")
+    return ",\n".join(parts)
+
+
+_BPE_LTOK = DD_TOKENS.format(c="lower(text)")
+
+@register(
+    "bpe_token_counts",
+    oracle=("WITH " + _dd_bpe_chain(4, _BPE_LTOK) + """,
+v AS (SELECT word,
+             len(regexp_split_to_array(trim(symstr), ' ')) AS ns
+      FROM w5),
+tk AS (SELECT doc_id, unnest(""" + _BPE_LTOK + """) AS word
+       FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(ns) AS BIGINT) AS n_bpe_tokens,
+       round(sum(ns) / CAST(count(*) AS DOUBLE), 6) AS symbols_per_word
+FROM tk JOIN v USING (word) GROUP BY doc_id
+"""))
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token budget under the LEARNED 4-merge BPE tokenizer:
+    encode the vocab by applying merges in rank order, broadcast it
+    onto the token stream, sum symbols per document — the encoding
+    counterpart of bpe_merges and the real token meter of a training
+    pipeline. See textstats.bpe_token_counts."""
+    return textstats.bpe_token_counts(
+        _t(spark, sf_dir, "documents"), n_merges=4)
+
+
+@register(
+    "dsir_importance",
+    oracle="""
+WITH tk AS (SELECT doc_id, lang, {ltok} AS t FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(big), 1, 8))::BIGINT % 64 AS b
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1])) AS big
+        FROM tk WHERE len(t) >= 2)),
+rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM bg GROUP BY b),
+tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM bg
+       WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM rc) AS nr,
+               (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tc) AS nt),
+wt AS (SELECT rc.b,
+              ln((coalesce(tc.tc, 0) + 1) / CAST(nt + 64 AS DOUBLE))
+              - ln((rc.rc + 1) / CAST(nr + 64 AS DOUBLE)) AS lw
+       FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lw), 6) AS avg_log_ratio
+FROM bg JOIN wt USING (b) GROUP BY doc_id
+""".format(ltok=DD_TOKENS.format(c="lower(text)")))
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023) with the
+    'en' slice as the target distribution: hashed-bigram add-one
+    models of target vs raw corpus, per-doc mean log ratio. Both
+    models are 64-row tables broadcast back onto the bigram stream —
+    corpus size never enters a join build side. See
+    textstats.dsir_importance."""
+    return textstats.dsir_importance(
+        _t(spark, sf_dir, "documents"), target=F.col("lang") == "en")

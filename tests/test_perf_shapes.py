@@ -263,3 +263,17 @@ def test_lm_quality_plans_broadcast_model(spark):
     gq = registry.q_gopher_quality_flags(spark, sf)
     gplan = gq._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in gplan and "Join" not in gplan
+
+
+def test_bpe_and_dsir_plans_broadcast(spark):
+    """bpe_token_counts must broadcast the encoded vocab onto the
+    token stream; dsir_importance must broadcast the 64-row bucket
+    models — in neither may the corpus side become a join build or a
+    sort-merge side."""
+    from rag_vector_database_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+    for q in (registry.q_bpe_token_counts, registry.q_dsir_importance):
+        plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "SortMergeJoin" not in plan, q.__name__
