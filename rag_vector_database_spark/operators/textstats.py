@@ -513,3 +513,47 @@ def dsir_importance(docs: DataFrame, target: Column, n_buckets: int = 64,
             .groupBy(key_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
                  F.round(F.avg("lw"), 6).alias("avg_log_ratio")))
+
+
+def cms_heavy_hitters(docs: DataFrame, depth: int = 3, width: int = 32,
+                      top_k: int = 10,
+                      text_col: str = "text") -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    build a depth x width counter sketch over the corpus token stream,
+    then report the true top-``top_k`` tokens with BOTH their exact
+    counts and their CMS estimates — the overestimate column is the
+    sketch's one-sided error made visible (est >= exact always; the
+    eval run before trusting a width at scale).
+
+    Why a sketch at 100 TB: the cells are SUMS, so partial aggregation
+    merges them map-side and the full sketch is depth*width counters
+    regardless of corpus size — same mergeability argument as the
+    HLL/percentile sketches in approx_sketches, but for point
+    frequency queries. Hash row r salts md5 with the row index, so
+    rows are independent in both engines.
+
+    Plan: one explode of the token stream x depth rows -> groupBy of
+    depth*width cells (map-side combined); the sketch and the exact
+    top-k are both tiny and BROADCAST into the estimate join."""
+    from ..functions import hashing as H
+    tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    cells = (tok.select("t", rows)
+             .select("r",
+                     (H.md5_long(F.concat(F.col("r").cast("string"),
+                                          F.col("t"))) % width).alias("b"))
+             .groupBy("r", "b")
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    exact = (tok.groupBy("t")
+             .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), "t").limit(top_k))
+    probes = (exact.select("t", "exact_cnt", rows)
+              .withColumn("b", H.md5_long(
+                  F.concat(F.col("r").cast("string"), F.col("t"))) % width))
+    est = (probes.join(F.broadcast(cells), ["r", "b"])
+           .groupBy("t", "exact_cnt")
+           .agg(F.min("cnt").cast("long").alias("cms_est")))
+    return (est.select(F.col("t").alias("token"), "exact_cnt", "cms_est",
+                       (F.col("cms_est") - F.col("exact_cnt")).cast("long")
+                       .alias("overestimate"))
+            .orderBy(F.desc("exact_cnt"), "token"))

@@ -2682,20 +2682,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies, top-3 terms per doc. The RANKING is integer-only
     (tf desc, df asc, term) so engine float-log differences cannot
     reorder rows; the tfidf value itself is display-rounded. Plan: two
-    shuffles (tf groupBy, df groupBy) + one broadcast-able join on term
-    — no cross join, no collect."""
+    shuffles (tf groupBy, df groupBy) + one broadcast-able join on
+    term — no cross join, no collect; the corpus size enters as a
+    broadcast ONE-ROW aggregate, not an eager driver count() job."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     tf = (tok.groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).cast("long").alias("tf")))
     dfreq = (tok.groupBy("term")
              .agg(F.countDistinct("doc_id").cast("long").alias("df")))
-    n_docs = d.count()  # 1 scalar; scan is metadata-only count
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("__nd"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.col("df"), F.col("term"))
     return (tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(nd))
             .withColumn("tfidf", F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+                F.col("tf") * F.log(F.col("__nd") / F.col("df")), 6))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3)
             .select("doc_id", "term", "tf", "df", "tfidf"))
@@ -4944,3 +4946,61 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     textstats.dsir_importance."""
     return textstats.dsir_importance(
         _t(spark, sf_dir, "documents"), target=F.col("lang") == "en")
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+WITH tok AS (SELECT unnest({ltok}) AS t FROM documents),
+cells AS (
+  SELECT rs.r,
+         ('0x' || substring(md5(CAST(rs.r AS VARCHAR) || t), 1, 8))::BIGINT
+           % 32 AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN (VALUES (0), (1), (2)) rs(r)
+  GROUP BY rs.r, b
+),
+exact AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY t
+  ORDER BY exact_cnt DESC, t LIMIT 10
+),
+est AS (
+  SELECT e.t, CAST(min(c.cnt) AS BIGINT) AS cms_est
+  FROM exact e CROSS JOIN (VALUES (0), (1), (2)) rs(r)
+  JOIN cells c
+    ON c.r = rs.r
+   AND c.b = ('0x' || substring(md5(CAST(rs.r AS VARCHAR) || e.t), 1, 8))
+         ::BIGINT % 32
+  GROUP BY e.t
+)
+SELECT e.t AS token, e.exact_cnt, est.cms_est,
+       CAST(est.cms_est - e.exact_cnt AS BIGINT) AS overestimate
+FROM exact e JOIN est ON est.t = e.t
+ORDER BY exact_cnt DESC, token
+""".format(ltok=DD_TOKENS.format(c="lower(text)")))
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation evaluated against exact
+    counts for the top-10 tokens — the mergeable point-frequency
+    sketch (sums merge map-side; sketch size is depth x width
+    regardless of corpus). See textstats.cms_heavy_hitters."""
+    return textstats.cms_heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "streaming_enrich",
+    oracle="""
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n,
+       round(sum(e.value), 6) AS sum_value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1
+""")
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the watermark-free firehose pattern —
+    event stream broadcast-joined to the static nation dim per
+    micro-batch, aggregated per nation, drained with AvailableNow and
+    Kappa-checked against the batch SQL. See
+    streaming.events.enriched_nation_counts."""
+    stream = streaming_events.read_events_stream(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation")
+    return streaming_events.run_available_now(
+        streaming_events.enriched_nation_counts(stream, nation))

@@ -199,3 +199,21 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
     return c.join(
         p, F.expr(f"user_id = p_user AND p_ts >= c_ts "
                   f"AND p_ts <= c_ts + interval {horizon}"))
+
+
+def enriched_nation_counts(events: DataFrame, nation: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a STATIC
+    dimension (nation, keyed by user_id % 25) and aggregates per
+    nation name — the canonical "enrich the firehose with a dim
+    table" pattern. The static side is broadcast, so each micro-batch
+    does a map-side hash join against an executor-resident table: no
+    stream-side shuffle for the join, no state for it either (only
+    the final aggregation keeps state, bounded by |dim|)."""
+    joined = (events
+              .withColumn("nk", F.pmod(F.col("user_id"), F.lit(25)))
+              .join(F.broadcast(nation),
+                    F.col("nk") == F.col("n_nationkey")))
+    return (joined.groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .withColumnRenamed("n_name", "nation"))
