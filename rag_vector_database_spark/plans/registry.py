@@ -31,12 +31,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long (runtime conf) and floor-convert
-    to a microsecond timestamp — exactly what DuckDB's reader does."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """events.parquet with ts normalized to a microsecond timestamp
+    (handles both the nanos and micros physical encodings)."""
+    from ..session import read_events
+    return read_events(spark, sf_dir)
 
 
 _QVEC_CACHE: dict[str, list[float]] = {}

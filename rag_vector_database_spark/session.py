@@ -48,22 +48,32 @@ def get_spark(app_name: str = "rag-vector-database-spark",
     return builder.getOrCreate()
 
 
+def read_events(spark: SparkSession, sf_dir: str):
+    """Read events.parquet with `ts` normalized to a microsecond
+    session-tz timestamp. The dataset has shipped with two physical
+    encodings for `ts`: TIMESTAMP(NANOS), which Spark's vectorized
+    reader only accepts as a long (nanosAsLong) and we floor-convert —
+    exactly what DuckDB's reader does — and plain TIMESTAMP(MICROS),
+    which reads natively as TIMESTAMP_NTZ. Handle both."""
+    from pyspark.sql import functions as F
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes)["ts"] == "bigint":
+        return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return e.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = (
                     "region", "nation", "customer", "supplier", "part",
                     "orders", "lineitem", "events", "documents",
                     "embeddings")) -> dict:
-    """Load the driver's parquet tables as DataFrames keyed by name.
-    events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
-    rejects — read nanos as long and floor-convert to microseconds
-    (exactly what DuckDB's reader does)."""
-    from pyspark.sql import functions as F
+    """Load the driver's parquet tables as DataFrames keyed by name
+    (events via read_events, which normalizes the ts encoding)."""
     out = {}
     for n in names:
         if n == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            e = spark.read.parquet(f"{sf_dir}/events.parquet")
-            out[n] = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            out[n] = read_events(spark, sf_dir)
         else:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
     return out

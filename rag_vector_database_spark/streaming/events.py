@@ -23,27 +23,17 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType)
-
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) -> read as long
-# under nanosAsLong, converted to a microsecond timestamp below).
-EVENTS_RAW_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
-
+from pyspark.sql.types import LongType, StructField, StructType
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events parquet (one file = one batch
-    of history; in production this is a directory receiving new files)."""
+    of history; in production this is a directory receiving new files).
+    The stream source needs a user-specified schema; probe the footer
+    batch-side so it matches whichever ts encoding this dataset has."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = (spark.readStream.schema(schema)
               .format("parquet")
               # the file stream source requires a directory; sf_dir holds
               # one parquet per table, so glob down to the events file
@@ -51,7 +41,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(sf_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

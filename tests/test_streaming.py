@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rag_vector_database_spark.plans import registry
+from rag_vector_database_spark.session import read_events
 from rag_vector_database_spark.streaming import events as se
 
 
@@ -90,9 +91,7 @@ def test_foreach_batch_upsert_keep_latest(spark, sf_dir, tmp_path):
     # one row per user, and it is that user's max-ts event
     per_user = got.groupBy("user_id").count().where("count > 1").count()
     assert per_user == 0
-    e = spark.read.schema(se.EVENTS_RAW_SCHEMA).parquet(
-        f"{sf_dir}/events.parquet")
-    e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    e = read_events(spark, sf_dir)
     want = e.groupBy("user_id").agg(F.max("ts").alias("ts"))
     joined = got.join(want, ["user_id", "ts"])
     assert joined.count() == got.count() == want.count()
@@ -108,9 +107,7 @@ def test_stream_stream_join_equals_batch_self_join(spark, sf_dir):
         s2.where(F.col("event_type") == "purchase"))
     got = se.run_available_now(j.select("user_id", "c_id", "p_id"),
                                output_mode="append")
-    e = spark.read.schema(se.EVENTS_RAW_SCHEMA).parquet(
-        f"{sf_dir}/events.parquet")
-    e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    e = read_events(spark, sf_dir)
     c = e.where("event_type = 'click'") \
         .select("user_id", F.col("ts").alias("c_ts"),
                 F.col("event_id").alias("c_id"))
