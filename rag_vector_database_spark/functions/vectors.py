@@ -70,6 +70,43 @@ def quantize_int8(a: Column | str) -> Column:
                     F.round(x.cast("double") * 127).cast("int"))))
 
 
+def sign_bit_word(a: Column | str, word: int, word_bits: int = 32) -> Column:
+    """Pack sign bits of one ``word_bits``-wide slice of a float vector
+    into a long: bit i is 1 iff ``a[word*word_bits + i] > 0``
+    (little-endian within the word). 32x smaller than float32 at rest —
+    the binary-quantization lever modern vector stores pull before PQ.
+    Computed as a high-to-low fold (acc*2 + bit), which is exact
+    integer arithmetic and therefore portable to any engine with a
+    list fold; 32-bit words keep every value positive in an int64."""
+    a = F.col(a) if isinstance(a, str) else a
+    lo = word * word_bits
+    return F.aggregate(
+        F.sequence(F.lit(word_bits - 1), F.lit(0), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(F.get(a, F.lit(lo) + i) > 0, 1).otherwise(0))
+
+
+def hamming_words(pairs: list[tuple[Column, int]]) -> Column:
+    """Hamming distance between packed sign-bit words and a literal
+    query signature: sum of bit_count(xor(word, query_word))."""
+    out = F.lit(0)
+    for col, qw in pairs:
+        out = out + F.bit_count(col.bitwiseXOR(F.lit(qw)))
+    return out.cast("int")
+
+
+def pack_sign_bits(vec: list[float], word_bits: int = 32) -> list[int]:
+    """Driver-side twin of sign_bit_word for the query vector."""
+    words = []
+    for w in range(0, len(vec), word_bits):
+        acc = 0
+        for i, x in enumerate(vec[w:w + word_bits]):
+            acc |= (1 << i) if x > 0 else 0
+        words.append(acc)
+    return words
+
+
 def dot_int(a: Column | str, b: Column | str) -> Column:
     """Exact integer dot product of two array<int> columns."""
     a = F.col(a) if isinstance(a, str) else a

