@@ -5263,3 +5263,184 @@ def q_zorder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         storage_ops.zvalue(F.col("l_partkey") % 1024,
                            F.col("l_suppkey") % 1024, bits=10).alias("zv"))
         .orderBy("zv", "l_orderkey", "l_linenumber").limit(20))
+
+
+_DD_RAW_URL = """
+CASE WHEN doc_id % 4 = 0 THEN
+       'HTTPS://WWW.Example.COM/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+     WHEN doc_id % 4 = 1 THEN
+       'HTTPS://WWW.Example.COM/Docs/' || CAST(doc_id % 40 AS VARCHAR) || '/'
+     WHEN doc_id % 4 = 2 THEN
+       'https://www.example.com/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+         || '?utm_source=feed'
+     ELSE
+       'HTTPS://WWW.Example.COM/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+         || '#sec'
+END
+"""
+
+
+@register(
+    "url_canonicalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id, ({raw}) AS url FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      concat(
+        lower(regexp_extract(
+          regexp_replace(regexp_replace(url, '#.*$', ''),
+                         '[?&]utm_[^&#]*', ''),
+          '^(https?://[^/]+)', 1)),
+        regexp_extract(
+          regexp_replace(regexp_replace(url, '#.*$', ''),
+                         '[?&]utm_[^&#]*', ''),
+          '^https?://[^/]+(.*)$', 1)),
+      '/+$', '') AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+       min(doc_id) AS first_doc
+FROM canon GROUP BY canonical_url
+""".format(raw=_DD_RAW_URL))
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-pipeline step before
+    any content dedup (tracking params, host case, trailing slashes
+    and fragments all hide exact duplicates behind distinct strings):
+    strip the fragment, strip utm_* params, lowercase scheme+host
+    (path case is significant and preserved), drop the trailing
+    slash, then count raw variants per canonical URL. URL records are
+    synthesized from documents with all four mess classes. Per-row
+    string expressions + one groupBy on the canonical key — the same
+    shuffle profile as exact_dedup."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    base = F.concat(F.lit("HTTPS://WWW.Example.COM/Docs/"),
+                    (F.col("doc_id") % 40).cast("string"))
+    base_l = F.concat(F.lit("https://www.example.com/Docs/"),
+                      (F.col("doc_id") % 40).cast("string"))
+    raw = (F.when(m == 0, base)
+           .when(m == 1, F.concat(base, F.lit("/")))
+           .when(m == 2, F.concat(base_l, F.lit("?utm_source=feed")))
+           .otherwise(F.concat(base, F.lit("#sec"))))
+    stripped = F.regexp_replace(
+        F.regexp_replace(raw, "#.*$", ""), r"[?&]utm_[^&#]*", "")
+    canonical = F.regexp_replace(F.concat(
+        F.lower(F.regexp_extract(stripped, "^(https?://[^/]+)", 1)),
+        F.regexp_extract(stripped, "^https?://[^/]+(.*)$", 1)), "/+$", "")
+    return (d.select("doc_id", raw.alias("url"),
+                     canonical.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.countDistinct("url").cast("long").alias("n_raw_variants"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+@register(
+    "alpha_mixture_weights",
+    oracle="""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY lang
+),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+p AS (
+  SELECT lang, n_docs, n_docs / CAST(t.n_total AS DOUBLE) AS pl,
+         pow(n_docs / CAST(t.n_total AS DOUBLE), 0.3) AS ql_raw,
+         t.n_total
+  FROM c, t
+),
+z AS (SELECT sum(ql_raw) AS zsum FROM p)
+SELECT lang, n_docs,
+       round(pl, 6) AS p_lang,
+       round(ql_raw / z.zsum, 6) AS q_lang,
+       round((ql_raw / z.zsum) / pl, 6) AS sample_rate,
+       CAST(round(n_total * ql_raw / z.zsum, 0) AS BIGINT) AS expected_docs
+FROM p, z
+""")
+def q_alpha_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (the mC4 / XLM-R alpha
+    recipe, alpha = 0.3): resampling probabilities q proportional to
+    p^alpha flatten the language distribution — low-resource languages
+    are upsampled, the head is downsampled — with per-language rates
+    and expected document budgets. The whole computation after ONE
+    map-side-combined count lives on a |languages|-row table with two
+    one-row scalar broadcasts (total docs, partition constant Z);
+    corpus cost is exactly one scan."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    p = (c.crossJoin(F.broadcast(t))
+         .withColumn("pl", F.col("n_docs") / F.col("n_total").cast("double"))
+         .withColumn("ql_raw", F.pow("pl", F.lit(0.3))))
+    z = p.agg(F.sum("ql_raw").alias("zsum"))
+    return (p.crossJoin(F.broadcast(z))
+            .select("lang", "n_docs",
+                    F.round("pl", 6).alias("p_lang"),
+                    F.round(F.col("ql_raw") / F.col("zsum"), 6)
+                    .alias("q_lang"),
+                    F.round((F.col("ql_raw") / F.col("zsum")) / F.col("pl"),
+                            6).alias("sample_rate"),
+                    F.round(F.col("n_total") * F.col("ql_raw")
+                            / F.col("zsum"), 0).cast("long")
+                    .alias("expected_docs")))
+
+
+@register(
+    "csv_sink_roundtrip",
+    oracle="""
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 7 = 0
+""")
+def q_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth: a projected slice written as
+    headered CSV and read back with an explicit schema (header on,
+    so the round trip is self-describing). Text columns here are
+    token streams (no quoting hazards); binary-safe columns go to
+    parquet/ORC instead. Overwrite keeps the query idempotent."""
+    import tempfile
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    d = _t(spark, sf_dir, "documents")
+    out = (d.where(F.col("doc_id") % 7 == 0)
+           .select("doc_id", "lang", "source",
+                   F.col("n_chars").cast("long").alias("n_chars")))
+    path = f"{tempfile.gettempdir()}/rvdb_csv_sink_check"
+    out.write.mode("overwrite").option("header", True).csv(path)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    return (spark.read.schema(schema).option("header", True).csv(path))
+
+
+@register(
+    "orc_sink_roundtrip",
+    oracle="""
+SELECT doc_id, source, substring(text, 1, 80) AS head,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 6 = 0
+""")
+def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth: ORC round trip (the other columnar
+    format a lakehouse ingest layer meets; schema and types ride in
+    the file footer, so the read needs no schema). Overwrite keeps
+    the query idempotent."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    out = (d.where(F.col("doc_id") % 6 == 0)
+           .select("doc_id", "source",
+                   F.substring("text", 1, 80).alias("head"),
+                   F.col("n_chars").cast("long").alias("n_chars")))
+    path = f"{tempfile.gettempdir()}/rvdb_orc_sink_check"
+    out.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
