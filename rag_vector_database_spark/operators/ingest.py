@@ -79,6 +79,68 @@ def write_grouped_json(df: DataFrame, path: str, *group_cols: str,
     df.write.mode(mode).partitionBy(*group_cols).json(path)
 
 
+def _bloom_hashes(key: Column, m_bits: int) -> tuple[Column, Column]:
+    """Two independent md5-derived bit positions in [0, m_bits)."""
+    from ..functions.hashing import md5_long
+    s = key.cast("string")
+    return (md5_long(F.concat(F.lit("b0:"), s)) % m_bits,
+            md5_long(F.concat(F.lit("b1:"), s)) % m_bits)
+
+
+def bloom_bitmap(processed: DataFrame, key: str,
+                 m_bits: int = 4096) -> DataFrame:
+    """Build a Bloom filter over ``processed[key]`` as a (bucket, word)
+    table: ``m_bits`` bits in 32-bit words (32-bit so every mask stays
+    positive in an int64), k=2 md5-derived hash functions. The bitmap
+    is ``m_bits/32`` rows REGARDLESS of the processed-set size — the
+    runtime-filter side of the incremental-ingest anti-join (#28/#30):
+    at 100 TB the processed log is billions of keys, but this summary
+    always broadcasts."""
+    h0, h1 = _bloom_hashes(F.col(key), m_bits)
+    bits = (processed.select(h0.alias("h"))
+            .unionAll(processed.select(h1.alias("h"))))
+    return (bits
+            .select((F.col("h") / 32).cast("long").alias("bucket"),
+                    F.expr("shiftleft(1L, cast(h % 32 as int))").alias("m"))
+            .groupBy("bucket")
+            .agg(F.bit_or("m").alias("w")))
+
+
+def bloom_test(incoming: DataFrame, bitmap: DataFrame, key: str,
+               m_bits: int = 4096) -> DataFrame:
+    """Annotate ``incoming`` with ``bloom_pass``: false means the key
+    is DEFINITELY not in the processed set (skip the exact anti-join
+    entirely); true means possibly-processed (the small candidate
+    slice that still needs the exact check). The bitmap BROADCASTs and
+    both probes are map-side hash joins — the big side never shuffles,
+    which is the whole point of a Bloom pre-filter at scale (Spark's
+    AQE runtime filters apply the same idea to join keys
+    automatically; this is the explicit, oracle-checkable form)."""
+    h0, h1 = _bloom_hashes(F.col(key), m_bits)
+    probed = (incoming
+              .withColumn("__h0", h0).withColumn("__h1", h1)
+              .withColumn("__m0",
+                          F.expr("shiftleft(1L, cast(__h0 % 32 as int))"))
+              .withColumn("__m1",
+                          F.expr("shiftleft(1L, cast(__h1 % 32 as int))")))
+    b0 = F.broadcast(bitmap.select(F.col("bucket").alias("__bk0"),
+                                   F.col("w").alias("__w0")))
+    b1 = F.broadcast(bitmap.select(F.col("bucket").alias("__bk1"),
+                                   F.col("w").alias("__w1")))
+    out = (probed
+           .join(b0, (F.col("__h0") / 32).cast("long") == F.col("__bk0"),
+                 "left")
+           .join(b1, (F.col("__h1") / 32).cast("long") == F.col("__bk1"),
+                 "left")
+           .withColumn(
+               "bloom_pass",
+               F.col("__w0").isNotNull() & F.col("__w1").isNotNull()
+               & (F.col("__w0").bitwiseAND(F.col("__m0")) != 0)
+               & (F.col("__w1").bitwiseAND(F.col("__m1")) != 0)))
+    return out.drop("__h0", "__h1", "__m0", "__m1",
+                    "__bk0", "__w0", "__bk1", "__w1")
+
+
 def idempotent_append(incoming: DataFrame, store_path: str, key: str,
                       spark=None) -> int:
     """Run-twice-adds-zero ingest (#30 + #12): anti-join against the

@@ -5444,3 +5444,107 @@ def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{tempfile.gettempdir()}/rvdb_orc_sink_check"
     out.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+_DD_BLOOM_H = ("('0x' || substring(md5('b{j}:' || CAST(doc_id AS VARCHAR)), "
+               "1, 8))::BIGINT % 4096")
+
+
+@register(
+    "bloom_prefilter_antijoin",
+    oracle="""
+WITH ph AS (
+  SELECT doc_id, {h0} AS h0, {h1} AS h1 FROM documents WHERE doc_id % 3 = 0
+),
+bits AS (
+  SELECT h // 32 AS bucket, CAST(bit_or(1::BIGINT << CAST(h % 32 AS INT))
+                                 AS BIGINT) AS w
+  FROM (SELECT h0 AS h FROM ph UNION ALL SELECT h1 FROM ph)
+  GROUP BY 1
+),
+inc AS (SELECT doc_id, {h0} AS h0, {h1} AS h1 FROM documents),
+test AS (
+  SELECT i.doc_id,
+         (b0.w IS NOT NULL AND b1.w IS NOT NULL
+          AND (b0.w & (1::BIGINT << CAST(i.h0 % 32 AS INT))) != 0
+          AND (b1.w & (1::BIGINT << CAST(i.h1 % 32 AS INT))) != 0)
+           AS bloom_pass,
+         (i.doc_id % 3 = 0) AS hit
+  FROM inc i
+  LEFT JOIN bits b0 ON b0.bucket = i.h0 // 32
+  LEFT JOIN bits b1 ON b1.bucket = i.h1 // 32
+)
+SELECT CAST(count(*) AS BIGINT) AS n_incoming,
+  CAST(sum(CASE WHEN NOT bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_definite_new,
+  CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_candidates,
+  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_processed_hits,
+  CAST(sum(CASE WHEN bloom_pass AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_positives
+FROM test
+""".format(h0=_DD_BLOOM_H.format(j=0), h1=_DD_BLOOM_H.format(j=1)))
+def q_bloom_prefilter_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental ingest (#28/#30 at 100 TB): the
+    processed log (doc_id % 3 = 0 as the synthetic log) folds into a
+    128-word bitmap that BROADCASTs; the incoming scan tests 2 bits
+    per row map-side and only bloom-pass candidates would proceed to
+    the exact anti-join — bloom-fail rows are PROVABLY new, so the
+    big side never shuffles for them. Reports the funnel: incoming,
+    definite-new, candidates, true hits, false positives (the
+    sizing-eval column for the bitmap width — Bloom guarantees no
+    false negatives, so candidates = hits + false positives always).
+    This is the explicit, oracle-checkable form of the runtime join
+    filters AQE injects automatically."""
+    from ..operators import ingest as ingest_ops
+    d = _t(spark, sf_dir, "documents")
+    processed = d.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    bitmap = ingest_ops.bloom_bitmap(processed, "doc_id")
+    tested = ingest_ops.bloom_test(d.select("doc_id"), bitmap, "doc_id")
+    hit = (F.col("doc_id") % 3 == 0)
+    return tested.agg(
+        F.count(F.lit(1)).cast("long").alias("n_incoming"),
+        F.sum(F.when(~F.col("bloom_pass"), 1).otherwise(0)).cast("long")
+         .alias("n_definite_new"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("long")
+         .alias("n_candidates"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+         .alias("n_processed_hits"),
+        F.sum(F.when(F.col("bloom_pass") & ~hit, 1).otherwise(0))
+         .cast("long").alias("n_false_positives"))
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY user_id
+""")
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: the
+    per-user totals table is maintained as STATE (history before the
+    cutoff) merged with a DELTA (the new batch) via one full-outer
+    join + coalesce-add — never a recompute over history. The oracle
+    is the full recompute, so the hash match IS the IVM correctness
+    proof (state + delta == recompute). At 100 TB the state table is
+    keys-sized, the delta is a day's events, and the merge shuffles
+    only those two — the historical event stream is never re-read
+    (this is the batch twin of the streaming stateful operator #59)."""
+    e = _events(spark, sf_dir)
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    state = (e.where(F.col("ts") < cutoff).groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_old"),
+                  F.sum("value").alias("s_old")))
+    delta = (e.where(F.col("ts") >= cutoff).groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_new"),
+                  F.sum("value").alias("s_new")))
+    return (state.join(delta, "user_id", "full_outer")
+            .select(
+                "user_id",
+                (F.coalesce("n_old", F.lit(0))
+                 + F.coalesce("n_new", F.lit(0))).cast("long")
+                .alias("n_events"),
+                F.round(F.coalesce("s_old", F.lit(0.0))
+                        + F.coalesce("s_new", F.lit(0.0)), 6)
+                .alias("sum_value")))

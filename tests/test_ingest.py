@@ -49,3 +49,27 @@ def test_coercion_matrix(spark):
     assert out[1]["tags"] == "a, b" and out[1]["note"] == "hi" and out[1]["cnt"] == "3"
     assert out[2]["tags"] == "N/A" and out[2]["note"] == "N/A" and out[2]["cnt"] == "N/A"
     assert out[3]["tags"] == "N/A" and out[3]["note"] == "" and out[3]["cnt"] == "0"
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """Bloom's contract: every processed key MUST pass the filter (no
+    false negatives — missing one would silently re-ingest); bitmap
+    size is bounded by m_bits/32 rows; and both probe joins broadcast
+    (the big side never shuffles)."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.operators import ingest
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    processed = d.where(F.col("doc_id") % 3 == 0)
+    bitmap = ingest.bloom_bitmap(processed, "doc_id")
+    assert bitmap.count() <= 4096 // 32
+
+    tested = ingest.bloom_test(d, bitmap, "doc_id")
+    missed = tested.where((F.col("doc_id") % 3 == 0)
+                          & ~F.col("bloom_pass")).count()
+    assert missed == 0
+
+    plan = tested._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
