@@ -294,3 +294,44 @@ def bm25_topk(docs: DataFrame, query_text: str, k: int,
             .agg(F.round(F.sum(contrib), ndigits).alias("bm25"))
             .orderBy(F.desc("bm25"), F.col(id_col))
             .limit(k))
+
+
+def mmr_rerank(candidates: DataFrame, k: int = 5, lam: float = 0.7,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               score_col: str = "score") -> DataFrame:
+    """Maximal-marginal-relevance diversity rerank (Carbonell &
+    Goldstein 1998) over a scored candidate set: greedily pick the
+    candidate maximizing ``lam*score - (1-lam)*max_sim_to_selected``
+    so near-duplicate passages don't crowd the context window — the
+    diversity step the reference's plain top-n rerank (#50) lacks.
+
+    Scale shape: the corpus-sized work is candidate GENERATION
+    (scan + TakeOrderedAndProject upstream); this loop is bounded by
+    the candidate count (tens), never the corpus. Each of the k-1
+    steps joins the candidate set against the one-row collected
+    selection (broadcast) and takes a 1-row TakeOrdered — tiny jobs
+    on k-bounded data, no driver collect of anything larger than the
+    final result. Pick 1 defines mmr = score (empty selection).
+    Ties break on the id, matching the oracle's unrolled CTEs."""
+    from ..functions import vectors as V
+
+    cols = [id_col, vec_col, score_col, "pick_order", "mmr"]
+    sel = (candidates.orderBy(F.desc(score_col), id_col).limit(1)
+           .withColumn("pick_order", F.lit(1))
+           .withColumn("mmr", F.col(score_col)).select(cols))
+    for i in range(2, k + 1):
+        sel_agg = sel.agg(
+            F.collect_list(F.struct(F.col(vec_col).alias("v"))).alias("__sel"),
+            F.collect_list(id_col).alias("__ids"))
+        rem = (candidates.crossJoin(F.broadcast(sel_agg))
+               .where(~F.array_contains(F.col("__ids"), F.col(id_col))))
+        maxsim = F.array_max(F.transform(
+            F.col("__sel"), lambda s: V.dot(F.col(vec_col), s.getField("v"))))
+        pick = (rem.withColumn(
+                    "mmr", F.lit(lam) * F.col(score_col)
+                    - F.lit(1.0 - lam) * maxsim)
+                .orderBy(F.desc("mmr"), id_col).limit(1)
+                .withColumn("pick_order", F.lit(i)).select(cols))
+        sel = sel.unionByName(pick)
+    return sel.select(id_col, "pick_order", score_col,
+                      F.round("mmr", 6).alias("mmr"))

@@ -5548,3 +5548,178 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.coalesce("s_old", F.lit(0.0))
                         + F.coalesce("s_new", F.lit(0.0)), 6)
                 .alias("sum_value")))
+
+
+@register(
+    "pagerank_nations",
+    oracle="""
+WITH e AS (
+  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT cn, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY cn),
+p AS (SELECT e.cn, e.sn, e.w / CAST(o.tw AS DOUBLE) AS p
+      FROM e JOIN outw o USING (cn)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nation),
+r0 AS (SELECT n_nationkey AS node, 1.0 / n.nn AS pr FROM nation, n),
+r1 AS (
+  SELECT nt.n_nationkey AS node,
+         0.15 / n.nn + 0.85 * coalesce(sum(r0.pr * p.p), 0.0) AS pr
+  FROM nation nt CROSS JOIN n
+  LEFT JOIN p ON p.sn = nt.n_nationkey
+  LEFT JOIN r0 ON r0.node = p.cn
+  GROUP BY nt.n_nationkey, n.nn
+),
+r2 AS (
+  SELECT nt.n_nationkey AS node,
+         0.15 / n.nn + 0.85 * coalesce(sum(r1.pr * p.p), 0.0) AS pr
+  FROM nation nt CROSS JOIN n
+  LEFT JOIN p ON p.sn = nt.n_nationkey
+  LEFT JOIN r1 ON r1.node = p.cn
+  GROUP BY nt.n_nationkey, n.nn
+)
+SELECT nt.n_name AS nation, round(r2.pr, 6) AS pagerank
+FROM r2 JOIN nation nt ON nt.n_nationkey = r2.node
+""")
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 damped iterations, d=0.85) over the nation trade
+    graph: edge cn -> sn weighted by lineitems a customer in nation cn
+    bought from a supplier in nation sn. With connected components and
+    k-means this completes the iterative-algorithm trio — the loop
+    stays in DataFrame land: the edge table is built once (fact scan +
+    two broadcast dims + one groupBy to 625 rows max) and each
+    iteration is one join + one groupBy ON THE EDGE TABLE'S
+    GRANULARITY, never the fact table's. At web scale the rank
+    frontier shuffles by src per iteration and localCheckpoint
+    truncates lineage (see dedup.connected_components); here both
+    sides are dim-sized so every join broadcasts. The oracle unrolls
+    both iterations as CTEs — exact same dataflow, so the 6dp hash
+    match pins the arithmetic."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+
+    e = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+         .groupBy(F.col("c_nationkey").alias("cn"),
+                  F.col("s_nationkey").alias("sn"))
+         .agg(F.count(F.lit(1)).cast("long").alias("w")))
+    outw = e.groupBy("cn").agg(F.sum("w").cast("long").alias("tw"))
+    p = (e.join(outw, "cn")
+         .select("cn", "sn",
+                 (F.col("w") / F.col("tw").cast("double")).alias("p")))
+
+    n_nodes = nation.count()  # dim-sized: 25 rows
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    for _ in range(2):
+        contrib = (p.join(ranks, p.cn == ranks.node)
+                   .groupBy("sn")
+                   .agg(F.sum(F.col("pr") * F.col("p")).alias("__c")))
+        ranks = (nodes.join(contrib, nodes.node == contrib.sn, "left")
+                 .select("node",
+                         (F.lit(0.15 / n_nodes)
+                          + F.lit(0.85) * F.coalesce("__c", F.lit(0.0)))
+                         .alias("pr")))
+    return (ranks.join(F.broadcast(nation),
+                       ranks.node == nation.n_nationkey)
+            .select(F.col("n_name").alias("nation"),
+                    F.round("pr", 6).alias("pagerank")))
+
+
+@register(
+    "schema_evolution_read",
+    oracle="""
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_lang,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_v2
+FROM documents GROUP BY source
+""")
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: an old writer produced (doc_id,
+    source); a newer one added (lang, n_chars). ``mergeSchema`` unions
+    the footers so one scan reads both generations, with the missing
+    columns null — the lakehouse answer to the reference's ad-hoc
+    JSON drift (its metadata keys appear and vanish per source type,
+    SURVEY section 1.1). The aggregate counts v1 rows via the null
+    lang column, proving nulls land exactly where the old files are.
+    Overwrite keeps the query idempotent."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    root = f"{tempfile.gettempdir()}/rvdb_schema_evo"
+    (d.where(F.col("doc_id") % 2 == 0)
+     .select("doc_id", "source")
+     .write.mode("overwrite").parquet(f"{root}/gen=1"))
+    (d.where(F.col("doc_id") % 2 == 1)
+     .select("doc_id", "source", "lang",
+             F.col("n_chars").cast("long").alias("n_chars"))
+     .write.mode("overwrite").parquet(f"{root}/gen=2"))
+    back = (spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true").parquet(root))
+    return (back.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_missing_lang"),
+                 F.sum(F.coalesce("n_chars", F.lit(0))).cast("long")
+                 .alias("chars_v2")))
+
+
+def _dd_mmr_sql(k: int = 5, lam: float = 0.7, n_cand: int = 20) -> str:
+    """Unrolled greedy-MMR CTE chain: selK = selK-1 + argmax of
+    lam*score - (1-lam)*max_sim_to_selected over the remainder."""
+    dot_eq = dd_dot("e.embedding", "q.qv")
+    dot_cs = dd_dot("c.embedding", "s.embedding")
+    parts = [f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding, round({dot_eq}, 6) AS score
+  FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT {n_cand}
+),
+sel1 AS (SELECT vec_id, embedding, score, 1 AS pick_order, score AS mmr
+         FROM cand ORDER BY score DESC, vec_id LIMIT 1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+m{i} AS (
+  SELECT c.vec_id, max({dot_cs}) AS maxsim
+  FROM cand c, sel{i - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY c.vec_id
+),
+p{i} AS (
+  SELECT c.vec_id, c.embedding, c.score, {i} AS pick_order,
+         {lam}*c.score - {round(1 - lam, 6)}*m.maxsim AS mmr
+  FROM m{i} m JOIN cand c ON c.vec_id = m.vec_id
+  ORDER BY mmr DESC, c.vec_id LIMIT 1
+),
+sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM p{i})""")
+    parts.append(f"""
+SELECT vec_id, pick_order, score, round(mmr, 6) AS mmr FROM sel{k}""")
+    return "".join(parts)
+
+
+@register("mmr_rerank", oracle=_dd_mmr_sql())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity rerank via maximal marginal relevance: top-20 cosine
+    candidates, then 5 greedy picks trading relevance against
+    similarity to what's already selected (lambda=0.7) — the step
+    that stops near-duplicate chunks from filling the RAG context
+    window (#50's plain top-n has no such guard). Corpus-scale work
+    is the candidate scan; the greedy loop is candidate-bounded. The
+    oracle unrolls all five picks as CTEs, pinning tie-breaks and
+    arithmetic order. See retrieval.mmr_rerank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = (retrieval.score_against(emb, query_vector(spark, sf_dir))
+            .select("vec_id", "embedding", "score")
+            .orderBy(F.desc("score"), "vec_id").limit(20))
+    return retrieval.mmr_rerank(cand)

@@ -156,3 +156,35 @@ def test_boilerplate_tile_invariants(spark, sf_dir):
             continue
         kept_words = len(r["clean_text"].split()) if r["clean_text"] else 0
         assert kept_words < r["n_tiles"] * 3 + 3
+
+
+def test_mmr_first_pick_is_argmax_and_picks_distinct(spark, sf_dir):
+    """MMR contract: pick 1 is the plain argmax; all picks distinct;
+    and when the candidate set contains an exact duplicate of the top
+    hit, MMR never selects it adjacent to its twin (a plain top-k
+    would)."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.operators import retrieval
+    from rag_vector_database_spark.plans import registry
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = registry.query_vector(spark, sf_dir)
+    cand = (retrieval.score_against(emb, qv)
+            .select("vec_id", "embedding", "score")
+            .orderBy(F.desc("score"), "vec_id").limit(20))
+    # inject an exact duplicate of the top candidate under a new id
+    top = cand.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding", "score")
+    out = retrieval.mmr_rerank(cand.unionByName(top)).collect()
+    picks = [r["vec_id"] for r in sorted(out, key=lambda r: r["pick_order"])]
+    assert len(set(picks)) == 5
+    best = cand.first()
+    assert picks[0] in (best["vec_id"], best["vec_id"] + 1_000_000)
+    # at diversity-heavy lambda the exact duplicate (sim = 1.0) must be
+    # excluded outright: its MMR score lam*s - (1-lam) goes negative
+    # while any non-duplicate keeps a positive margin
+    div = retrieval.mmr_rerank(cand.unionByName(top), lam=0.3).collect()
+    div_picks = {r["vec_id"] for r in div}
+    assert not {best["vec_id"], best["vec_id"] + 1_000_000} <= div_picks
