@@ -5723,3 +5723,76 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding", "score")
             .orderBy(F.desc("score"), "vec_id").limit(20))
     return retrieval.mmr_rerank(cand)
+
+
+@register(
+    "revenue_moving_avg",
+    oracle="""
+WITH d AS (
+  SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_orderdate
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+       round(avg(revenue) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+       round(percent_rank() OVER (ORDER BY revenue), 6) AS pct_rank,
+       round(cume_dist() OVER (ORDER BY revenue), 6) AS cume
+FROM d
+""")
+def q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series window frames the plain window_functions query
+    doesn't touch: a BOUNDED sliding frame (7-day moving average,
+    ROWS BETWEEN 6 PRECEDING) plus the distribution ranks
+    (percent_rank / cume_dist) over daily revenue. Day-granularity
+    first (one map-side-combined groupBy), so the window runs over
+    ~|days| rows, not the order table — the pre-aggregate-then-window
+    pattern that keeps a 100 TB fact scan out of the sort."""
+    o = _t(spark, sf_dir, "orders")
+    d = (o.groupBy(F.col("o_orderdate").alias("day"))
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    wday = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    wrev = Window.orderBy("revenue")
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.round(F.avg("revenue").over(wday), 6).alias("ma7"),
+        F.round(F.percent_rank().over(wrev), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wrev), 6).alias("cume"))
+
+
+@register(
+    "manifest_sink_roundtrip",
+    oracle="""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 4 = 0
+""")
+def q_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#10 with a real commit protocol: the shared-JSONL sink rebuilt
+    as a Spark 4 Python DataSource WRITER — unique part file per task,
+    driver-side atomic manifest publish after all tasks succeed, reads
+    that go through the manifest only. Round-trips a slice and
+    hash-compares against the source: the sink neither drops, dups,
+    nor reorders. See sources/manifest_sink.py."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from ..sources.manifest_sink import ManifestJsonlSink, read_manifest
+
+    spark.dataSource.register(ManifestJsonlSink)
+    out = (_t(spark, sf_dir, "documents")
+           .where(F.col("doc_id") % 4 == 0)
+           .select("doc_id", "lang",
+                   F.col("n_chars").cast("long").alias("n_chars")))
+    path = f"{tempfile.gettempdir()}/rvdb_manifest_sink_check"
+    shutil.rmtree(path, ignore_errors=True)
+    out.write.format("manifest_jsonl").option("path", path) \
+        .mode("append").save()
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    return read_manifest(spark, path, schema)

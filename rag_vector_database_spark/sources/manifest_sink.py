@@ -1,0 +1,98 @@
+"""Manifest-committed JSONL sink as a Spark 4 Python DataSource writer.
+
+The write-side twin of sources/api_listing.py's custom reader: the
+reference appends every chunker's output to ONE shared JSONL file
+(SURVEY.md section 2 #10, chunk_cisa_kev.py:158), which cannot be
+written concurrently or atomically. This sink keeps the JSONL format
+but gives it the lakehouse commit protocol:
+
+- each task writes its rows to a UNIQUELY-NAMED part file (task retries
+  can never collide or interleave) and returns the file name + row
+  count as its commit message;
+- ``commit`` runs once on the driver AFTER every task succeeded and
+  atomically publishes a ``_manifest.json`` listing exactly the
+  committed files — readers that go through the manifest never see a
+  partial job;
+- ``abort`` leaves no manifest, so a failed job is invisible.
+
+That two-phase shape is the same contract Spark's own FileCommitProtocol
+/ Delta's transaction log provide; here it is spelled out in ~60 lines
+of executor/driver code, and the registry query round-trips through it
+under the oracle gate. At scale the sink parallelizes with the input
+partitioning (one file per task) and the manifest stays rows-per-task
+sized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (DataSource, DataSourceWriter,
+                                    WriterCommitMessage)
+from pyspark.sql.types import Row, StructType
+
+
+@dataclass
+class PartFileCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options["path"]
+        self.fields = schema.fieldNames()
+        self.overwrite = overwrite
+
+    def write(self, rows: Iterator[Row]) -> PartFileCommit:
+        # executor-side: unique name per task attempt -> retries never
+        # collide; the file only becomes visible via the manifest
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in rows:
+                f.write(json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return PartFileCommit(name, n)
+
+    def commit(self, messages) -> None:
+        # driver-side, after ALL tasks succeeded: publish atomically
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, f"._manifest-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class ManifestJsonlSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema: StructType, overwrite: bool) -> ManifestJsonlWriter:
+        return ManifestJsonlWriter(self.options, schema, overwrite)
+
+
+def read_manifest(spark, path: str, schema):
+    """Read back ONLY the files the manifest committed (a crashed or
+    concurrent writer's orphan part files are invisible)."""
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, n) for n in manifest["files"]]
+    return spark.read.schema(schema).json(files)

@@ -156,3 +156,35 @@ def test_api_listing_datasource_pages_are_partitions(spark):
     assert all(rows[k] == again[k] for k in rows)
     assert all(len(r.video_id) == 11 and 0 <= r.duration_s < 3600
                for r in rows.values())
+
+
+def test_manifest_sink_commit_protocol(spark, sf_dir, tmp_path):
+    """The sink's atomicity contract: readers see exactly the files the
+    manifest committed — an orphan part file (crashed writer, torn
+    job) in the same directory is invisible; counts match the
+    manifest."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from rag_vector_database_spark.sources.manifest_sink import (
+        ManifestJsonlSink, read_manifest)
+
+    spark.dataSource.register(ManifestJsonlSink)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    df.write.format("manifest_jsonl").option("path", out) \
+        .mode("append").save()
+
+    # a torn write that never committed
+    with open(f"{out}/part-orphan.jsonl", "w") as f:
+        f.write('{"doc_id": 999999}\n')
+
+    schema = StructType([StructField("doc_id", LongType())])
+    back = read_manifest(spark, out, schema)
+    assert back.count() == 100
+    assert back.where(F.col("doc_id") == 999999).count() == 0
+    manifest = json.load(open(f"{out}/_manifest.json"))
+    assert manifest["n_rows"] == 100
+    assert "part-orphan.jsonl" not in manifest["files"]
