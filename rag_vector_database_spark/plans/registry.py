@@ -5613,7 +5613,7 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("s_nationkey").alias("sn"))
          .agg(F.count(F.lit(1)).cast("long").alias("w")))
     outw = e.groupBy("cn").agg(F.sum("w").cast("long").alias("tw"))
-    p = (e.join(outw, "cn")
+    p = (e.join(F.broadcast(outw), "cn")
          .select("cn", "sn",
                  (F.col("w") / F.col("tw").cast("double")).alias("p")))
 
@@ -5621,10 +5621,13 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     for _ in range(2):
-        contrib = (p.join(ranks, p.cn == ranks.node)
+        # the rank frontier is node-sized -> broadcast it into the
+        # edge table; at web scale this becomes a shuffle join on src
+        contrib = (p.join(F.broadcast(ranks), p.cn == ranks.node)
                    .groupBy("sn")
                    .agg(F.sum(F.col("pr") * F.col("p")).alias("__c")))
-        ranks = (nodes.join(contrib, nodes.node == contrib.sn, "left")
+        ranks = (nodes.join(F.broadcast(contrib),
+                            nodes.node == contrib.sn, "left")
                  .select("node",
                          (F.lit(0.15 / n_nodes)
                           + F.lit(0.85) * F.coalesce("__c", F.lit(0.0)))

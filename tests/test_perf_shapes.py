@@ -277,3 +277,74 @@ def test_bpe_and_dsir_plans_broadcast(spark):
         plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, q.__name__
         assert "SortMergeJoin" not in plan, q.__name__
+
+
+def test_round2_additions_plan_shapes(spark):
+    """Scale assertions for the round-2 operators: binary-quant kNN is
+    a zero-Exchange scan + TakeOrdered (signature and rerank both
+    scan-local); PageRank's per-iteration joins all broadcast (the
+    rank frontier is dim-sized here); the Q11 shape broadcasts its
+    one-row total, never sort-merges; boilerplate dedup broadcasts
+    the segment dictionary into the tile stream."""
+    from rag_vector_database_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+
+    bq = registry.q_binary_quant_knn(spark, sf)
+    plan = bq._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+    pr = registry.q_pagerank_nations(spark, sf)
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+    q11 = registry.q_part_value_concentration(spark, sf)
+    plan = q11._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    bp = registry.q_boilerplate_tile_dedup(spark, sf)
+    plan = bp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE's skew-join handling, demonstrated: join a fact table where
+    ONE key holds half the rows against a small-but-not-broadcast dim.
+    With broadcast off, AQE must (a) pick a shuffled join and (b) mark
+    it skew=true at runtime, splitting the hot partition — the safety
+    net under every groupBy/join in this repo when salting wasn't
+    pre-planned. Results stay identical to the unskewed computation."""
+    from pyspark.sql import functions as F
+
+    # fact: 200k rows, half on key 0, rest uniform over 1..999
+    fact = (spark.range(0, 200_000)
+            .select(F.when(F.col("id") % 2 == 0, 0)
+                    .otherwise(F.col("id") % 999 + 1).alias("k"),
+                    F.col("id").alias("v")))
+    dim = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                      (F.col("id") * 10).alias("w"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        j = fact.join(dim, "k")
+        # run THIS DataFrame (not a derived count plan) so its
+        # QueryExecution holds the final adaptive plan
+        n = len(j.collect())
+        assert n == 200_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "SortMergeJoin" in final or "ShuffledHashJoin" in final
+        assert "skew=true" in final
+    finally:
+        for c in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                  "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                  "spark.sql.adaptive.advisoryPartitionSizeInBytes"):
+            spark.conf.unset(c)
