@@ -5799,3 +5799,46 @@ def q_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("n_chars", LongType()),
     ])
     return read_manifest(spark, path, schema)
+
+
+@register("api_listing_stream", oracle=None)  # oracle set below (batch twin)
+def q_api_listing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#6 + #59 composed: the paginated listing API consumed as a
+    STREAM — one page per micro-batch, the checkpointed offset as the
+    page cursor (the reference re-derives this with a hand-kept
+    processed-video log; here the cursor IS the checkpoint). The feed
+    is deterministic, so the drained stream hash-matches the batch
+    scan's oracle — custom-connector Kappa parity. Drained by input
+    accounting: poll until every item has entered the stream, then
+    stop."""
+    import time
+    import uuid
+
+    from ..sources.api_listing import N_ITEMS_DEFAULT, register_api_listing
+
+    register_api_listing(spark)
+    name = f"mem_listing_{uuid.uuid4().hex[:12]}"
+    q = (spark.readStream.format("api_listing").load()
+         .where(F.col("duration_s") >= 600)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(processingTime="0 seconds").start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp and lp["sources"]:
+                import ast as _ast
+                end = lp["sources"][0]["endOffset"]
+                # the python source's offset dict arrives repr-encoded
+                cursor = (end if isinstance(end, dict)
+                          else _ast.literal_eval(end or "{}"))
+                if int(cursor.get("item", 0)) >= N_ITEMS_DEFAULT:
+                    break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+REGISTRY[-1].oracle = next(q.oracle for q in REGISTRY
+                           if q.name == "api_listing_scan")

@@ -24,7 +24,9 @@ import hashlib
 import sys
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 
 PAGE_SIZE_DEFAULT = 50
 N_ITEMS_DEFAULT = 500
@@ -57,8 +59,42 @@ class ApiListingReader(DataSourceReader):
         return _fetch_page(partition.value, self.page_size, self.n_items)
 
 
+class ApiListingStreamReader(SimpleDataSourceStreamReader):
+    """The same paginated listing as a STREAMING source: the offset is
+    the item cursor, one page per micro-batch — the incremental
+    "poll the channel for new uploads" discipline (#59) with the
+    checkpoint as the cursor store. ``read`` advances the cursor;
+    ``readBetweenOffsets`` replays a committed range deterministically
+    on recovery (exactly the replayability contract the API asks for,
+    trivially satisfied because pages are derived from the cursor)."""
+
+    def __init__(self, options: dict):
+        self.page_size = int(options.get("page_size", PAGE_SIZE_DEFAULT))
+        self.n_items = int(options.get("n_items", N_ITEMS_DEFAULT))
+
+    def initialOffset(self) -> dict:
+        return {"item": 0}
+
+    def read(self, start: dict):
+        lo = int(start["item"])
+        hi = min(lo + self.page_size, self.n_items)
+        rows = [] if hi <= lo else list(
+            _fetch_page(lo // self.page_size, self.page_size, self.n_items))
+        return iter(rows), {"item": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = int(start["item"]), int(end["item"])
+        for page in range(lo // self.page_size,
+                          -(-hi // self.page_size)):
+            for row in _fetch_page(page, self.page_size, self.n_items):
+                if lo <= row[0] < hi:
+                    yield row
+
+
 class ApiListingDataSource(DataSource):
-    """spark.read.format("api_listing").option("n_items", N) source."""
+    """spark.read.format("api_listing").option("n_items", N) source —
+    batch scan and streaming cursor over the SAME deterministic feed,
+    so stream results are oracle-checkable against the batch SQL."""
 
     @classmethod
     def name(cls) -> str:
@@ -70,6 +106,9 @@ class ApiListingDataSource(DataSource):
 
     def reader(self, schema) -> ApiListingReader:
         return ApiListingReader(self.options)
+
+    def simpleStreamReader(self, schema) -> ApiListingStreamReader:
+        return ApiListingStreamReader(self.options)
 
 
 def register_api_listing(spark) -> None:
