@@ -5842,3 +5842,147 @@ def q_api_listing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGISTRY[-1].oracle = next(q.oracle for q in REGISTRY
                            if q.name == "api_listing_scan")
+
+
+@register(
+    "curation_pipeline",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len({tok}) AS INT) AS n_words,
+         md5({norm}) AS fp,
+         len(list_intersect(list_distinct({ltok}), {en})) AS s_en,
+         len(list_intersect(list_distinct({ltok}), {de})) AS s_de,
+         len(list_intersect(list_distinct({ltok}), {fr})) AS s_fr
+  FROM documents
+),
+l AS (
+  SELECT doc_id, n_words, fp,
+         CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+              ELSE 'fr' END AS lang_guess
+  FROM f
+),
+q AS (SELECT * FROM l WHERE n_words >= 30 AND lang_guess != 'und'),
+canon AS (SELECT fp, min(doc_id) AS canonical FROM q GROUP BY fp),
+k AS (
+  SELECT q.lang_guess, q.n_words, (q.doc_id = c.canonical) AS kept
+  FROM q JOIN canon c USING (fp)
+)
+SELECT l.lang_guess,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(any_value(s.n_quality), 0) AS BIGINT) AS n_quality,
+       CAST(coalesce(any_value(s.n_kept), 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(any_value(s.tokens_kept), 0) AS BIGINT) AS tokens_kept
+FROM l
+LEFT JOIN (
+  SELECT lang_guess,
+         count(*) AS n_quality,
+         sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+         sum(CASE WHEN kept THEN n_words ELSE 0 END) AS tokens_kept
+  FROM k GROUP BY lang_guess
+) s USING (lang_guess)
+GROUP BY l.lang_guess
+""".format(tok=DD_TOKENS.format(c="text"),
+           ltok=DD_TOKENS.format(c="lower(text)"),
+           norm=DD_NORM.format(c="text"),
+           en=_dd_stoplist("en"), de=_dd_stoplist("de"),
+           fr=_dd_stoplist("fr")))
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel END TO END in one DAG — the composition a
+    100 TB pretraining ingest actually runs: language ID + word-count
+    quality gate, then content dedup (keep the min-id canonical per
+    fingerprint) WITHIN the quality slice, reported as per-language
+    funnel counts (docs -> quality -> deduped) plus the surviving
+    token budget. One corpus scan computes every per-row feature
+    (flags, fingerprint, language — all scan-local expressions); the
+    only shuffles are the fingerprint groupBy and the language-sized
+    final aggregate. The oracle replays the exact funnel in CTEs."""
+    from ..operators.dedup import fingerprint
+    from ..operators.textstats import lang_guess
+
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.size(text_fns.tokens(F.col("text"))).cast("int").alias("n_words"),
+        fingerprint(F.col("text")).alias("fp"),
+        lang_guess(F.col("text")).alias("lang_guess"))
+    base = f.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    q = f.where((F.col("n_words") >= 30) & (F.col("lang_guess") != "und"))
+    w = Window.partitionBy("fp")
+    k = q.withColumn("kept", F.col("doc_id") == F.min("doc_id").over(w))
+    s = (k.groupBy("lang_guess")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_quality"),
+              F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long")
+               .alias("n_kept"),
+              F.sum(F.when(F.col("kept"), F.col("n_words")).otherwise(0))
+               .cast("long").alias("tokens_kept")))
+    return (base.join(s, "lang_guess", "left")
+            .select("lang_guess", "n_docs",
+                    F.coalesce("n_quality", F.lit(0)).cast("long")
+                    .alias("n_quality"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("tokens_kept", F.lit(0)).cast("long")
+                    .alias("tokens_kept")))
+
+
+@register(
+    "mrl_truncated_knn",
+    oracle="""
+WITH t AS (
+  SELECT vec_id, embedding, embedding[1:16] AS pre
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, embedding,
+         list_transform(pre, x -> CAST(x AS DOUBLE)
+           / sqrt({pnorm})) AS pn
+  FROM t
+),
+q AS (SELECT pn AS qp, embedding AS qv FROM n WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding, round({pdot}, 6) AS pre_score
+  FROM n e, q ORDER BY pre_score DESC, e.vec_id LIMIT 50
+)
+SELECT c.vec_id, c.pre_score, round({fdot}, 6) AS score
+FROM cand c, q ORDER BY score DESC, c.vec_id LIMIT 10
+""".format(
+        pnorm=("list_reduce(list_transform(pre, x -> CAST(x AS DOUBLE)"
+               " * CAST(x AS DOUBLE)), (a, b) -> a + b)"),
+        pdot=dd_dot("e.pn", "q.qp"),
+        fdot=dd_dot("c.embedding", "q.qv")))
+def q_mrl_truncated_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-prefix retrieval (Kusupati et al.
+    2022): score with only the FIRST 16 of 64 dimensions
+    (renormalized), take top-50, then rerank those with the full
+    vector — a 4x cheaper first pass that reads a quarter of the
+    vector bytes (with the prefix stored as its own parquet column,
+    the scan itself shrinks 4x; same shape as the int8/PQ/binary
+    ladder). Both stages scan-local + TakeOrdered: no shuffle, no
+    join."""
+    from ..functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # materialize prefix + its norm as columns so the normalize lambda
+    # doesn't re-inline the 16-element dot once per element
+    t = emb.select("vec_id", "embedding",
+                   F.slice(F.col("embedding"), 1, 16).alias("pre"))
+    t = t.withColumn("pnorm", F.sqrt(V.dot("pre", "pre")))
+    n = t.select("vec_id", "embedding",
+                 F.transform(F.col("pre"),
+                             lambda x: x.cast("double") / F.col("pnorm"))
+                 .alias("pn"))
+    qrow = (n.where(F.col("vec_id") == 0)
+            .select("pn", "embedding").first())
+    qp, qv = list(qrow["pn"]), list(qrow["embedding"])
+    cand = (n.select("vec_id", "embedding",
+                     F.round(V.dot(F.col("pn"), V.query_vec_lit(qp)), 6)
+                     .alias("pre_score"))
+            .orderBy(F.desc("pre_score"), "vec_id").limit(50))
+    return (cand.select("vec_id", "pre_score",
+                        F.round(V.dot("embedding", V.query_vec_lit(qv)), 6)
+                        .alias("score"))
+            .orderBy(F.desc("score"), "vec_id").limit(10))
