@@ -5986,3 +5986,32 @@ def q_mrl_truncated_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(V.dot("embedding", V.query_vec_lit(qv)), 6)
                         .alias("score"))
             .orderBy(F.desc("score"), "vec_id").limit(10))
+
+
+@register("sql_api_shipping_priority", oracle=None)  # oracle bound below
+def q_sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry point, proven equivalent to the DataFrame
+    DSL: TPC-H Q3 expressed as plain SQL over temp views shares
+    shipping_priority's oracle — same Catalyst plan space, same
+    result hash. A reference user who thinks in SQL rather than
+    DataFrames loses nothing."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                 AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o.o_orderpriority
+        FROM v_orders o
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < timestamp '1995-03-15'
+          AND l.l_shipdate > timestamp '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """)
+
+
+REGISTRY[-1].oracle = next(q.oracle for q in REGISTRY
+                           if q.name == "shipping_priority")

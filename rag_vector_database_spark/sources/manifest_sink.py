@@ -31,8 +31,8 @@ import uuid
 from dataclasses import dataclass
 from typing import Iterator
 
-from pyspark.sql.datasource import (DataSource, DataSourceWriter,
-                                    WriterCommitMessage)
+from pyspark.sql.datasource import (DataSource, DataSourceStreamWriter,
+                                    DataSourceWriter, WriterCommitMessage)
 from pyspark.sql.types import Row, StructType
 
 
@@ -80,6 +80,49 @@ class ManifestJsonlWriter(DataSourceWriter):
                     pass
 
 
+class ManifestJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming form of the sink: per micro-batch, tasks write unique
+    part files and the driver publishes ``_manifest-<batchId>.json``
+    after all of them succeed — so each batch commits atomically and a
+    replayed batch (same batchId after recovery) just overwrites its
+    own manifest instead of duplicating rows. Readers union the
+    manifests; uncommitted parts stay invisible, exactly as in batch."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.fields = schema.fieldNames()
+
+    def write(self, rows: Iterator[Row]) -> PartFileCommit:
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in rows:
+                f.write(json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return PartFileCommit(name, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = {
+            "batch": batchId,
+            "files": sorted(m.filename for m in messages if m is not None),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.path, f"._manifest-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path,
+                                     f"_manifest-{batchId}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
 class ManifestJsonlSink(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -88,11 +131,20 @@ class ManifestJsonlSink(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> ManifestJsonlWriter:
         return ManifestJsonlWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> ManifestJsonlStreamWriter:
+        return ManifestJsonlStreamWriter(self.options, schema)
+
 
 def read_manifest(spark, path: str, schema):
-    """Read back ONLY the files the manifest committed (a crashed or
-    concurrent writer's orphan part files are invisible)."""
-    with open(os.path.join(path, "_manifest.json")) as f:
-        manifest = json.load(f)
-    files = [os.path.join(path, n) for n in manifest["files"]]
+    """Read back ONLY the files the manifests committed (a crashed or
+    concurrent writer's orphan part files are invisible). Batch jobs
+    publish one ``_manifest.json``; streaming publishes one manifest
+    per micro-batch — readers union whichever exist."""
+    import glob as _glob
+    files: list[str] = []
+    for mf in sorted(_glob.glob(os.path.join(path, "_manifest*.json"))):
+        with open(mf) as f:
+            files.extend(os.path.join(path, n)
+                         for n in json.load(f)["files"])
     return spark.read.schema(schema).json(files)

@@ -188,3 +188,38 @@ def test_manifest_sink_commit_protocol(spark, sf_dir, tmp_path):
     manifest = json.load(open(f"{out}/_manifest.json"))
     assert manifest["n_rows"] == 100
     assert "part-orphan.jsonl" not in manifest["files"]
+
+
+def test_manifest_stream_writer_batches_commit_atomically(spark, sf_dir,
+                                                          tmp_path):
+    """DataSourceStreamWriter: the event stream drains into the
+    manifest sink with one atomic manifest per micro-batch; the
+    manifest-scoped read returns exactly the batch rows (no dups, no
+    orphans), and a planted torn part file stays invisible."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from rag_vector_database_spark.sources.manifest_sink import (
+        ManifestJsonlSink, read_manifest)
+    from rag_vector_database_spark.streaming import events as se
+
+    spark.dataSource.register(ManifestJsonlSink)
+    out = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (se.read_events_stream(spark, sf_dir)
+              .select("event_id", "user_id"))
+    q = (stream.writeStream.format("manifest_jsonl")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    with open(f"{out}/part-orphan.jsonl", "w") as f:
+        f.write('{"event_id": -1, "user_id": -1}\n')
+
+    schema = StructType([StructField("event_id", LongType()),
+                         StructField("user_id", LongType())])
+    back = read_manifest(spark, out, schema)
+    want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert back.count() == want
+    assert back.where(F.col("event_id") == -1).count() == 0
+    assert back.select("event_id").distinct().count() == want

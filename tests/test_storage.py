@@ -197,3 +197,28 @@ def test_compact_small_files(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(out).orderBy("id").collect()
     assert a == b
+
+
+def test_zvalue_matches_python_reference(spark):
+    """The Morton key computed JVM-side equals a bit-for-bit Python
+    reference over a seeded sample of the full 10-bit domain."""
+    import random
+
+    from rag_vector_database_spark.operators.storage import zvalue
+
+    rnd = random.Random(42)
+    pairs = [(rnd.randrange(1024), rnd.randrange(1024)) for _ in range(300)]
+
+    def z(a, b):
+        out = 0
+        for i in range(10):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {(r["a"], r["b"]): r["zv"] for r in
+           df.withColumn("zv", zvalue(F.col("a"), F.col("b"), bits=10))
+           .collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == z(a, b), (a, b)
