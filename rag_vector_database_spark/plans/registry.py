@@ -5782,9 +5782,10 @@ def q_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
-    from ..sources.manifest_sink import ManifestJsonlSink, read_manifest
+    from ..sources.manifest_sink import (read_manifest,
+                                         register_manifest_sink)
 
-    spark.dataSource.register(ManifestJsonlSink)
+    register_manifest_sink(spark)
     out = (_t(spark, sf_dir, "documents")
            .where(F.col("doc_id") % 4 == 0)
            .select("doc_id", "lang",

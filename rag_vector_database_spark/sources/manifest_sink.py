@@ -136,6 +136,18 @@ class ManifestJsonlSink(DataSource):
         return ManifestJsonlStreamWriter(self.options, schema)
 
 
+def register_manifest_sink(spark) -> None:
+    """Idempotent registration. As with api_listing.py, the class must
+    pickle BY VALUE: a consuming driver that put this repo on sys.path
+    at runtime has workers that cannot import the package, so a
+    by-reference pickle fails at write time."""
+    import sys
+
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(ManifestJsonlSink)
+
+
 def read_manifest(spark, path: str, schema):
     """Read back ONLY the files the manifests committed (a crashed or
     concurrent writer's orphan part files are invisible). Batch jobs

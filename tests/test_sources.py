@@ -169,9 +169,9 @@ def test_manifest_sink_commit_protocol(spark, sf_dir, tmp_path):
     from pyspark.sql.types import LongType, StructField, StructType
 
     from rag_vector_database_spark.sources.manifest_sink import (
-        ManifestJsonlSink, read_manifest)
+        read_manifest, register_manifest_sink)
 
-    spark.dataSource.register(ManifestJsonlSink)
+    register_manifest_sink(spark)
     out = str(tmp_path / "sink")
     df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
     df.write.format("manifest_jsonl").option("path", out) \
@@ -200,10 +200,10 @@ def test_manifest_stream_writer_batches_commit_atomically(spark, sf_dir,
     from pyspark.sql.types import LongType, StructField, StructType
 
     from rag_vector_database_spark.sources.manifest_sink import (
-        ManifestJsonlSink, read_manifest)
+        read_manifest, register_manifest_sink)
     from rag_vector_database_spark.streaming import events as se
 
-    spark.dataSource.register(ManifestJsonlSink)
+    register_manifest_sink(spark)
     out = str(tmp_path / "stream_sink")
     ckpt = str(tmp_path / "ckpt")
     stream = (se.read_events_stream(spark, sf_dir)
