@@ -6016,3 +6016,60 @@ def q_sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGISTRY[-1].oracle = next(q.oracle for q in REGISTRY
                            if q.name == "shipping_priority")
+
+
+@register(
+    "token_entropy",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({ltok}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+tf2 AS (
+  SELECT doc_id, c,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok
+  FROM tf
+),
+h AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         -sum((c / CAST(n_tok AS DOUBLE))
+              * ln(c / CAST(n_tok AS DOUBLE))) AS ent
+  FROM tf2 GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(ent, 6) AS entropy,
+       round(CASE WHEN n_distinct > 1 THEN ent / ln(n_distinct)
+                  ELSE 0.0 END, 6) AS entropy_norm
+FROM h
+""".format(ltok=DD_TOKENS.format(c="lower(text)")))
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution plus the
+    normalized form (entropy / ln(distinct)) — the repetitiveness
+    quality gate (near-zero normalized entropy = a few tokens looped;
+    the signal behind 'compression ratio' filters in web-corpus
+    pipelines, complementary to repetition_stats' fixed-gram view).
+    One explode + per-(doc, token) count, then one groupBy on the doc
+    key — both shuffles partial-aggregate map-side, and a doc's tokens
+    land in one partition so the second is cheap."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (d.select("doc_id",
+                   F.explode(text_fns.tokens(F.lower(F.col("text"))))
+                   .alias("t"))
+          .groupBy("doc_id", "t")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tf2 = tf.withColumn(
+        "n_tok", F.sum("c").over(Window.partitionBy("doc_id")))
+    h = (tf2.groupBy("doc_id")
+         .agg(F.sum("c").cast("long").alias("n_tokens"),
+              F.count(F.lit(1)).cast("long").alias("n_distinct"),
+              (-F.sum((F.col("c") / F.col("n_tok"))
+                      * F.log(F.col("c") / F.col("n_tok")))).alias("ent")))
+    return h.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round("ent", 6).alias("entropy"),
+        F.round(F.when(F.col("n_distinct") > 1,
+                       F.col("ent") / F.log("n_distinct"))
+                .otherwise(0.0), 6).alias("entropy_norm"))
