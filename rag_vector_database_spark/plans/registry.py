@@ -6073,3 +6073,42 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(F.col("n_distinct") > 1,
                        F.col("ent") / F.log("n_distinct"))
                 .otherwise(0.0), 6).alias("entropy_norm"))
+
+
+@register(
+    "arrow_vector_norms",
+    oracle="""
+SELECT vec_id,
+       round(sqrt({selfdot}), 6) AS l2_norm,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings e
+""".format(selfdot=dd_dot("e.embedding", "e.embedding")))
+def q_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the last Python execution surface next to pandas
+    scalar / grouped-map / grouped-agg / mapInPandas / stateful / UDTF:
+    per-batch pyarrow compute over the raw Arrow stream (no pandas
+    conversion at all), here validating the ingest invariant that every
+    stored embedding is unit-norm (#46, the reference normalizes at
+    write time). numpy does the per-batch math; the oracle replays it
+    as the strict left-to-right dot. At scale this is the cheapest
+    Python boundary Spark has: columnar in, columnar out, zero
+    row-object materialization."""
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            emb = batch.column("embedding")
+            arr = np.asarray(emb.flatten(), dtype=np.float64)
+            dim = np.diff(np.asarray(emb.offsets))
+            # all rows share one dim; reshape for a vectorized norm
+            m = arr.reshape(len(dim), dim[0])
+            yield pa.RecordBatch.from_arrays(
+                [vec_id,
+                 pa.array(np.round(np.sqrt((m * m).sum(axis=1)), 6)),
+                 pa.array(dim.astype("int32"))],
+                ["vec_id", "l2_norm", "dim"])
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(norms, "vec_id long, l2_norm double, dim int")
