@@ -315,11 +315,21 @@ def mmr_rerank(candidates: DataFrame, k: int = 5, lam: float = 0.7,
     Ties break on the id, matching the oracle's unrolled CTEs."""
     from ..functions import vectors as V
 
+    # the diversity coefficient must be the SAME double both engines
+    # parse from a decimal literal — 1.0 - 0.7 in binary float is NOT
+    # the double nearest 0.3, and near-duplicate candidates sit within
+    # that 5e-17 of each other by construction
+    mu = round(1.0 - lam, 6)
+    # materialize the candidate set once: the greedy loop references it
+    # k-1 times (and the growing selection twice per step) — without
+    # truncation the final plan re-runs the corpus scan ~2^k times
+    candidates = candidates.localCheckpoint(eager=True)
     cols = [id_col, vec_col, score_col, "pick_order", "mmr"]
     sel = (candidates.orderBy(F.desc(score_col), id_col).limit(1)
            .withColumn("pick_order", F.lit(1))
            .withColumn("mmr", F.col(score_col)).select(cols))
     for i in range(2, k + 1):
+        sel = sel.localCheckpoint(eager=True)  # k-bounded rows
         sel_agg = sel.agg(
             F.collect_list(F.struct(F.col(vec_col).alias("v"))).alias("__sel"),
             F.collect_list(id_col).alias("__ids"))
@@ -328,8 +338,7 @@ def mmr_rerank(candidates: DataFrame, k: int = 5, lam: float = 0.7,
         maxsim = F.array_max(F.transform(
             F.col("__sel"), lambda s: V.dot(F.col(vec_col), s.getField("v"))))
         pick = (rem.withColumn(
-                    "mmr", F.lit(lam) * F.col(score_col)
-                    - F.lit(1.0 - lam) * maxsim)
+                    "mmr", F.lit(lam) * F.col(score_col) - F.lit(mu) * maxsim)
                 .orderBy(F.desc("mmr"), id_col).limit(1)
                 .withColumn("pick_order", F.lit(i)).select(cols))
         sel = sel.unionByName(pick)

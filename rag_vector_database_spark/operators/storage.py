@@ -68,6 +68,11 @@ def zvalue(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     clustering trick behind Delta/Iceberg OPTIMIZE ZORDER, here as a
     plain column expression (exact integer arithmetic, so the layout
     key is oracle-checkable)."""
+    if not 1 <= bits <= 31:
+        # 2*31+1 = 63 is the last interleaved position that fits a
+        # signed int64; wider keys need two words (as the sign-bit
+        # packer does)
+        raise ValueError("zvalue supports 1..31 bits per dimension")
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     out = F.lit(0).cast("long")

@@ -6098,6 +6098,8 @@ def q_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     def norms(batches):
         import numpy as np
         for batch in batches:
+            if batch.num_rows == 0:  # upstream filters can empty a batch
+                continue
             vec_id = batch.column("vec_id")
             emb = batch.column("embedding")
             arr = np.asarray(emb.flatten(), dtype=np.float64)

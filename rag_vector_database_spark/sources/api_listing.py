@@ -78,8 +78,12 @@ class ApiListingStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = int(start["item"])
         hi = min(lo + self.page_size, self.n_items)
+        # slice strictly to [lo, hi): a checkpointed offset needn't be
+        # aligned to THIS run's page_size (the option can change across
+        # restarts), and returning the whole containing page would
+        # duplicate rows below lo and skip rows above it
         rows = [] if hi <= lo else list(
-            _fetch_page(lo // self.page_size, self.page_size, self.n_items))
+            self.readBetweenOffsets({"item": lo}, {"item": hi}))
         return iter(rows), {"item": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):

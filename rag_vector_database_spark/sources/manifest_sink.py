@@ -42,6 +42,37 @@ class PartFileCommit(WriterCommitMessage):
     n_rows: int
 
 
+def _write_part(path: str, fields: list, rows) -> PartFileCommit:
+    """Executor-side part write shared by the batch and stream writers:
+    a unique name per task attempt means retries never collide or
+    interleave; the file only becomes visible via a manifest."""
+    os.makedirs(path, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.jsonl"
+    n = 0
+    with open(os.path.join(path, name), "w") as f:
+        for row in rows:
+            f.write(json.dumps(dict(zip(fields, row))) + "\n")
+            n += 1
+    return PartFileCommit(name, n)
+
+
+def _publish_manifest(path: str, final_name: str, manifest: dict) -> None:
+    """Atomic driver-side publish: write-then-rename."""
+    tmp = os.path.join(path, f"._manifest-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, final_name))
+
+
+def _remove_parts(path: str, messages) -> None:
+    for m in messages:
+        if m is not None:
+            try:
+                os.remove(os.path.join(path, m.filename))
+            except OSError:
+                pass
+
+
 class ManifestJsonlWriter(DataSourceWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.path = options["path"]
@@ -49,35 +80,30 @@ class ManifestJsonlWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, rows: Iterator[Row]) -> PartFileCommit:
-        # executor-side: unique name per task attempt -> retries never
-        # collide; the file only becomes visible via the manifest
-        os.makedirs(self.path, exist_ok=True)
-        name = f"part-{uuid.uuid4().hex}.jsonl"
-        n = 0
-        with open(os.path.join(self.path, name), "w") as f:
-            for row in rows:
-                f.write(json.dumps(dict(zip(self.fields, row))) + "\n")
-                n += 1
-        return PartFileCommit(name, n)
+        return _write_part(self.path, self.fields, rows)
 
     def commit(self, messages) -> None:
-        # driver-side, after ALL tasks succeeded: publish atomically
+        # driver-side, after ALL tasks succeeded. Each batch JOB gets
+        # its own uniquely-named manifest, so append mode composes:
+        # readers union every committed manifest and job N can never
+        # eclipse job N-1's files. Overwrite mode retracts the previous
+        # manifests FIRST — their parts become invisible orphans the
+        # moment the old manifests are gone (logical delete, physical
+        # cleanup is a vacuum concern).
+        if self.overwrite:
+            import glob as _glob
+            for mf in _glob.glob(os.path.join(self.path,
+                                              "_manifest*.json")):
+                os.remove(mf)
         manifest = {
-            "files": sorted(m.filename for m in messages),
-            "n_rows": sum(m.n_rows for m in messages),
+            "files": sorted(m.filename for m in messages if m is not None),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
         }
-        tmp = os.path.join(self.path, f"._manifest-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+        _publish_manifest(self.path,
+                          f"_manifest-job-{uuid.uuid4().hex}.json", manifest)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None:
-                try:
-                    os.remove(os.path.join(self.path, m.filename))
-                except OSError:
-                    pass
+        _remove_parts(self.path, messages)
 
 
 class ManifestJsonlStreamWriter(DataSourceStreamWriter):
@@ -93,14 +119,7 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
         self.fields = schema.fieldNames()
 
     def write(self, rows: Iterator[Row]) -> PartFileCommit:
-        os.makedirs(self.path, exist_ok=True)
-        name = f"part-{uuid.uuid4().hex}.jsonl"
-        n = 0
-        with open(os.path.join(self.path, name), "w") as f:
-            for row in rows:
-                f.write(json.dumps(dict(zip(self.fields, row))) + "\n")
-                n += 1
-        return PartFileCommit(name, n)
+        return _write_part(self.path, self.fields, rows)
 
     def commit(self, messages, batchId: int) -> None:
         manifest = {
@@ -108,19 +127,10 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
             "files": sorted(m.filename for m in messages if m is not None),
             "n_rows": sum(m.n_rows for m in messages if m is not None),
         }
-        tmp = os.path.join(self.path, f"._manifest-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.path,
-                                     f"_manifest-{batchId}.json"))
+        _publish_manifest(self.path, f"_manifest-{batchId}.json", manifest)
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None:
-                try:
-                    os.remove(os.path.join(self.path, m.filename))
-                except OSError:
-                    pass
+        _remove_parts(self.path, messages)
 
 
 class ManifestJsonlSink(DataSource):
@@ -159,4 +169,6 @@ def read_manifest(spark, path: str, schema):
         with open(mf) as f:
             files.extend(os.path.join(path, n)
                          for n in json.load(f)["files"])
+    if not files:  # nothing ever committed -> empty, not an error
+        return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)

@@ -136,26 +136,40 @@ def test_binary_quant_recall_vs_exact(spark, sf_dir):
     assert len(exact & quant) >= 5
 
 
-def test_boilerplate_tile_invariants(spark, sf_dir):
-    """Kept + dropped tiles account for every tile; clean_text word
-    count equals kept tiles' token total; a corpus-unique tile is
-    never dropped."""
+def test_boilerplate_tile_matches_python_reference(spark, sf_dir):
+    """Exact-equality check against an independent Python replay of the
+    operator: tile the corpus, count document frequency per tile, drop
+    tiles seen in >= 2 docs, rejoin in order — n_tiles, n_dropped and
+    clean_text must all match row for row."""
+    from collections import defaultdict
+
     from pyspark.sql import functions as F
 
     from rag_vector_database_spark.operators.dedup import (
         boilerplate_tiles_removed)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = boilerplate_tiles_removed(docs).collect()
-    n_docs = docs.where(F.length(F.trim("text")) > 0).count()
-    assert len(out) == n_docs
-    for r in out:
-        assert 0 <= r["n_dropped"] <= r["n_tiles"]
-        if r["n_dropped"] == 0:
-            # nothing removed -> clean text is the tokenized original
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    tiles = {}
+    df = defaultdict(set)
+    for did, text in raw.items():
+        toks = text.split()
+        if not toks:
             continue
-        kept_words = len(r["clean_text"].split()) if r["clean_text"] else 0
-        assert kept_words < r["n_tiles"] * 3 + 3
+        tl = [" ".join(toks[i:i + 3]) for i in range(0, len(toks), 3)]
+        tiles[did] = tl
+        for t in tl:
+            df[t].add(did)
+    want = {}
+    for did, tl in tiles.items():
+        kept = [t for t in tl if len(df[t]) < 2]
+        want[did] = (len(tl), len(tl) - len(kept), " ".join(kept))
+
+    out = boilerplate_tiles_removed(docs).collect()
+    assert len(out) == len(want)
+    for r in out:
+        assert (r["n_tiles"], r["n_dropped"], r["clean_text"]) == \
+            want[r["doc_id"]], r["doc_id"]
 
 
 def test_mmr_first_pick_is_argmax_and_picks_distinct(spark, sf_dir):

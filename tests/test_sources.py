@@ -185,9 +185,25 @@ def test_manifest_sink_commit_protocol(spark, sf_dir, tmp_path):
     back = read_manifest(spark, out, schema)
     assert back.count() == 100
     assert back.where(F.col("doc_id") == 999999).count() == 0
-    manifest = json.load(open(f"{out}/_manifest.json"))
+    import glob
+    [mpath] = glob.glob(f"{out}/_manifest*.json")
+    manifest = json.load(open(mpath))
     assert manifest["n_rows"] == 100
     assert "part-orphan.jsonl" not in manifest["files"]
+
+    # append composes: a second job's manifest unions with the first
+    spark.range(100, 150).select(F.col("id").alias("doc_id")) \
+        .write.format("manifest_jsonl").option("path", out) \
+        .mode("append").save()
+    assert read_manifest(spark, out, schema).count() == 150
+    # overwrite retracts every earlier manifest
+    spark.range(0, 7).select(F.col("id").alias("doc_id")) \
+        .write.format("manifest_jsonl").option("path", out) \
+        .mode("overwrite").save()
+    assert read_manifest(spark, out, schema).count() == 7
+    # a never-committed directory reads as empty, not as an error
+    assert read_manifest(spark, str(tmp_path / "nothing"),
+                         schema).count() == 0
 
 
 def test_manifest_stream_writer_batches_commit_atomically(spark, sf_dir,
