@@ -73,6 +73,10 @@ def ivf_knn(df: DataFrame, query_vec: Sequence[float], k: int,
     pattern of their first ``sign_bits`` dims, then search only the
     query's cell. Recall < 1 by design; exact ``knn`` is the oracle for
     the scan-pruning structure, not the result set."""
+    if len(query_vec) < sign_bits:
+        raise ValueError(
+            f"query vector has {len(query_vec)} dims; the sign quantizer "
+            f"needs at least sign_bits={sign_bits}")
     bucket = _sign_bucket(F.col(vec_col), sign_bits)
     qbucket = sum((1 << i) for i in range(sign_bits) if float(query_vec[i]) >= 0)
     scored = score_against(df.where(bucket == F.lit(qbucket)),
