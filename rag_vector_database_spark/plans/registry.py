@@ -6114,3 +6114,64 @@ def q_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(norms, "vec_id long, l2_norm double, dim int")
+
+
+@register(
+    "token_collocations",
+    oracle="""
+WITH dt AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, unnest({ltok}) AS t FROM documents)
+),
+uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY t),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM dt),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS c12
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT p.t1, p.t2, p.c12,
+       round(ln(CAST(p.c12 AS DOUBLE) * n.nd
+                / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+FROM pairs p
+JOIN uni u1 ON u1.t = p.t1
+JOIN uni u2 ON u2.t = p.t2
+CROSS JOIN n
+ORDER BY pmi DESC, p.t1, p.t2
+LIMIT 20
+""".format(ltok=DD_TOKENS.format(c="lower(text)")))
+def q_token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token collocations by pointwise mutual
+    information — the phrase-mining / association signal (tokens that
+    co-occur in documents far above chance). Document frequency, not
+    term frequency: each doc contributes its DISTINCT token set, so a
+    doc repeating a pair doesn't inflate it.
+
+    Scale shape: the pair join is per-document (co-partitioned on
+    doc_id after one shuffle) and each doc contributes at most
+    |distinct tokens|^2 / 2 pairs — bounded by vocabulary-per-doc,
+    not corpus size; pair counts partial-aggregate map-side; the
+    unigram table and the one-row doc count BROADCAST into the PMI
+    projection; final top-20 is TakeOrdered."""
+    d = _t(spark, sf_dir, "documents")
+    dt = (d.select("doc_id",
+                   F.explode(F.array_distinct(
+                       text_fns.tokens(F.lower(F.col("text")))))
+                   .alias("t")))
+    uni = dt.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nd = dt.agg(F.countDistinct("doc_id").cast("long").alias("nd"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.t") < F.col("b.t")))
+             .groupBy(F.col("a.t").alias("t1"), F.col("b.t").alias("t2"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c12")))
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    return (pairs.join(F.broadcast(u1), "t1").join(F.broadcast(u2), "t2")
+            .crossJoin(F.broadcast(nd))
+            .select("t1", "t2", "c12",
+                    F.round(F.log(F.col("c12").cast("double") * F.col("nd")
+                                  / (F.col("c1").cast("double")
+                                     * F.col("c2"))), 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), "t1", "t2").limit(20))
