@@ -1012,7 +1012,6 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding generation, multimodal plumbing, structured streaming
 
-from ..embedding import HashingEmbedder  # noqa: E402
 from ..operators import storage as storage_ops  # noqa: E402
 from ..sources import multimodal  # noqa: E402
 from ..streaming import events as streaming_events  # noqa: E402
