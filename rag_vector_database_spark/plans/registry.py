@@ -6174,3 +6174,88 @@ def q_token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   / (F.col("c1").cast("double")
                                      * F.col("c2"))), 6).alias("pmi"))
             .orderBy(F.desc("pmi"), "t1", "t2").limit(20))
+
+
+@register(
+    "knn_metadata_filtered",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, d.lang, round({dot}, 6) AS score
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id, q
+WHERE d.lang = 'en'
+ORDER BY score DESC, e.vec_id LIMIT 10
+""".format(dot=dd_dot("e.embedding", "q.qv")))
+def q_knn_metadata_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector search under a metadata predicate — the vector store's
+    ``where=`` filter (ChromaDB collections filter on metadata before
+    ranking; every production vector DB has this): restrict to
+    documents with lang = 'en', THEN rank by cosine. Plan: the
+    filtered key set is dim-table-sized and BROADCASTs into the
+    embedding scan as a semi-join, so the scorer touches only
+    qualifying vectors — with lang as a partition column this becomes
+    partition pruning and the scan itself shrinks. Scoring stays
+    scan-local + TakeOrdered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    qv = query_vector(spark, sf_dir)
+    from ..functions import vectors as V
+    return (emb.join(F.broadcast(keys), emb.vec_id == keys.doc_id)
+            .select("vec_id", "lang",
+                    F.round(V.dot("embedding", V.query_vec_lit(qv)), 6)
+                    .alias("score"))
+            .orderBy(F.desc("score"), "vec_id").limit(10))
+
+
+@register(
+    "maxsim_doc_knn",
+    oracle="""
+WITH chunks AS ({chunk_cte}),
+{cemb},
+{qemb},
+scores AS (
+  SELECT e.chunk_id, sum(e.val * q.val) AS s
+  FROM cemb e JOIN qemb q USING (dim_idx)
+  GROUP BY e.chunk_id
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks_scored,
+       round(max(s.s), 6) AS maxsim
+FROM scores s JOIN chunks c USING (chunk_id)
+GROUP BY c.doc_id
+ORDER BY maxsim DESC, doc_id LIMIT 10
+""".format(
+        chunk_cte=chunking.dd_chunk_cte(400, 50),
+        cemb=_DD_SPARSE_EMBED.format(
+            name="cemb", key="chunk_id",
+            tokens=DD_TOKENS.format(c="chunk_text"),
+            src="chunks"),
+        qemb=_DD_SPARSE_EMBED.format(
+            name="qemb", key="doc_id",
+            tokens=DD_TOKENS.format(c="text"),
+            src="(SELECT doc_id, text FROM documents WHERE doc_id = 0)")))
+def q_maxsim_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction document retrieval (the ColBERT MaxSim shape,
+    one vector per CHUNK instead of one per document): score every
+    chunk against the query, aggregate per document by MAX, rank
+    documents — long documents aren't penalized for having one great
+    passage among many mediocre ones, which single-vector-per-doc
+    retrieval structurally does. Composes the verified chunker and
+    sparse hashing embedder; the per-doc max is one map-side-combined
+    groupBy (a doc's chunks co-locate after the score join), then
+    TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(docs, size=400, overlap=50)
+    cemb = _sparse_hash_embed(chunks, "chunk_id", "chunk_text")
+    qdoc = docs.where(F.col("doc_id") == 0)
+    qemb = (_sparse_hash_embed(qdoc, "doc_id", "text")
+            .select("dim_idx", F.col("val").alias("qval")))
+    scores = (cemb.join(F.broadcast(qemb), "dim_idx")
+              .groupBy("chunk_id")
+              .agg(F.sum(F.col("val") * F.col("qval")).alias("s")))
+    return (scores.join(chunks.select("chunk_id", "doc_id"), "chunk_id")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks_scored"),
+                 F.round(F.max("s"), 6).alias("maxsim"))
+            .orderBy(F.desc("maxsim"), "doc_id").limit(10))
