@@ -6259,3 +6259,113 @@ def q_maxsim_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_chunks_scored"),
                  F.round(F.max("s"), 6).alias("maxsim"))
             .orderBy(F.desc("maxsim"), "doc_id").limit(10))
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+SELECT 'orders.o_custkey -> customer' AS check_name,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_violations
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders.o_orderkey unique',
+       CAST((SELECT coalesce(sum(c - 1), 0) FROM
+             (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+              HAVING count(*) > 1)) AS BIGINT)
+UNION ALL
+SELECT 'documents.text not null/blank',
+       CAST((SELECT count(*) FROM documents
+             WHERE text IS NULL OR trim(text) = '') AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_quantity positive',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+UNION ALL
+SELECT 'events.ts in sane range',
+       CAST((SELECT count(*) FROM events
+             WHERE ts < TIMESTAMP '1990-01-01'
+                OR ts > TIMESTAMP '2030-01-01') AS BIGINT)
+""")
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-test /
+    Great-Expectations shape a production pipeline gates loads on):
+    referential integrity via anti-joins, key uniqueness via a
+    duplicate-count aggregate, null/blank and domain checks via
+    conditional counts — one (check_name, n_violations) row each, all
+    zero on healthy data but counted (not exists-checked) so the
+    report quantifies damage. Each anti-join broadcasts its key-only
+    side or rides AQE; domain checks are scan-local conditional
+    aggregates. At scale the checks share scans per table via the
+    usual multi-aggregate trick."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    d = _t(spark, sf_dir, "documents")
+    e = _events(spark, sf_dir)
+
+    def one(name: str, df_count) -> DataFrame:
+        return df_count.select(F.lit(name).alias("check_name"),
+                               F.col("n").cast("long")
+                               .alias("n_violations"))
+
+    ref_cust = (o.join(c.select("c_custkey"),
+                       o.o_custkey == F.col("c_custkey"), "left_anti")
+                .agg(F.count(F.lit(1)).alias("n")))
+    ref_ord = (li.join(o.select(F.col("o_orderkey").alias("__ok")),
+                       li.l_orderkey == F.col("__ok"), "left_anti")
+               .agg(F.count(F.lit(1)).alias("n")))
+    uniq = (o.groupBy("o_orderkey").count().where(F.col("count") > 1)
+            .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("n")))
+    blank = d.agg(F.sum(
+        F.when(F.col("text").isNull() | (F.trim("text") == ""), 1)
+        .otherwise(0)).alias("n"))
+    qty = li.agg(F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+                 .alias("n"))
+    tsrange = e.agg(F.sum(
+        F.when((F.col("ts") < F.lit("1990-01-01").cast("timestamp"))
+               | (F.col("ts") > F.lit("2030-01-01").cast("timestamp")), 1)
+        .otherwise(0)).alias("n"))
+    return (one("orders.o_custkey -> customer", ref_cust)
+            .unionByName(one("lineitem.l_orderkey -> orders", ref_ord))
+            .unionByName(one("orders.o_orderkey unique", uniq))
+            .unionByName(one("documents.text not null/blank", blank))
+            .unionByName(one("lineitem.l_quantity positive", qty))
+            .unionByName(one("events.ts in sane range", tsrange)))
+
+
+@register(
+    "freshness_by_type",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS corpus_max FROM events)
+SELECT e.event_type,
+       strftime(max(e.ts), '%Y-%m-%d %H:%M:%S') AS latest,
+       CAST(floor((epoch(mx.corpus_max) - epoch(max(e.ts))) / 60)
+            AS BIGINT) AS lag_minutes
+FROM events e, mx
+GROUP BY e.event_type, mx.corpus_max
+""")
+def q_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline freshness monitoring: per event type, the latest event
+    and its lag behind the corpus high-water mark — the staleness
+    dashboard every incremental ingest needs ('has source X stopped
+    producing?'). The reference point is data-derived (corpus max),
+    never wall clock, so the check is deterministic and replayable.
+    One scan: the per-type max is a map-side-combined groupBy and the
+    global max is a one-row broadcast."""
+    e = _events(spark, sf_dir)
+    mx = e.agg(F.max("ts").alias("corpus_max"))
+    return (e.groupBy("event_type").agg(F.max("ts").alias("__latest"))
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "event_type",
+                F.date_format("__latest", "yyyy-MM-dd HH:mm:ss")
+                .alias("latest"),
+                (F.floor((F.unix_micros("corpus_max")
+                          - F.unix_micros("__latest")) / 60_000_000))
+                .cast("long").alias("lag_minutes")))
