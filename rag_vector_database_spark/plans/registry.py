@@ -6369,3 +6369,122 @@ def q_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.floor((F.unix_micros("corpus_max")
                           - F.unix_micros("__latest")) / 60_000_000))
                 .cast("long").alias("lag_minutes")))
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, md5({norm}) AS fp FROM documents WHERE doc_id % 7 != 0
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN {norm} || ' v2'
+                  ELSE {norm} END) AS fp
+  FROM documents WHERE doc_id % 5 != 0
+),
+j AS (
+  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         v1.fp AS fp1, v2.fp AS fp2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            WHEN fp1 != fp2 THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       CAST(count(*) AS BIGINT) AS n,
+       min(doc_id) AS example_doc
+FROM j GROUP BY 1
+""".format(norm=DD_NORM.format(c="text")))
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff — the CDC/audit view between two snapshots
+    of a dataset (what Delta's table history or an Iceberg snapshot
+    diff answers): full-outer join two versions on the key, classify
+    each row added / removed / changed / unchanged by content
+    fingerprint, report counts with an example key. Versions are
+    synthesized from documents (v2 drops some docs, adds others,
+    rewrites every 11th). One shuffle on the key; fingerprints are
+    scan-local; at scale the join rides bucketed layouts like any
+    other key join."""
+    from ..operators.dedup import fingerprint, normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    v1 = (d.where(F.col("doc_id") % 7 != 0)
+          .select("doc_id", fingerprint(F.col("text")).alias("fp1")))
+    text2 = F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(normalize_text(F.col("text")), F.lit(" v2"))) \
+             .otherwise(normalize_text(F.col("text")))
+    v2 = (d.where(F.col("doc_id") % 5 != 0)
+          .select("doc_id", F.md5(text2).alias("fp2")))
+    j = v1.join(v2, "doc_id", "full_outer")
+    change = (F.when(F.col("fp1").isNull(), "added")
+              .when(F.col("fp2").isNull(), "removed")
+              .when(F.col("fp1") != F.col("fp2"), "changed")
+              .otherwise("unchanged"))
+    return (j.select("doc_id", change.alias("change"))
+            .groupBy("change")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min("doc_id").alias("example_doc")))
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+WITH binned AS (
+  SELECT event_type,
+         least(9, greatest(0, CAST(floor(value / 100.0) AS INT))) AS bin,
+         (ts < TIMESTAMP '1998-01-01') AS is_ref
+  FROM events
+),
+cnt AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS nc
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, CAST(sum(nr) AS BIGINT) AS tr,
+         CAST(sum(nc) AS BIGINT) AS tc
+  FROM cnt GROUP BY event_type
+)
+SELECT c.event_type,
+       round(sum(((c.nr + 1.0) / (t.tr + 10.0)
+                  - (c.nc + 1.0) / (t.tc + 10.0))
+                 * ln(((c.nr + 1.0) / (t.tr + 10.0))
+                      / ((c.nc + 1.0) / (t.tc + 10.0)))), 6) AS psi,
+       CAST(t.tr AS BIGINT) AS n_ref, CAST(t.tc AS BIGINT) AS n_cur
+FROM cnt c JOIN tot t USING (event_type)
+GROUP BY c.event_type, t.tr, t.tc
+""")
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between a reference window (events
+    before 1998) and the current window — THE drift gate ML-ops runs
+    on every feature before trusting a model or a data source: fixed
+    value bins, add-one smoothing (so empty bins don't blow up the
+    log), PSI = sum((p_ref - p_cur) * ln(p_ref / p_cur)) per event
+    type. Above ~0.2 means the distribution moved. One scan bins and
+    splits both windows (conditional aggregation — the table is never
+    read twice); the per-type totals re-join is group-count-sized."""
+    e = _events(spark, sf_dir)
+    binned = e.select(
+        "event_type",
+        F.least(F.lit(9), F.greatest(
+            F.lit(0), F.floor(F.col("value") / 100.0).cast("int")))
+        .alias("bin"),
+        (F.col("ts") < F.lit("1998-01-01").cast("timestamp"))
+        .alias("is_ref"))
+    cnt = (binned.groupBy("event_type", "bin")
+           .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                .cast("long").alias("nr"),
+                F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+                .cast("long").alias("nc")))
+    tot = (cnt.groupBy("event_type")
+           .agg(F.sum("nr").cast("long").alias("tr"),
+                F.sum("nc").cast("long").alias("tc")))
+    pr = (F.col("nr") + 1.0) / (F.col("tr") + 10.0)
+    pc = (F.col("nc") + 1.0) / (F.col("tc") + 10.0)
+    return (cnt.join(F.broadcast(tot), "event_type")
+            .groupBy("event_type", "tr", "tc")
+            .agg(F.round(F.sum((pr - pc) * F.log(pr / pc)), 6).alias("psi"))
+            .select("event_type", "psi",
+                    F.col("tr").alias("n_ref"), F.col("tc").alias("n_cur")))
