@@ -6488,3 +6488,69 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum((pr - pc) * F.log(pr / pc)), 6).alias("psi"))
             .select("event_type", "psi",
                     F.col("tr").alias("n_ref"), F.col("tc").alias("n_cur")))
+
+
+@register(
+    "ivf_recall_eval",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, round({dot}, 6) AS score,
+         CAST(list_sum(list_transform(range(0, 3), i ->
+           CASE WHEN e.embedding[i + 1] >= 0 THEN (1::BIGINT << i)
+                ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+  FROM embeddings e, q
+),
+qb AS (
+  SELECT CAST(list_sum(list_transform(range(0, 3), i ->
+           CASE WHEN qv[i + 1] >= 0 THEN (1::BIGINT << i)
+                ELSE 0::BIGINT END)) AS BIGINT) AS qbucket
+  FROM q
+),
+exact AS (SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT 10),
+single AS (
+  SELECT s.vec_id FROM scored s, qb
+  WHERE s.bucket = qb.qbucket ORDER BY s.score DESC, s.vec_id LIMIT 10
+),
+multi AS (
+  SELECT s.vec_id FROM scored s, qb
+  WHERE xor(s.bucket, qb.qbucket) IN (0, 1, 2, 4)
+  ORDER BY s.score DESC, s.vec_id LIMIT 10
+)
+SELECT 'single_probe' AS config,
+       CAST((SELECT count(*) FROM single JOIN exact USING (vec_id))
+            AS BIGINT) AS hits_at_10
+UNION ALL
+SELECT 'multiprobe_h1',
+       CAST((SELECT count(*) FROM multi JOIN exact USING (vec_id))
+            AS BIGINT)
+UNION ALL
+SELECT 'exact', CAST((SELECT count(*) FROM exact) AS BIGINT)
+""".format(dot=dd_dot("e.embedding", "q.qv")))
+def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF path's acceptance gate, mirroring minhash_recall_eval
+    for the vector side: recall@10 of single-probe and Hamming-1
+    multiprobe IVF against the exact top-10, as data (config,
+    hits_at_10) — the eval a pipeline runs before committing to a
+    probe width at scale. Multiprobe must dominate single-probe by
+    construction (superset of cells); the unit test pins that
+    ordering, the oracle pins the exact counts."""
+    from ..operators import retrieval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    exact = retrieval.knn(emb, qv, 10).select("vec_id")
+    single = retrieval.ivf_knn(emb, qv, 10).select("vec_id")
+    multi = retrieval.ivf_knn_multiprobe(emb, qv, 10).select("vec_id")
+
+    def hits(name: str, approx: DataFrame) -> DataFrame:
+        return (approx.join(exact, "vec_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("hits_at_10"))
+                .select(F.lit(name).alias("config"), "hits_at_10"))
+
+    return (hits("single_probe", single)
+            .unionByName(hits("multiprobe_h1", multi))
+            .unionByName(exact.agg(F.count(F.lit(1)).cast("long")
+                                   .alias("hits_at_10"))
+                         .select(F.lit("exact").alias("config"),
+                                 "hits_at_10")))
