@@ -6554,3 +6554,49 @@ def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    .alias("hits_at_10"))
                          .select(F.lit("exact").alias("config"),
                                  "hits_at_10")))
+
+
+@register(
+    "langid_confusion",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_intersect(list_distinct({ltok}), {en})) AS s_en,
+         len(list_intersect(list_distinct({ltok}), {de})) AS s_de,
+         len(list_intersect(list_distinct({ltok}), {fr})) AS s_fr
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+              ELSE 'fr' END AS lang_guess
+  FROM s
+)
+SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang)
+                             AS DOUBLE), 6) AS frac_of_truth
+FROM g GROUP BY lang, lang_guess
+""".format(ltok=DD_TOKENS.format(c="lower(text)"),
+           en=_dd_stoplist("en"), de=_dd_stoplist("de"),
+           fr=_dd_stoplist("fr")))
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    dataset's ground-truth lang column — the eval gate a pipeline runs
+    before trusting a classifier to drive filtering (the same
+    eval-as-a-query discipline as minhash_recall_eval /
+    ivf_recall_eval, applied to the quality family). Languages outside
+    the stopword lists (es, zh) SHOULD land in 'und' — visible here,
+    not hidden. One scan + one groupBy; the per-truth normalization
+    rides a window over the group-count-sized result."""
+    from ..operators.textstats import lang_guess
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select("lang", lang_guess(F.col("text")).alias("lang_guess"))
+    cnt = (g.groupBy("lang", "lang_guess")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = Window.partitionBy("lang")
+    return cnt.select(
+        "lang", "lang_guess", "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_truth"))
