@@ -95,6 +95,10 @@ def ivf_knn_multiprobe(df: DataFrame, query_vec: Sequence[float], k: int,
     ~(1 - (sign_bits+1)/2^sign_bits) of the data. The probe predicate
     is ``bucket XOR q_bucket in {0, 1, 2, 4, ...}`` — a pushable filter
     on a stored bucket column, i.e. partition pruning at rest."""
+    if len(query_vec) < sign_bits:
+        raise ValueError(
+            f"query vector has {len(query_vec)} dims; the sign quantizer "
+            f"needs at least sign_bits={sign_bits}")
     bucket = _sign_bucket(F.col(vec_col), sign_bits)
     qbucket = sum((1 << i) for i in range(sign_bits)
                   if float(query_vec[i]) >= 0)

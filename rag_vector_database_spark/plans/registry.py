@@ -6303,40 +6303,28 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     side or rides AQE; domain checks are scan-local conditional
     aggregates. At scale the checks share scans per table via the
     usual multi-aggregate trick."""
+    from ..operators import quality as Q
+
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
     d = _t(spark, sf_dir, "documents")
     e = _events(spark, sf_dir)
-
-    def one(name: str, df_count) -> DataFrame:
-        return df_count.select(F.lit(name).alias("check_name"),
-                               F.col("n").cast("long")
-                               .alias("n_violations"))
-
-    ref_cust = (o.join(c.select("c_custkey"),
-                       o.o_custkey == F.col("c_custkey"), "left_anti")
-                .agg(F.count(F.lit(1)).alias("n")))
-    ref_ord = (li.join(o.select(F.col("o_orderkey").alias("__ok")),
-                       li.l_orderkey == F.col("__ok"), "left_anti")
-               .agg(F.count(F.lit(1)).alias("n")))
-    uniq = (o.groupBy("o_orderkey").count().where(F.col("count") > 1)
-            .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("n")))
-    blank = d.agg(F.sum(
-        F.when(F.col("text").isNull() | (F.trim("text") == ""), 1)
-        .otherwise(0)).alias("n"))
-    qty = li.agg(F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
-                 .alias("n"))
-    tsrange = e.agg(F.sum(
-        F.when((F.col("ts") < F.lit("1990-01-01").cast("timestamp"))
-               | (F.col("ts") > F.lit("2030-01-01").cast("timestamp")), 1)
-        .otherwise(0)).alias("n"))
-    return (one("orders.o_custkey -> customer", ref_cust)
-            .unionByName(one("lineitem.l_orderkey -> orders", ref_ord))
-            .unionByName(one("orders.o_orderkey unique", uniq))
-            .unionByName(one("documents.text not null/blank", blank))
-            .unionByName(one("lineitem.l_quantity positive", qty))
-            .unionByName(one("events.ts in sane range", tsrange)))
+    return Q.run_checks(
+        Q.referential_check("orders.o_custkey -> customer",
+                            o, "o_custkey", c, "c_custkey"),
+        Q.referential_check("lineitem.l_orderkey -> orders",
+                            li, "l_orderkey", o, "o_orderkey"),
+        Q.unique_check("orders.o_orderkey unique", o, "o_orderkey"),
+        Q.predicate_check("documents.text not null/blank", d,
+                          F.col("text").isNull()
+                          | (F.trim("text") == "")),
+        Q.predicate_check("lineitem.l_quantity positive", li,
+                          F.col("l_quantity") <= 0),
+        Q.predicate_check(
+            "events.ts in sane range", e,
+            (F.col("ts") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("ts") > F.lit("2030-01-01").cast("timestamp"))))
 
 
 @register(
@@ -6375,22 +6363,23 @@ def q_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot_diff",
     oracle="""
 WITH v1 AS (
-  SELECT doc_id, md5({norm}) AS fp FROM documents WHERE doc_id % 7 != 0
+  SELECT doc_id, md5({norm}) AS fp, 1 AS in1
+  FROM documents WHERE doc_id % 7 != 0
 ),
 v2 AS (
   SELECT doc_id,
          md5(CASE WHEN doc_id % 11 = 0 THEN {norm} || ' v2'
-                  ELSE {norm} END) AS fp
+                  ELSE {norm} END) AS fp, 1 AS in2
   FROM documents WHERE doc_id % 5 != 0
 ),
 j AS (
   SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
-         v1.fp AS fp1, v2.fp AS fp2
+         v1.fp AS fp1, v2.fp AS fp2, v1.in1, v2.in2
   FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 )
-SELECT CASE WHEN fp1 IS NULL THEN 'added'
-            WHEN fp2 IS NULL THEN 'removed'
-            WHEN fp1 != fp2 THEN 'changed'
+SELECT CASE WHEN in1 IS NULL THEN 'added'
+            WHEN in2 IS NULL THEN 'removed'
+            WHEN fp1 IS DISTINCT FROM fp2 THEN 'changed'
             ELSE 'unchanged' END AS change,
        CAST(count(*) AS BIGINT) AS n,
        min(doc_id) AS example_doc
@@ -6403,23 +6392,27 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     each row added / removed / changed / unchanged by content
     fingerprint, report counts with an example key. Versions are
     synthesized from documents (v2 drops some docs, adds others,
-    rewrites every 11th). One shuffle on the key; fingerprints are
-    scan-local; at scale the join rides bucketed layouts like any
-    other key join."""
+    rewrites every 11th). Row existence is carried by explicit marker
+    columns, not fingerprint nullness, so a NULL-text row present in
+    both versions classifies 'unchanged', never 'added'. One shuffle
+    on the key; fingerprints are scan-local; at scale the join rides
+    bucketed layouts like any other key join."""
     from ..operators.dedup import fingerprint, normalize_text
 
     d = _t(spark, sf_dir, "documents")
     v1 = (d.where(F.col("doc_id") % 7 != 0)
-          .select("doc_id", fingerprint(F.col("text")).alias("fp1")))
+          .select("doc_id", fingerprint(F.col("text")).alias("fp1"),
+                  F.lit(1).alias("in1")))
     text2 = F.when(F.col("doc_id") % 11 == 0,
                    F.concat(normalize_text(F.col("text")), F.lit(" v2"))) \
              .otherwise(normalize_text(F.col("text")))
     v2 = (d.where(F.col("doc_id") % 5 != 0)
-          .select("doc_id", F.md5(text2).alias("fp2")))
+          .select("doc_id", F.md5(text2).alias("fp2"),
+                  F.lit(1).alias("in2")))
     j = v1.join(v2, "doc_id", "full_outer")
-    change = (F.when(F.col("fp1").isNull(), "added")
-              .when(F.col("fp2").isNull(), "removed")
-              .when(F.col("fp1") != F.col("fp2"), "changed")
+    change = (F.when(F.col("in1").isNull(), "added")
+              .when(F.col("in2").isNull(), "removed")
+              .when(~F.col("fp1").eqNullSafe(F.col("fp2")), "changed")
               .otherwise("unchanged"))
     return (j.select("doc_id", change.alias("change"))
             .groupBy("change")
@@ -6430,11 +6423,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "psi_value_drift",
     oracle="""
-WITH binned AS (
-  SELECT event_type,
-         least(9, greatest(0, CAST(floor(value / 100.0) AS INT))) AS bin,
-         (ts < TIMESTAMP '1998-01-01') AS is_ref
+WITH mid AS (
+  SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2
+           AS m
   FROM events
+),
+binned AS (
+  SELECT e.event_type,
+         least(9, greatest(0, CAST(floor(e.value / 100.0) AS INT))) AS bin,
+         (epoch_us(e.ts) < mid.m) AS is_ref
+  FROM events e, mid
 ),
 cnt AS (
   SELECT event_type, bin,
@@ -6462,17 +6460,25 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every feature before trusting a model or a data source: fixed
     value bins, add-one smoothing (so empty bins don't blow up the
     log), PSI = sum((p_ref - p_cur) * ln(p_ref / p_cur)) per event
-    type. Above ~0.2 means the distribution moved. One scan bins and
-    splits both windows (conditional aggregation — the table is never
-    read twice); the per-type totals re-join is group-count-sized."""
+    type. Above ~0.2 means the distribution moved. The split point is
+    DATA-DERIVED (the midpoint of the event-time range, exact integer
+    microsecond arithmetic) so both windows are guaranteed populated
+    on any vintage of the feed — same no-wall-clock principle as
+    freshness_by_type. One scalar scan finds the range; the main scan
+    bins and splits both windows by conditional aggregation; the
+    per-type totals re-join is group-count-sized."""
     e = _events(spark, sf_dir)
-    binned = e.select(
+    mid = e.agg(
+        (F.min(F.unix_micros("ts"))
+         + F.floor((F.max(F.unix_micros("ts"))
+                    - F.min(F.unix_micros("ts"))) / 2).cast("long"))
+        .alias("m"))
+    binned = e.crossJoin(F.broadcast(mid)).select(
         "event_type",
         F.least(F.lit(9), F.greatest(
             F.lit(0), F.floor(F.col("value") / 100.0).cast("int")))
         .alias("bin"),
-        (F.col("ts") < F.lit("1998-01-01").cast("timestamp"))
-        .alias("is_ref"))
+        (F.unix_micros("ts") < F.col("m")).alias("is_ref"))
     cnt = (binned.groupBy("event_type", "bin")
            .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
                 .cast("long").alias("nr"),

@@ -202,3 +202,44 @@ def test_mmr_first_pick_is_argmax_and_picks_distinct(spark, sf_dir):
     div = retrieval.mmr_rerank(cand.unionByName(top), lam=0.3).collect()
     div_picks = {r["vec_id"] for r in div}
     assert not {best["vec_id"], best["vec_id"] + 1_000_000} <= div_picks
+
+
+def test_quality_checks_count_seeded_violations(spark):
+    """The nonzero arms of the expectation suite: deliberately broken
+    inputs must COUNT their violations exactly (healthy data pins the
+    checks only at zero)."""
+    from pyspark.sql import Row
+
+    from rag_vector_database_spark.operators import quality as Q
+
+    parent = spark.createDataFrame(
+        [Row(pid=1), Row(pid=2)])
+    child = spark.createDataFrame(
+        [Row(cid=1), Row(cid=2), Row(cid=99), Row(cid=98), Row(cid=1)])
+    dup = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=1), Row(k=2)])
+    vals = spark.createDataFrame(
+        [Row(v=5.0), Row(v=-1.0), Row(v=0.0), Row(v=None)])
+    empty = spark.createDataFrame([], "v double")
+
+    out = {r["check_name"]: r["n_violations"] for r in Q.run_checks(
+        Q.referential_check("fk", child, "cid", parent, "pid"),
+        Q.unique_check("uniq", dup, "k"),
+        Q.predicate_check("nonpos", vals,
+                          F.col("v").isNull() | (F.col("v") <= 0)),
+        Q.predicate_check("empty-input", empty, F.col("v").isNull()),
+    ).collect()}
+    assert out == {"fk": 2,       # cid 98 and 99 orphaned
+                   "uniq": 2,     # three k=1 rows -> two surplus
+                   "nonpos": 3,   # -1, 0, NULL
+                   "empty-input": 0}  # empty table -> 0, never NULL
+
+
+def test_ivf_multiprobe_rejects_short_query_vector(spark, sf_dir):
+    import pytest
+
+    from rag_vector_database_spark.operators import retrieval
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        retrieval.ivf_knn_multiprobe(emb, [0.0, 1.0], 5, sign_bits=3)
