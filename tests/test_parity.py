@@ -25,3 +25,15 @@ _NO_ORACLE = [q for q in REGISTRY if not q.oracle]
 def test_rows_only(spark, sf_dir, qdef):
     df = qdef.builder(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_registry_names_unique_and_wired():
+    """Duplicate names would silently shadow entries in the queries()
+    dict the driver consumes; every oracle must be non-empty SQL."""
+    names = [q.name for q in REGISTRY]
+    assert len(names) == len(set(names)), sorted(
+        n for n in set(names) if names.count(n) > 1)
+    for q in REGISTRY:
+        if q.oracle is not None:
+            assert q.oracle.strip().upper().startswith(
+                ("SELECT", "WITH", "(")), q.name
