@@ -6606,3 +6606,43 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.select(
         "lang", "lang_guess", "n",
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_truth"))
+
+
+@register(
+    "edit_distance_neardup",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, text,
+         len(text) // 10 AS lb, substring(text, 1, 20) AS pre
+  FROM documents
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.text, c.text) AS INT) AS edit_dist
+FROM b a JOIN b c
+  ON a.lb = c.lb AND a.pre = c.pre AND a.doc_id < c.doc_id
+WHERE levenshtein(a.text, c.text) <= 30
+""")
+def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification — the fuzzy-matching member
+    of the dedup family (record linkage / OCR-noise dedup, where
+    token-set methods miss single-character corruption): block on
+    (length bucket, 20-char prefix) so the quadratic Levenshtein
+    kernel only ever runs inside tiny candidate groups, then keep
+    pairs within distance 30. Levenshtein is integer-exact in both
+    engines, so the pair set hash-matches. At scale the blocking key
+    is the shuffle key and the skew guard is the same bucket-cap
+    argument as MinHash banding; a production pass blocks on a
+    fingerprint family (simhash above) rather than a raw prefix."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select("doc_id", "text",
+                 F.floor(F.length("text") / 10).alias("lb"),
+                 F.substring("text", 1, 20).alias("pre"))
+    a, c = b.alias("a"), b.alias("c")
+    return (a.join(c, (F.col("a.lb") == F.col("c.lb"))
+                   & (F.col("a.pre") == F.col("c.pre"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("c.doc_id").alias("id_b"),
+                    F.levenshtein(F.col("a.text"), F.col("c.text"))
+                    .cast("int").alias("edit_dist"))
+            .where(F.col("edit_dist") <= 30))
