@@ -323,3 +323,38 @@ def ivfpq_topk(emb: DataFrame, qv: list, k: int = 10, n_probe: int = 2,
                          ndigits=ndigits)
             .orderBy("adc", id_col)
             .limit(k))
+
+
+def kmeans_silhouette(emb: DataFrame, k: int = 5, iters: int = 2,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      ndigits: int = 6) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    clustering-quality gate run before trusting a k: for each point,
+    a = distance to its own centroid, b = distance to the nearest
+    OTHER centroid, s = (b - a) / max(a, b); report count and mean s
+    per cluster (s near 0 = clusters touch; negative = misassigned).
+    Scan-local per row (centroids are plan literals, the full scored
+    array is sorted once per row), then one group-count-sized
+    aggregate."""
+    cents = kmeans_centroids(emb, k=k, iters=iters, vec_col=vec_col,
+                             id_col=id_col, ndigits=ndigits)
+    scored = [
+        F.struct(
+            F.round(F.aggregate(
+                F.zip_with(F.col(vec_col),
+                           F.array(*[F.lit(float(x)) for x in cv]),
+                           lambda a, b: F.pow(a.cast("double") - b, F.lit(2))),
+                F.lit(0.0), lambda acc, v: acc + v), ndigits).alias("d2"),
+            F.lit(int(cl)).cast("long").alias("cl"))
+        for cl, cv in cents]
+    ranked = F.array_sort(F.array(*scored))
+    own = F.element_at(ranked, 1)
+    nxt = F.element_at(ranked, 2)
+    a = F.sqrt(own.getField("d2"))
+    b = F.sqrt(nxt.getField("d2"))
+    s = F.when(F.greatest(a, b) > 0,
+               (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    return (emb.select(own.getField("cl").alias("cluster"), s.alias("s"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.avg("s"), ndigits).alias("avg_silhouette")))

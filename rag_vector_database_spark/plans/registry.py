@@ -6646,3 +6646,97 @@ def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.levenshtein(F.col("a.text"), F.col("c.text"))
                     .cast("int").alias("edit_dist"))
             .where(F.col("edit_dist") <= 30))
+
+
+@register(
+    "kmeans_silhouette",
+    oracle=_dd_kmeans_cte() + """
+, alldist AS (
+  SELECT e.vec_id, c.cl,
+         round(list_reduce(list_transform(
+             generate_series(1, len(e.embedding)),
+             i -> pow(CAST(e.embedding[i] AS DOUBLE) - c.cv[i], 2)),
+             (acc, v) -> acc + v), 6) AS d2
+  FROM embeddings e CROSS JOIN c2 c
+),
+sil AS (
+  SELECT a.vec_id, f.cl AS own,
+         sqrt(f.d2) AS a_dist, sqrt(min(a.d2)) AS b_dist
+  FROM alldist a JOIN f ON f.vec_id = a.vec_id
+  WHERE a.cl != f.cl
+  GROUP BY a.vec_id, f.cl, f.d2
+)
+SELECT own AS cluster, CAST(count(*) AS BIGINT) AS n,
+       round(avg(CASE WHEN greatest(a_dist, b_dist) > 0
+                      THEN (b_dist - a_dist) / greatest(a_dist, b_dist)
+                      ELSE 0.0 END), 6) AS avg_silhouette
+FROM sil GROUP BY own
+""")
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality eval for the learned quantizer, completing
+    the eval-gate family (minhash_recall_eval / ivf_recall_eval /
+    langid_confusion): per-cluster simplified silhouette over the same
+    2-iteration Lloyd's clustering kmeans_lloyd verifies. See
+    clustering.kmeans_silhouette."""
+    from ..operators import clustering
+
+    return clustering.kmeans_silhouette(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "centroid_similarity_matrix",
+    oracle="""
+WITH u AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, round(sum(x) / count(*), 6) AS cx
+  FROM u GROUP BY label, pos
+),
+nrm AS (SELECT label, sum(cx * cx) AS n2 FROM cent GROUP BY label),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.cx * b.cx) AS d
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT d.label_a, d.label_b,
+       round(d.d / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM dots d
+JOIN nrm na ON na.label = d.label_a
+JOIN nrm nb ON nb.label = d.label_b
+""")
+def q_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class separability matrix: pairwise cosine between label
+    centroids — the embedding-space eval that tells you whether two
+    classes are distinguishable at all before training a classifier
+    on them (high off-diagonal cosine = the embedding can't separate
+    the pair). Centroids come from one dim-exploded aggregate
+    (labels x dims rows); the pairwise stage runs entirely on that
+    group-count-sized table, so corpus cost is exactly one scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    u = emb.select("label",
+                   F.posexplode("embedding").alias("pos0", "xf"))
+    u = u.select("label", (F.col("pos0") + 1).alias("pos"),
+                 F.col("xf").cast("double").alias("x"))
+    cent = (u.groupBy("label", "pos")
+            .agg(F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cx")))
+    nrm = cent.groupBy("label").agg(F.sum(F.col("cx") * F.col("cx"))
+                                    .alias("n2"))
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (a.join(b, (F.col("a.pos") == F.col("b.pos"))
+                   & (F.col("a.label") < F.col("b.label")))
+            .groupBy(F.col("a.label").alias("label_a"),
+                     F.col("b.label").alias("label_b"))
+            .agg(F.sum(F.col("a.cx") * F.col("b.cx")).alias("d")))
+    na = nrm.select(F.col("label").alias("label_a"),
+                    F.col("n2").alias("n2a"))
+    nb = nrm.select(F.col("label").alias("label_b"),
+                    F.col("n2").alias("n2b"))
+    return (dots.join(F.broadcast(na), "label_a")
+            .join(F.broadcast(nb), "label_b")
+            .select("label_a", "label_b",
+                    F.round(F.col("d")
+                            / (F.sqrt("n2a") * F.sqrt("n2b")), 6)
+                    .alias("cosine")))
