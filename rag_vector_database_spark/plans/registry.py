@@ -6740,3 +6740,49 @@ def q_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("d")
                             / (F.sqrt("n2a") * F.sqrt("n2b")), 6)
                     .alias("cosine")))
+
+
+@register(
+    "rolling_anomaly_days",
+    oracle="""
+WITH d AS (
+  SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_orderdate
+),
+s AS (
+  SELECT day, revenue,
+         avg(revenue) OVER w AS ma,
+         stddev_samp(revenue) OVER w AS sd,
+         count(*) OVER w AS n_win
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+       round((revenue - ma) / sd, 6) AS zscore
+FROM s
+WHERE n_win >= 7 AND sd > 0
+  AND abs(round((revenue - ma) / sd, 6)) > 3.0
+""")
+def q_rolling_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection over daily revenue: each day
+    scored against the TRAILING 14 days (frame excludes the current
+    row, so a spike can't mask itself), flagged beyond 3 sigma — the
+    alerting query a pipeline runs on its own volume metrics (the
+    time-local complement of the static per-group zscore_by_type).
+    The flag compares the ROUNDED z-score in both engines, so
+    sub-rounding float drift cannot flip membership. Pre-aggregation
+    to day granularity keeps the window over ~|days| rows."""
+    o = _t(spark, sf_dir, "orders")
+    d = (o.groupBy(F.col("o_orderdate").alias("day"))
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.orderBy("day").rowsBetween(-14, -1)
+    s = d.select(
+        "day", "revenue",
+        F.avg("revenue").over(w).alias("ma"),
+        F.stddev_samp("revenue").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_win"))
+    z = F.round((F.col("revenue") - F.col("ma")) / F.col("sd"), 6)
+    return (s.where((F.col("n_win") >= 7) & (F.col("sd") > 0)
+                    & (F.abs(z) > 3.0))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "revenue", z.alias("zscore")))
