@@ -34,20 +34,30 @@ from pyspark.sql import functions as F
 from ..functions import vectors as V
 
 
-def _argmin_centroid(cents: list, vec_col: str, ndigits: int) -> Column:
-    """struct(d2, cl) of the nearest centroid: squared-L2 to each
-    centroid literal, rounded, then array_min's lexicographic struct
-    order = (distance asc, cluster id asc). Scan-local."""
-    scored = [
+def _scored_structs(cents: list, vec_col, ndigits: int) -> list:
+    """One struct(d2, cl) per centroid: squared-L2 to the centroid
+    literal, rounded BEFORE any comparison. The (d2, cl) field order
+    IS the tie-break contract (lexicographic struct comparison =
+    distance asc, cluster id asc) that keeps kmeans_assign, the IVF
+    probe ranking, and the silhouette's own-cluster identical to the
+    oracle's row_number() ORDER BY d2, cl — every consumer must sort
+    or min over these same structs."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return [
         F.struct(
             F.round(F.aggregate(
-                F.zip_with(F.col(vec_col),
+                F.zip_with(vec,
                            F.array(*[F.lit(float(x)) for x in cv]),
                            lambda a, b: F.pow(a.cast("double") - b, F.lit(2))),
                 F.lit(0.0), lambda acc, v: acc + v), ndigits).alias("d2"),
             F.lit(int(cl)).cast("long").alias("cl"))
         for cl, cv in cents]
-    return F.array_min(F.array(*scored))
+
+
+def _argmin_centroid(cents: list, vec_col: str, ndigits: int) -> Column:
+    """struct(d2, cl) of the nearest centroid (see _scored_structs for
+    the rounding/tie-break contract). Scan-local."""
+    return F.array_min(F.array(*_scored_structs(cents, vec_col, ndigits)))
 
 
 def kmeans_centroids(emb: DataFrame, k: int = 5, iters: int = 2,
@@ -98,16 +108,9 @@ def probe_cells(spark, qv: list, cents: list, n_probe: int,
     Spark arithmetic as the oracle) instead of re-sorting nlist
     structs per corpus row."""
     qlit = F.array(*[F.lit(float(x)) for x in qv])
-    scored = [
-        F.struct(
-            F.round(F.aggregate(
-                F.zip_with(qlit, F.array(*[F.lit(float(x)) for x in cv]),
-                           lambda a, b: F.pow(a - b, F.lit(2))),
-                F.lit(0.0), lambda acc, v: acc + v), ndigits).alias("d2"),
-            F.lit(int(cl)).cast("long").alias("cl"))
-        for cl, cv in cents]
     probes_expr = F.transform(
-        F.slice(F.array_sort(F.array(*scored)), 1, n_probe),
+        F.slice(F.array_sort(F.array(
+            *_scored_structs(cents, qlit, ndigits))), 1, n_probe),
         lambda s: s.cl)
     return [int(c) for c in
             spark.range(1).select(probes_expr.alias("p")).first()["p"]]
@@ -338,16 +341,15 @@ def kmeans_silhouette(emb: DataFrame, k: int = 5, iters: int = 2,
     aggregate."""
     cents = kmeans_centroids(emb, k=k, iters=iters, vec_col=vec_col,
                              id_col=id_col, ndigits=ndigits)
-    scored = [
-        F.struct(
-            F.round(F.aggregate(
-                F.zip_with(F.col(vec_col),
-                           F.array(*[F.lit(float(x)) for x in cv]),
-                           lambda a, b: F.pow(a.cast("double") - b, F.lit(2))),
-                F.lit(0.0), lambda acc, v: acc + v), ndigits).alias("d2"),
-            F.lit(int(cl)).cast("long").alias("cl"))
-        for cl, cv in cents]
-    ranked = F.array_sort(F.array(*scored))
+    if len(cents) < 2:
+        # Lloyd's collapsed to one surviving centroid: silhouette is
+        # undefined (no "nearest other"); the oracle's cl != own join
+        # yields zero rows, so return the same empty result
+        spark = emb.sparkSession
+        return spark.createDataFrame(
+            [], "cluster long, n long, avg_silhouette double")
+    ranked = F.array_sort(F.array(
+        *_scored_structs(cents, vec_col, ndigits)))
     own = F.element_at(ranked, 1)
     nxt = F.element_at(ranked, 2)
     a = F.sqrt(own.getField("d2"))

@@ -6765,8 +6765,11 @@ WHERE n_win >= 7 AND sd > 0
 """)
 def q_rolling_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-window anomaly detection over daily revenue: each day
-    scored against the TRAILING 14 days (frame excludes the current
-    row, so a spike can't mask itself), flagged beyond 3 sigma — the
+    scored against the trailing 14 OBSERVED days (ROWS frame over the
+    day-level aggregate — calendar gaps stretch the span; join a
+    resampled spine as in resample_fill_forward for strict calendar
+    windows). The frame excludes the current row so a spike can't
+    mask itself; flagged beyond 3 sigma — the
     alerting query a pipeline runs on its own volume metrics (the
     time-local complement of the static per-group zscore_by_type).
     The flag compares the ROUNDED z-score in both engines, so
