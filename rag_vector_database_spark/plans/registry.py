@@ -6789,3 +6789,52 @@ def q_rolling_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.abs(z) > 3.0))
             .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                     "revenue", z.alias("zscore")))
+
+
+@register(
+    "arrow_grouped_centroid_norm",
+    oracle="""
+WITH u AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, sum(x) / count(*) AS cx FROM u GROUP BY label, pos
+)
+SELECT label, CAST(any_value(n) AS BIGINT) AS n,
+       round(sqrt(sum(cx * cx)), 6) AS centroid_norm
+FROM cent
+JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label) USING (label)
+GROUP BY label
+""")
+def q_arrow_grouped_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow — the grouped Arrow surface next to
+    mapInArrow's ungrouped one: each label's vectors arrive as ONE
+    Arrow table, numpy computes the centroid and its L2 norm with no
+    pandas conversion (centroids shrinking toward the origin as
+    classes mix is the same signal label_centroid_spread reads — here
+    the kernel is native-Arrow). The oracle replays the mean/norm
+    with exact per-dimension averages. Shuffle profile: one hash
+    exchange on the label, the kernel sees only its group."""
+    import pyarrow as pa
+
+    def centroid_norm(table: pa.Table) -> pa.Table:
+        import numpy as np
+        emb = table.column("embedding")
+        arr = np.asarray(emb.combine_chunks().flatten(), dtype=np.float64)
+        n = table.num_rows
+        m = arr.reshape(n, len(arr) // n)
+        c = m.mean(axis=0)
+        return pa.table({
+            "label": pa.array([table.column("label")[0].as_py()],
+                              type=pa.int32()),
+            "n": pa.array([n], type=pa.int64()),
+            "centroid_norm": [round(float(np.sqrt((c * c).sum())), 6)],
+        })
+
+    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    return (emb.groupBy("label")
+            .applyInArrow(centroid_norm,
+                          "label int, n long, centroid_norm double"))
