@@ -127,6 +127,43 @@ def jaccard(a: Column, b: Column, ndigits: int = 6) -> Column:
         .otherwise(F.lit(0.0)), ndigits)
 
 
+def _minhash_shingle_bands(df: DataFrame, text_col: str, key_col: str,
+                           shingle_n: int, n_hashes: int,
+                           n_bands: int) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front half: persisted shingle table (with base
+    hashes) and the exploded band-key table.
+
+    Tokenize BELOW a repartition exchange — but ONLY when the input is
+    narrower than the cluster (e.g. one compact parquet split locally):
+    the exchange spreads the scan and blocks projection collapse so the
+    tokenizer runs once per doc instead of being re-inlined into every
+    per-shingle lambda above it. At 100 TB the scan already yields more
+    splits than cores, and a full-corpus exchange of token arrays would
+    dominate the job — so the gate matters, not just the local win.
+
+    Hash each shingle ONCE (md5 -> 32-bit base); the n_hashes MinHash
+    permutations are then integer multiply-adds over these bases
+    (H.minhash_sig), not n_hashes md5s per shingle. Persisting here
+    (a) stops projection collapse from re-inlining the md5 into every
+    permutation lambda and (b) shares the shingle table across the
+    plan branches (banding + both sides of pair verification) — the
+    same materialization move MLlib's LSH models make."""
+    rows_per_band = n_hashes // n_bands
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tk = df.select(F.col(key_col).alias("k"),
+                   tokens(F.col(text_col)).alias("tk"))
+    if _estimated_scan_partitions(df) < par:
+        tk = tk.repartition(par)
+    sh = tk.select("k", shingles_from_tokens(F.col("tk"), shingle_n).alias("sh"))
+    sh = _persist_tracked(
+        sh.withColumn("hv", F.transform(F.col("sh"), lambda t: H.md5_long(t))))
+    sig = H.minhash_sig(F.col("hv"), n_hashes)
+    bands = sh.select(
+        "k", F.posexplode(H.band_keys(sig, n_bands, rows_per_band))
+        .alias("band", "bk"))
+    return sh, bands
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       key_col: str = "doc_id", shingle_n: int = 2,
                       n_hashes: int = 12, n_bands: int = 4,
@@ -139,33 +176,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     shuffles are the band-key self-join (narrow: n_bands rows/doc) and
     the two key-joins that fetch shingle sets for candidate pairs.
     """
-    rows_per_band = n_hashes // n_bands
-    # Tokenize BELOW a repartition exchange — but ONLY when the input is
-    # narrower than the cluster (e.g. one compact parquet split locally):
-    # the exchange spreads the scan and blocks projection collapse so the
-    # tokenizer runs once per doc instead of being re-inlined into every
-    # per-shingle lambda above it. At 100 TB the scan already yields more
-    # splits than cores, and a full-corpus exchange of token arrays would
-    # dominate the job — so the gate matters, not just the local win.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    tk = df.select(F.col(key_col).alias("k"),
-                   tokens(F.col(text_col)).alias("tk"))
-    if _estimated_scan_partitions(df) < par:
-        tk = tk.repartition(par)
-    sh = tk.select("k", shingles_from_tokens(F.col("tk"), shingle_n).alias("sh"))
-    # Hash each shingle ONCE (md5 -> 32-bit base); the n_hashes MinHash
-    # permutations are then integer multiply-adds over these bases
-    # (H.minhash_sig), not n_hashes md5s per shingle. Persisting here
-    # (a) stops projection collapse from re-inlining the md5 into every
-    # permutation lambda and (b) shares the shingle table across the
-    # three plan branches (banding + both sides of pair verification) —
-    # the same materialization move MLlib's LSH models make.
-    sh = _persist_tracked(
-        sh.withColumn("hv", F.transform(F.col("sh"), lambda t: H.md5_long(t))))
-    sig = H.minhash_sig(F.col("hv"), n_hashes)
-    bands = sh.select(
-        "k", F.posexplode(H.band_keys(sig, n_bands, rows_per_band))
-        .alias("band", "bk"))
+    sh, bands = _minhash_shingle_bands(df, text_col, key_col, shingle_n,
+                                       n_hashes, n_bands)
     # Candidate generation: ONE shuffle (groupBy band key) collecting
     # each bucket's members, then pairs enumerated bucket-locally with
     # array combinatorics — measured 3x faster than the band self-join,
@@ -184,6 +196,51 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # Verification: candidate pairs are a small fraction of the corpus
     # (bounded by max_bucket * n_bands per doc); AQE broadcasts them
     # into the persisted shingle table, which then never shuffles.
+    sa = sh.select(F.col("k").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("k").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+            .where(F.col("jaccard") >= F.lit(jaccard_threshold)))
+
+
+def minhash_delta_pairs(df: DataFrame, new_pred: Column,
+                        text_col: str = "text", key_col: str = "doc_id",
+                        shingle_n: int = 2, n_hashes: int = 12,
+                        n_bands: int = 4,
+                        jaccard_threshold: float = 0.5,
+                        max_bucket: int = 64) -> DataFrame:
+    """INCREMENTAL near-dup detection: only pairs touching at least
+    one NEW document (``new_pred`` over the key column ``k``) are
+    generated — the production pattern for a corpus that grows daily,
+    where existing-vs-existing pairs are already known and re-pairing
+    100 TB per batch is exactly what must not happen.
+
+    Plan shape: the full band table is the INDEX (at rest this is a
+    stored table keyed by (band, bk); here it is rebuilt for the
+    oracle); the NEW slice of it is batch-sized and drives the
+    candidate join — so candidate generation costs
+    |new bands| x bucket width, never |corpus|^2 or even
+    |corpus bands| self-joined. The same ``max_bucket`` cap is the
+    skew guard, applied to the FULL table (a hot bucket is a dup
+    cluster for the exact pass regardless of which batch hit it).
+    Verification fetches shingle sets for candidate keys only."""
+    from pyspark.sql import Window
+
+    sh, bands = _minhash_shingle_bands(df, text_col, key_col, shingle_n,
+                                       n_hashes, n_bands)
+    w = Window.partitionBy("band", "bk")
+    kept = (bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .where(F.col("__bn") <= max_bucket).drop("__bn"))
+    kept_new = kept.where(new_pred)
+    cand = (kept_new.alias("n")
+            .join(kept.alias("a"),
+                  (F.col("n.band") == F.col("a.band"))
+                  & (F.col("n.bk") == F.col("a.bk"))
+                  & (F.col("n.k") != F.col("a.k")))
+            .select(F.least("n.k", "a.k").alias("id_a"),
+                    F.greatest("n.k", "a.k").alias("id_b"))
+            .distinct())
     sa = sh.select(F.col("k").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("k").alias("id_b"), F.col("sh").alias("sh_b"))
     return (cand.join(sa, "id_a").join(sb, "id_b")

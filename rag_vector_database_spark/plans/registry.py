@@ -6838,3 +6838,33 @@ def q_arrow_grouped_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame
     return (emb.groupBy("label")
             .applyInArrow(centroid_norm,
                           "label int, n long, centroid_norm double"))
+
+
+@register(
+    "minhash_delta_pairs",
+    oracle="WITH " + _DD_MH_CTES.replace(
+        """cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)""",
+        """cand AS (
+  SELECT DISTINCT least(n.doc_id, a.doc_id) AS id_a,
+                  greatest(n.doc_id, a.doc_id) AS id_b
+  FROM kept n JOIN kept a
+    ON n.band = a.band AND n.bk = a.bk AND n.doc_id != a.doc_id
+  WHERE n.doc_id % 3 = 0
+)""") + "\n" + _DD_MH_PAIRS_SELECT + "\n")
+def q_minhash_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: the day-N batch (doc_id % 3 = 0 as
+    the synthetic new slice) is checked against the WHOLE corpus, but
+    only pairs touching a new document are ever generated — the
+    existing corpus is never re-paired against itself (its pairs were
+    found when ITS batches landed). Candidate cost scales with the
+    batch, not the corpus. See dedup.minhash_delta_pairs."""
+    return dedup.minhash_delta_pairs(
+        _t(spark, sf_dir, "documents"),
+        new_pred=F.col("k") % 3 == 0,
+        shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])

@@ -243,3 +243,23 @@ def test_ivf_multiprobe_rejects_short_query_vector(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError):
         retrieval.ivf_knn_multiprobe(emb, [0.0, 1.0], 5, sign_bits=3)
+
+
+def test_minhash_delta_equals_filtered_full(spark, sf_dir):
+    """The incremental pass must find exactly the full pass's pairs
+    that touch a new document — no extras, none missed (candidate
+    pruning only removes existing-existing work)."""
+    from rag_vector_database_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dd.minhash_lsh_pairs(docs).collect()}
+    dd.release_caches()
+    delta = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.minhash_delta_pairs(
+                 docs, new_pred=F.col("k") % 3 == 0).collect()}
+    dd.release_caches()
+    want = {p: j for p, j in full.items()
+            if p[0] % 3 == 0 or p[1] % 3 == 0}
+    assert delta == want
+    assert len(delta) < len(full) or not full  # old-old pairs pruned
