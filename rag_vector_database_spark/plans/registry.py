@@ -6868,3 +6868,74 @@ def q_minhash_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
         n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
         max_bucket=_MH["max_bucket"])
+
+
+@register(
+    "lang_jsd_matrix",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest({ltok}) AS t FROM documents
+),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS c FROM tok GROUP BY t
+    ORDER BY c DESC, t LIMIT 50)
+),
+cnt AS (
+  SELECT l.lang, v.t, CAST(coalesce(k.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN vocab v
+  LEFT JOIN (SELECT lang, t, count(*) AS c FROM tok
+             JOIN vocab USING (t) GROUP BY lang, t) k
+    ON k.lang = l.lang AND k.t = v.t
+),
+p AS (
+  SELECT lang, t, (c + 1.0) / (sum(c) OVER (PARTITION BY lang) + 50.0)
+           AS p
+  FROM cnt
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       round(sum(0.5 * a.p * ln(2.0 * a.p / (a.p + b.p))
+                 + 0.5 * b.p * ln(2.0 * b.p / (a.p + b.p))), 6) AS jsd
+FROM p a JOIN p b ON a.t = b.t AND a.lang < b.lang
+GROUP BY a.lang, b.lang
+""".format(ltok=DD_TOKENS.format(c="lower(text)")))
+def q_lang_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical separability matrix: Jensen-Shannon divergence between
+    per-language token distributions over the shared top-50 vocabulary
+    (add-one smoothed) — the corpus-analysis twin of
+    centroid_similarity_matrix in token space instead of embedding
+    space (JSD near 0 = the languages use the same words at the same
+    rates; near ln 2 = disjoint). One corpus scan; everything after
+    the vocab-filtered count runs on a |langs| x 50 grid, and the
+    pairwise stage joins that grid with itself on the token."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("lang",
+                   F.explode(text_fns.tokens(F.lower(F.col("text"))))
+                   .alias("t"))
+    vocab = (tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), "t").limit(50).select("t"))
+    langs = d.select("lang").distinct()
+    counted = (tok.join(F.broadcast(vocab), "t")
+               .groupBy("lang", "t")
+               .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    grid = (langs.crossJoin(F.broadcast(vocab))
+            .join(counted, ["lang", "t"], "left")
+            .select("lang", "t",
+                    F.coalesce("c", F.lit(0)).cast("long").alias("c")))
+    w = Window.partitionBy("lang")
+    p = grid.select(
+        "lang", "t",
+        ((F.col("c") + 1.0) / (F.sum("c").over(w) + 50.0)).alias("p"))
+    a, b = p.alias("a"), p.alias("b")
+    term = (F.lit(0.5) * F.col("a.p")
+            * F.log(F.lit(2.0) * F.col("a.p")
+                    / (F.col("a.p") + F.col("b.p")))
+            + F.lit(0.5) * F.col("b.p")
+            * F.log(F.lit(2.0) * F.col("b.p")
+                    / (F.col("a.p") + F.col("b.p"))))
+    return (a.join(b, (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.lang") < F.col("b.lang")))
+            .groupBy(F.col("a.lang").alias("lang_a"),
+                     F.col("b.lang").alias("lang_b"))
+            .agg(F.round(F.sum(term), 6).alias("jsd")))
