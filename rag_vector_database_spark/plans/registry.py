@@ -6939,3 +6939,36 @@ def q_lang_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("a.lang").alias("lang_a"),
                      F.col("b.lang").alias("lang_b"))
             .agg(F.round(F.sum(term), 6).alias("jsd")))
+
+
+@register(
+    "map_literal_enrich",
+    oracle="""
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n,
+       round(sum(e.value), 6) AS sum_value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q_map_literal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-as-plan-literal enrichment: a 25-row static dim folds
+    into a ``create_map`` literal, so the lookup is a scan-local
+    expression — one step beyond a broadcast join (no build side, no
+    join operator, nothing to ship but the plan itself; the pattern
+    for enums/country codes/status tables at any scale). Same result
+    and oracle as the broadcast-join form (streaming_enrich); the
+    plan-shape test asserts Join-free execution. The dim collect is
+    the cached-scalar pattern: 25 rows, once, driver-side."""
+    from itertools import chain
+
+    nation = {int(r["n_nationkey"]): r["n_name"]
+              for r in _t(spark, sf_dir, "nation")
+              .select("n_nationkey", "n_name").collect()}
+    lookup = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(nation.items())])
+    e = _events(spark, sf_dir)
+    return (e.select(lookup[F.pmod(F.col("user_id"), F.lit(25))]
+                     .alias("nation"),
+                     "value")
+            .groupBy("nation")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value")))

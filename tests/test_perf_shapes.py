@@ -348,3 +348,15 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                   "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
                   "spark.sql.adaptive.advisoryPartitionSizeInBytes"):
             spark.conf.unset(c)
+
+
+def test_map_literal_enrich_is_join_free(spark):
+    """The dim-as-literal pattern's whole point: the physical plan
+    contains NO join operator and no Exchange before the aggregate's
+    own shuffle."""
+    from rag_vector_database_spark.plans import registry
+
+    df = registry.q_map_literal_enrich(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1  # only the groupBy shuffle
