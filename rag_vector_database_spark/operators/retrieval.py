@@ -116,6 +116,37 @@ def _sign_bucket(vec: Column, sign_bits: int) -> Column:
     return b
 
 
+def ivf_partitioned_knn(spark, df: DataFrame, query_vec: Sequence[float],
+                        k: int, path: str,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        score_col: str = "score",
+                        sign_bits: int = 3) -> DataFrame:
+    """``ivf_knn`` with the coarse cell as a PHYSICAL partition column.
+
+    ``ivf_knn`` computes the bucket per row at scan time, so every file
+    is still opened. This variant materializes the index layout: the
+    corpus is written once partitioned by its sign bucket, and the
+    query reads back with ``bucket == q_bucket`` — a partition-column
+    predicate that Spark resolves at FILE LISTING time
+    (``PartitionFilters`` in the scan node), so ~(1 - 1/2^bits) of the
+    files are never opened, let alone decoded. That is the at-rest
+    shape of a 100 TB IVF index; same result set as ``ivf_knn`` on the
+    same data (identical oracle).
+    """
+    if len(query_vec) < sign_bits:
+        raise ValueError(
+            f"query vector has {len(query_vec)} dims; the sign quantizer "
+            f"needs at least sign_bits={sign_bits}")
+    layout = df.withColumn("bucket", _sign_bucket(F.col(vec_col), sign_bits))
+    layout.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    qbucket = sum((1 << i) for i in range(sign_bits)
+                  if float(query_vec[i]) >= 0)
+    cell = spark.read.parquet(path).where(F.col("bucket") == F.lit(qbucket))
+    scored = score_against(cell, query_vec, vec_col, score_col)
+    return (scored.select(id_col, score_col)
+            .orderBy(F.desc(score_col), F.col(id_col)).limit(k))
+
+
 def lexical_overlap_score(query_text: str, text_col: Column,
                           ndigits: int = 6) -> Column:
     """Deterministic cross-encoder stand-in: Jaccard overlap of distinct

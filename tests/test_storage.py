@@ -85,6 +85,32 @@ def test_ivf_partition_pruning(spark, tmp_path):
     assert pruned.select("bucket").distinct().collect()[0][0] == 5
 
 
+def test_ivf_partitioned_knn_registry_prunes_and_matches(spark, sf_dir):
+    """The ivf_partitioned_knn REGISTRY entry (not just the layout
+    helper): its scan must carry a bucket PartitionFilter, touch fewer
+    files than the full layout, and return exactly ivf_knn's rows —
+    layout changes which files are opened, never the result."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.plans import registry
+
+    out = registry.q_ivf_partitioned_knn(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    path = registry._scratch_path(spark, sf_dir, "ivf_part")
+    qv = registry.query_vector(spark, sf_dir)
+    qbucket = sum((1 << i) for i in range(3) if float(qv[i]) >= 0)
+    layout = spark.read.parquet(path)
+    touched = (layout.where(F.col("bucket") == qbucket)
+               .select(F.input_file_name()).distinct().count())
+    total = layout.select(F.input_file_name()).distinct().count()
+    assert 0 < touched < total
+
+    exact = registry.q_ivf_knn(spark, sf_dir).collect()
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in exact]
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed identically on the join key must join with
     ZERO Exchange nodes — the co-located-join contract write_bucketed
