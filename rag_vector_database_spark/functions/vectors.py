@@ -77,7 +77,13 @@ def sign_bit_word(a: Column | str, word: int, word_bits: int = 32) -> Column:
     the binary-quantization lever modern vector stores pull before PQ.
     Computed as a high-to-low fold (acc*2 + bit), which is exact
     integer arithmetic and therefore portable to any engine with a
-    list fold; 32-bit words keep every value positive in an int64."""
+    list fold; 32-bit words keep every value positive in an int64.
+
+    Sign convention: STRICTLY ``> 0`` here and in the driver-side twin
+    ``pack_sign_bits`` — retrieval's IVF coarse quantizer
+    (``_sign_bucket``) uses ``>= 0``. Each surface is internally
+    consistent and oracle-pinned, but a packed signature is NOT
+    reusable as an IVF bucket id: they disagree on exact-zero dims."""
     a = F.col(a) if isinstance(a, str) else a
     lo = word * word_bits
     return F.aggregate(
@@ -97,7 +103,9 @@ def hamming_words(pairs: list[tuple[Column, int]]) -> Column:
 
 
 def pack_sign_bits(vec: list[float], word_bits: int = 32) -> list[int]:
-    """Driver-side twin of sign_bit_word for the query vector."""
+    """Driver-side twin of sign_bit_word for the query vector (same
+    strict ``> 0`` convention — see sign_bit_word on why these words
+    must not be reused as IVF ``>= 0`` bucket ids)."""
     words = []
     for w in range(0, len(vec), word_bits):
         acc = 0

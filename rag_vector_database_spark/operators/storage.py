@@ -67,7 +67,14 @@ def zvalue(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     range predicates on either column — the multi-dimensional
     clustering trick behind Delta/Iceberg OPTIMIZE ZORDER, here as a
     plain column expression (exact integer arithmetic, so the layout
-    key is oracle-checkable)."""
+    key is oracle-checkable).
+
+    Inputs are masked to the declared width (taken modulo 2^bits):
+    without the mask, Spark's shiftright sign-extends a negative key
+    into all-ones bits and silently corrupts the interleave. A
+    negative or too-wide key therefore clusters by its low bits —
+    well-defined, though callers wanting locality should pre-shift
+    such keys into [0, 2^bits)."""
     if not 1 <= bits <= 31:
         # 2*31+1 = 63 is the last interleaved position that fits a
         # signed int64; wider keys need two words (as the sign-bit
@@ -75,6 +82,9 @@ def zvalue(a: Column | str, b: Column | str, bits: int = 16) -> Column:
         raise ValueError("zvalue supports 1..31 bits per dimension")
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
+    mask = F.lit((1 << bits) - 1).cast("long")
+    a = a.cast("long").bitwiseAND(mask)
+    b = b.cast("long").bitwiseAND(mask)
     out = F.lit(0).cast("long")
     for i in range(bits):
         out = (out

@@ -77,7 +77,11 @@ class ApiListingStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         lo = int(start["item"])
-        hi = min(lo + self.page_size, self.n_items)
+        # clamp so the cursor never regresses: if a restart lowers
+        # n_items below a checkpointed offset, emitting hi < lo would
+        # move the committed offset backward and re-emit [hi, lo) as
+        # duplicates once n_items grows again
+        hi = max(lo, min(lo + self.page_size, self.n_items))
         # slice strictly to [lo, hi): a checkpointed offset needn't be
         # aligned to THIS run's page_size (the option can change across
         # restarts), and returning the whole containing page would

@@ -13,7 +13,12 @@ but gives it the lakehouse commit protocol:
   atomically publishes a ``_manifest.json`` listing exactly the
   committed files — readers that go through the manifest never see a
   partial job;
-- ``abort`` leaves no manifest, so a failed job is invisible.
+- ``abort`` leaves no manifest, so a failed job is invisible;
+- overwrite is GENERATION-numbered, never retract-then-publish: the
+  new job's manifest carries generation+1 and readers take only the
+  highest generation, so the old version stays fully visible until the
+  single atomic rename that publishes the new one — a crash mid-commit
+  can never expose an empty or partial dataset.
 
 That two-phase shape is the same contract Spark's own FileCommitProtocol
 / Delta's transaction log provide; here it is spelled out in ~60 lines
@@ -73,6 +78,20 @@ def _remove_parts(path: str, messages) -> None:
                 pass
 
 
+def _current_generation(path: str) -> int:
+    """Highest generation among committed manifests (0 if none).
+    Pre-generation manifests (no ``generation`` key) read as 0."""
+    import glob as _glob
+    gens = [0]
+    for mf in _glob.glob(os.path.join(path, "_manifest*.json")):
+        try:
+            with open(mf) as f:
+                gens.append(int(json.load(f).get("generation", 0)))
+        except (OSError, ValueError, json.JSONDecodeError):
+            pass  # torn/foreign file: never committed, ignore
+    return max(gens)
+
+
 class ManifestJsonlWriter(DataSourceWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.path = options["path"]
@@ -84,18 +103,19 @@ class ManifestJsonlWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         # driver-side, after ALL tasks succeeded. Each batch JOB gets
-        # its own uniquely-named manifest, so append mode composes:
-        # readers union every committed manifest and job N can never
-        # eclipse job N-1's files. Overwrite mode retracts the previous
-        # manifests FIRST — their parts become invisible orphans the
-        # moment the old manifests are gone (logical delete, physical
-        # cleanup is a vacuum concern).
+        # its own uniquely-named manifest carrying a GENERATION number;
+        # readers take only the highest generation. Append joins the
+        # current generation, so job N can never eclipse job N-1's
+        # files. Overwrite publishes generation+1 in ONE atomic rename:
+        # the old generation stays fully visible until the new manifest
+        # lands, and a crash anywhere before that leaves it untouched —
+        # no retract-then-publish window. Eclipsed manifests/parts are
+        # logical deletes; physical cleanup is a vacuum concern.
+        gen = _current_generation(self.path)
         if self.overwrite:
-            import glob as _glob
-            for mf in _glob.glob(os.path.join(self.path,
-                                              "_manifest*.json")):
-                os.remove(mf)
+            gen += 1
         manifest = {
+            "generation": gen,
             "files": sorted(m.filename for m in messages if m is not None),
             "n_rows": sum(m.n_rows for m in messages if m is not None),
         }
@@ -124,6 +144,7 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         manifest = {
             "batch": batchId,
+            "generation": _current_generation(self.path),
             "files": sorted(m.filename for m in messages if m is not None),
             "n_rows": sum(m.n_rows for m in messages if m is not None),
         }
@@ -159,16 +180,20 @@ def register_manifest_sink(spark) -> None:
 
 
 def read_manifest(spark, path: str, schema):
-    """Read back ONLY the files the manifests committed (a crashed or
-    concurrent writer's orphan part files are invisible). Batch jobs
-    publish one ``_manifest.json``; streaming publishes one manifest
-    per micro-batch — readers union whichever exist."""
+    """Read back ONLY the files committed by the HIGHEST-generation
+    manifests (a crashed or concurrent writer's orphan part files are
+    invisible; an overwrite's new generation eclipses older ones the
+    instant its manifest renames into place). Batch jobs publish one
+    manifest per job; streaming publishes one per micro-batch — all
+    manifests at the current generation are unioned."""
     import glob as _glob
-    files: list[str] = []
+    by_gen: dict[int, list[str]] = {}
     for mf in sorted(_glob.glob(os.path.join(path, "_manifest*.json"))):
         with open(mf) as f:
-            files.extend(os.path.join(path, n)
-                         for n in json.load(f)["files"])
+            m = json.load(f)
+        by_gen.setdefault(int(m.get("generation", 0)), []).extend(
+            os.path.join(path, n) for n in m["files"])
+    files = by_gen[max(by_gen)] if by_gen else []
     if not files:  # nothing ever committed -> empty, not an error
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)

@@ -196,14 +196,59 @@ def test_manifest_sink_commit_protocol(spark, sf_dir, tmp_path):
         .write.format("manifest_jsonl").option("path", out) \
         .mode("append").save()
     assert read_manifest(spark, out, schema).count() == 150
-    # overwrite retracts every earlier manifest
+    # overwrite eclipses every earlier manifest via a HIGHER generation
     spark.range(0, 7).select(F.col("id").alias("doc_id")) \
         .write.format("manifest_jsonl").option("path", out) \
         .mode("overwrite").save()
     assert read_manifest(spark, out, schema).count() == 7
+    # ...without deleting them: the old generation stays on disk, so at
+    # no instant during the overwrite was the directory manifest-less
+    # (a crash mid-commit leaves the previous version fully readable)
+    manifests = [json.load(open(p)) for p in glob.glob(f"{out}/_manifest*.json")]
+    assert len(manifests) == 3
+    assert sorted(m.get("generation", 0) for m in manifests) == [0, 0, 1]
+    # append after overwrite joins the current generation
+    spark.range(7, 10).select(F.col("id").alias("doc_id")) \
+        .write.format("manifest_jsonl").option("path", out) \
+        .mode("append").save()
+    assert read_manifest(spark, out, schema).count() == 10
     # a never-committed directory reads as empty, not as an error
     assert read_manifest(spark, str(tmp_path / "nothing"),
                          schema).count() == 0
+
+
+def test_manifest_overwrite_crash_keeps_old_generation(spark, tmp_path):
+    """Crash-safety of overwrite: if the job dies before its manifest
+    publishes (simulated by aborting the write), readers still see the
+    previous version in full — there is no retract-then-publish window
+    that exposes an empty dataset."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from rag_vector_database_spark.sources import manifest_sink
+    from rag_vector_database_spark.sources.manifest_sink import (
+        ManifestJsonlWriter, PartFileCommit, read_manifest,
+        register_manifest_sink)
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "sink")
+    spark.range(0, 40).select(F.col("id").alias("doc_id")) \
+        .write.format("manifest_jsonl").option("path", out) \
+        .mode("append").save()
+    schema = StructType([StructField("doc_id", LongType())])
+    assert read_manifest(spark, out, schema).count() == 40
+
+    # an overwrite job whose tasks wrote parts but whose driver died
+    # before commit(): parts exist, no new manifest
+    w = ManifestJsonlWriter({"path": out}, schema, overwrite=True)
+    msg = w.write(iter([(7,), (8,)]))
+    assert isinstance(msg, PartFileCommit)
+    # crash: commit never runs -> old generation intact, new rows unseen
+    assert read_manifest(spark, out, schema).count() == 40
+    # abort path cleans the torn parts up
+    w.abort([msg])
+    assert read_manifest(spark, out, schema).count() == 40
+    assert manifest_sink._current_generation(out) == 0
 
 
 def test_manifest_stream_writer_batches_commit_atomically(spark, sf_dir,

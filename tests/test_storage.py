@@ -248,3 +248,28 @@ def test_zvalue_matches_python_reference(spark):
            .collect()}
     for a, b in pairs:
         assert got[(a, b)] == z(a, b), (a, b)
+
+
+def test_zvalue_masks_out_of_range_inputs(spark):
+    """Negative or too-wide keys are taken modulo 2^bits instead of
+    letting sign-extended shiftright bits corrupt the interleave: the
+    key always equals the reference on (x & mask), and stays inside
+    the 2*bits-wide output domain."""
+    from rag_vector_database_spark.operators.storage import zvalue
+
+    def z(a, b):
+        out = 0
+        for i in range(10):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    pairs = [(-1, 0), (0, -1), (-5, 7), (1 << 20, 3), (-1024, 1023)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {(r["a"], r["b"]): r["zv"] for r in
+           df.withColumn("zv", zvalue(F.col("a"), F.col("b"), bits=10))
+           .collect()}
+    for a, b in pairs:
+        expect = z(a & 1023, b & 1023)
+        assert got[(a, b)] == expect, (a, b)
+        assert 0 <= got[(a, b)] < (1 << 20)
