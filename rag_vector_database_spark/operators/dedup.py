@@ -251,7 +251,8 @@ def minhash_delta_pairs(df: DataFrame, new_pred: Column,
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         check_every: int = 4) -> DataFrame:
     """Duplicate-cluster assignment from near-dup pairs: iterative
     min-label propagation over the undirected pair graph. Returns
     (id, cluster_id = min id reachable) for every id in a pair —
@@ -266,26 +267,35 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ``localCheckpoint`` truncates the growing lineage per round; the
     driver sees only a converged flag, never the data. (A reliable
     ``checkpoint`` dir replaces localCheckpoint on a real cluster.)
+
+    Convergence is checked only every ``check_every`` rounds (and at
+    the round budget), not per round: labels are monotone decreasing,
+    so "unchanged since the last checked anchor" IS the fixpoint, and
+    the driver pays ceil(rounds/check_every) count jobs instead of one
+    per round — the difference between d and d/4 blocking round-trips
+    on a diameter-d chain.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst"))))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("lbl", F.col("id")))
-    for _ in range(max_iter):
+    anchor = labels  # labels at the last convergence check
+    for r in range(1, max_iter + 1):
         prop = (edges.join(labels, edges.src == labels.id)
                 .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
-        new_labels = (labels.join(prop, labels.id == prop.dst, "left")
-                      .select("id", F.least(F.col("lbl"),
-                                            F.coalesce("nlbl", "lbl"))
-                              .alias("lbl"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = (labels.join(prop, labels.id == prop.dst, "left")
+                  .select("id", F.least(F.col("lbl"),
+                                        F.coalesce("nlbl", "lbl"))
+                          .alias("lbl"))
+                  .localCheckpoint())
+        if r % check_every == 0 or r == max_iter:
+            changed = (labels.alias("n")
+                       .join(anchor.alias("o"), "id")
+                       .where(F.col("n.lbl") != F.col("o.lbl")).count())
+            if changed == 0:
+                break
+            anchor = labels
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -144,12 +144,21 @@ def bloom_test(incoming: DataFrame, bitmap: DataFrame, key: str,
 def idempotent_append(incoming: DataFrame, store_path: str, key: str,
                       spark=None) -> int:
     """Run-twice-adds-zero ingest (#30 + #12): anti-join against the
-    store's existing keys, append only the new rows. Returns rows added."""
+    store's existing keys, append only the new rows. Returns rows added.
+
+    Only a MISSING store means "first run": a corrupt store or a
+    permission error propagates instead of silently re-ingesting the
+    whole batch (which would duplicate every row on the next healthy
+    read)."""
+    from pyspark.errors import AnalysisException
+
     spark = spark or incoming.sparkSession
     try:
         existing = spark.read.parquet(store_path).select(key)
-    except Exception:  # first run: empty store
-        existing = None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        existing = None  # first run: store not created yet
     fresh = incoming if existing is None else incremental_filter(
         incoming, existing, key)
     n = fresh.count()

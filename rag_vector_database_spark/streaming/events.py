@@ -104,16 +104,14 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "complete",
     return stream_df.sparkSession.table(name)
 
 
-def foreach_batch_upsert(stream_df: DataFrame, path: str, key: str,
-                         order_col: str, checkpoint: str) -> None:
-    """Streaming keep-latest MERGE into a parquet table via
-    ``foreachBatch`` — the stream form of the batch upsert (#31) and
-    the vector-store batch write (#12): each micro-batch unions with
-    the current sink and keeps the max-``order_col`` row per key
-    (the Delta-less MERGE emulation from SURVEY section 2 #31).
-    Blocks until AvailableNow drains. At scale the rewrite step is a
-    partition-scoped overwrite (partition by a stable bucket of the
-    key), not a full-table rewrite."""
+def keep_latest_merge(path: str, key: str, order_col: str):
+    """The per-micro-batch MERGE used by ``foreach_batch_upsert``,
+    exposed so tests (and callers composing their own writeStream) can
+    wrap it. IDEMPOTENT by construction: keep-latest-per-key over
+    (sink ∪ batch) yields the same sink whether a batch runs once or —
+    after a crash before the checkpoint commit — is replayed; that
+    idempotence is exactly what upgrades foreachBatch's at-least-once
+    delivery to exactly-once sink contents."""
     from pyspark.sql import Window
 
     def merge(batch: DataFrame, _epoch: int) -> None:
@@ -131,7 +129,24 @@ def foreach_batch_upsert(stream_df: DataFrame, path: str, key: str,
         latest.localCheckpoint(eager=True) \
             .write.mode("overwrite").parquet(path)
 
-    q = (stream_df.writeStream.foreachBatch(merge)
+    return merge
+
+
+def foreach_batch_upsert(stream_df: DataFrame, path: str, key: str,
+                         order_col: str, checkpoint: str) -> None:
+    """Streaming keep-latest MERGE into a parquet table via
+    ``foreachBatch`` — the stream form of the batch upsert (#31) and
+    the vector-store batch write (#12): each micro-batch unions with
+    the current sink and keeps the max-``order_col`` row per key
+    (the Delta-less MERGE emulation from SURVEY section 2 #31).
+    Blocks until AvailableNow drains; restarted on the same
+    ``checkpoint`` it resumes AFTER the last committed batch (see
+    ``keep_latest_merge`` for why an uncommitted batch's replay is
+    safe). At scale the rewrite step is a partition-scoped overwrite
+    (partition by a stable bucket of the key), not a full-table
+    rewrite."""
+    q = (stream_df.writeStream
+         .foreachBatch(keep_latest_merge(path, key, order_col))
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()

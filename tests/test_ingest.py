@@ -34,6 +34,26 @@ def test_idempotent_append(spark):
         assert spark.read.parquet(store).count() == 8
 
 
+def test_idempotent_append_corrupt_store_raises(spark):
+    """Only a MISSING store is 'first run'. A corrupt store must raise,
+    not silently re-ingest the whole batch as if empty (which would
+    duplicate every row once the store reads healthily again)."""
+    import pytest
+
+    with tempfile.TemporaryDirectory() as d:
+        store = f"{d}/store"
+        batch = spark.createDataFrame([(1, "a")], ["id", "text"])
+        import os
+        os.makedirs(store)
+        with open(f"{store}/part-00000.parquet", "wb") as f:
+            f.write(b"this is not a parquet file")
+        with pytest.raises(Exception) as exc:
+            idempotent_append(batch, store, "id")
+        assert "PATH_NOT_FOUND" not in str(exc.value)
+        # the corrupt store was not appended to
+        assert os.listdir(store) == ["part-00000.parquet"]
+
+
 def test_coercion_matrix(spark):
     schema = StructType([
         StructField("id", IntegerType()),

@@ -123,3 +123,30 @@ def test_resize_images_plumbing(blobs):
     for r in out:
         assert len(bytes(r["resized"])) == 64
         assert (r["out_w"], r["out_h"]) == (8, 8)
+
+
+def test_image_kernels_with_real_pil(spark):
+    """Smoke for the REAL PIL branch (the fake-module tests pin the
+    contract; this lights up automatically wherever Pillow exists —
+    skipped where it doesn't)."""
+    import io
+
+    Image = pytest.importorskip("PIL.Image")
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), (200, 30, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    w, h, fmt = mm.image_decode_kernel(Image, png)
+    assert (w, h, fmt) == (20, 10, "png")
+
+    resized = mm.image_resize_kernel(Image, png, 8, 6)
+    with Image.open(io.BytesIO(resized)) as im:
+        assert (im.width, im.height) == (8, 6)
+        assert (im.format or "").lower() == "png"
+
+    # end-to-end through the mapInPandas plumbing: executor-side
+    # import finds the real library, so real dimensions come back
+    df = spark.createDataFrame([(1, bytearray(png))], "id long, blob binary")
+    [row] = mm.decode_images(df).collect()
+    assert (row["width"], row["height"], row["format"]) == (20, 10, "png")

@@ -116,6 +116,32 @@ def test_connected_components_chain_and_clique(spark):
                    20: 20, 21: 20}
 
 
+def test_connected_components_batched_convergence_checks(spark, monkeypatch):
+    """On a deep chain the driver must NOT pay one blocking count per
+    propagation round: convergence is checked every check_every rounds,
+    so a diameter-d graph costs ~d/check_every count jobs. Asserts both
+    the correct fixpoint and the reduced driver round-trips."""
+    from pyspark.sql import DataFrame
+
+    n = 24  # chain 0-1-...-24: diameter 24, worst case for propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "id_a long, id_b long")
+    calls = {"n": 0}
+    orig = DataFrame.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting)
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(
+               pairs, max_iter=40, check_every=4).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    # per-round checks would need >= 24 counts; batched needs ~24/4 + 1
+    assert calls["n"] <= 8, calls["n"]
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """Multiprobe IVF must recall at least as much of the exact top-10
     as single-probe IVF (it searches a superset of buckets)."""

@@ -284,3 +284,30 @@ def test_manifest_stream_writer_batches_commit_atomically(spark, sf_dir,
     assert back.count() == want
     assert back.where(F.col("event_id") == -1).count() == 0
     assert back.select("event_id").distinct().count() == want
+
+
+def test_pdf_kernel_with_real_pymupdf(spark, tmp_path):
+    """Smoke for the REAL PyMuPDF branch (the fake-fitz tests pin the
+    contract; this lights up automatically wherever PyMuPDF exists —
+    skipped where it doesn't)."""
+    fitz = pytest.importorskip("fitz")
+
+    from rag_vector_database_spark.sources import readers
+
+    doc = fitz.open()
+    page = doc.new_page()
+    page.insert_text((72, 72), "hello spark")
+    doc.set_metadata({"title": "smoke-doc"})
+    pdf_bytes = doc.tobytes()
+    doc.close()
+
+    text, n_pages, title = readers.pdf_extract_kernel(fitz, pdf_bytes)
+    assert "hello spark" in text and n_pages == 1 and title == "smoke-doc"
+
+    # end-to-end: binaryFile scan -> mapInPandas with executor-side
+    # import fitz succeeding -> real text out
+    (tmp_path / "a.pdf").write_bytes(pdf_bytes)
+    df = readers.read_binaries(spark, str(tmp_path))
+    [row] = readers.extract_pdf_text(df).collect()
+    assert "hello spark" in row["text"]
+    assert row["n_pages"] == 1 and row["pdf_title"] == "smoke-doc"

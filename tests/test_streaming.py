@@ -97,6 +97,82 @@ def test_foreach_batch_upsert_keep_latest(spark, sf_dir, tmp_path):
     assert joined.count() == got.count() == want.count()
 
 
+def test_foreach_batch_upsert_crash_recovery_exactly_once(spark, tmp_path):
+    """Crash-recovery proof for the streaming MERGE (#59 discipline):
+    the query dies between micro-batches, a restart on the SAME
+    checkpoint resumes after the last committed batch (committed work
+    is never re-read), the uncommitted batch replays, and the final
+    sink holds exactly one row per key — exactly-once contents from
+    at-least-once delivery + idempotent merge."""
+    import json
+
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # three files -> three micro-batches (maxFilesPerTrigger=1);
+    # key "u1" is updated in every batch, u2/u3 appear once
+    batches = [
+        [{"user_id": "u1", "seq": 1, "v": "a"},
+         {"user_id": "u2", "seq": 1, "v": "b"}],
+        [{"user_id": "u1", "seq": 2, "v": "c"}],
+        [{"user_id": "u1", "seq": 3, "v": "d"},
+         {"user_id": "u3", "seq": 1, "v": "e"}],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"f{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    schema = StructType([StructField("user_id", StringType()),
+                         StructField("seq", LongType()),
+                         StructField("v", StringType())])
+    out = str(tmp_path / "merged")
+    ckpt = str(tmp_path / "ck")
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).json(str(src)))
+
+    # run 1: merge batch 0, then die before batch 1 commits
+    inner = se.keep_latest_merge(out, key="user_id", order_col="seq")
+
+    def crashing(batch, epoch):
+        if epoch >= 1:
+            raise RuntimeError("injected crash between micro-batches")
+        inner(batch, epoch)
+
+    q = (stream().writeStream.foreachBatch(crashing)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+        raise AssertionError("query should have died on the injected crash")
+    except StreamingQueryException:
+        pass
+    assert spark.read.parquet(out).count() == 2  # batch 0 committed
+
+    # run 2: same checkpoint, no crash — must resume at batch 1
+    # (replaying the uncommitted one), never re-reading batch 0
+    epochs = []
+
+    def recording(batch, epoch):
+        epochs.append(epoch)
+        inner(batch, epoch)
+
+    q2 = (stream().writeStream.foreachBatch(recording)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    assert 0 not in epochs and len(epochs) >= 2
+
+    got = {r["user_id"]: (r["seq"], r["v"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {"u1": (3, "d"), "u2": (1, "b"), "u3": (1, "e")}
+    assert spark.read.parquet(out).count() == 3  # no dup rows
+
+
 def test_stream_stream_join_equals_batch_self_join(spark, sf_dir):
     """Watermarked stream-stream interval join == batch self-join
     (Kappa parity for two-sided join state)."""
