@@ -6,11 +6,17 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"<name>": <sec>, ...}, "sf": <float>}
+   "queries": {"<name>": <sec>, ...}, "legacy_10_subtotal": <sec>,
+   "sf": <float>}
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver materialization). First a warmup query amortizes JVM/codegen
 startup so timings reflect steady-state executor work.
+
+Cross-round comparability: the warmup and the LEGACY_10 suite are
+FROZEN as of round 2 (commit 82ddd0e). New headline queries are timed
+in the same run and counted in "value"; "legacy_10_subtotal" isolates
+the frozen suite so round-over-round deltas compare like with like.
 """
 
 from __future__ import annotations
@@ -25,6 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rag_vector_database_spark.plans.registry import REGISTRY  # noqa: E402
 from rag_vector_database_spark.session import get_spark  # noqa: E402
+
+# The round-2 suite, pinned by NAME so later headline-flag additions can
+# never silently move the cross-round comparison baseline.
+LEGACY_10 = (
+    "knn_bruteforce", "retrieval_funnel", "pricing_summary",
+    "chunk_documents", "exact_dedup", "minhash_neardup",
+    "market_share_join", "events_tumbling", "events_sessionize",
+    "shipping_priority",
+)
 
 
 def main() -> None:
@@ -52,19 +67,24 @@ def main() -> None:
         except Exception:
             pass  # warmup must never fail the bench
 
+    # legacy suite first (frozen order), then the round-3+ additions
+    ordered = ([by_name[n] for n in LEGACY_10]
+               + [q for q in headline if q.name not in LEGACY_10])
     timings: dict[str, float] = {}
-    for q in headline:
+    for q in ordered:
         t0 = time.perf_counter()
         df = q.builder(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[q.name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    legacy = round(sum(timings[n] for n in LEGACY_10 if n in timings), 3)
     print(json.dumps({
         "metric": "headline query wall-clock, sum over suite",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "legacy_10_subtotal": legacy,
         "sf": sf,
     }))
 

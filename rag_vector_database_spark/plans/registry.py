@@ -3977,7 +3977,8 @@ SELECT doc_id,
 FROM tfq t JOIN dft d USING (term), g
 GROUP BY doc_id ORDER BY bm25 DESC, doc_id
 LIMIT 10
-""".format(tok=DD_TOKENS.format(c="text"), qtok=DD_TOKENS.format(c="text")))
+""".format(tok=DD_TOKENS.format(c="text"), qtok=DD_TOKENS.format(c="text")),
+    headline=True)
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse BM25 top-10 for the test query (doc 0's text, the same
     query the dense funnel uses) — k1=1.2, b=0.75."""
@@ -4112,7 +4113,8 @@ f AS ({assign.format(c="c2")})
 @register(
     "kmeans_lloyd",
     oracle=_dd_kmeans_cte()
-    + "SELECT vec_id, cl AS cluster, d2 AS dist2 FROM f")
+    + "SELECT vec_id, cl AS cluster, d2 AS dist2 FROM f",
+    headline=True)
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column (k=5, 2 iterations,
     deterministic seeding) — the centroid learner behind IVF indexes
@@ -4573,7 +4575,8 @@ FROM f JOIN dtab d ON d.s = f.s AND d.cl = f.cl
 GROUP BY f.vec_id ORDER BY adc, vec_id LIMIT 10
 """.format(spaces=_DD_PQ_SPACES,
            a0=_DD_PQ_ASSIGN.format(c="c0"),
-           a1=_DD_PQ_ASSIGN.format(c="c1")))
+           a1=_DD_PQ_ASSIGN.format(c="c1")),
+    headline=True)
 def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 (Jegou et al. 2011, the FAISS
     IVFPQ residual-free variant): 4 subspaces x 4 centroids learned in
@@ -6003,7 +6006,8 @@ GROUP BY l.lang_guess
            ltok=DD_TOKENS.format(c="lower(text)"),
            norm=DD_NORM.format(c="text"),
            en=_dd_stoplist("en"), de=_dd_stoplist("de"),
-           fr=_dd_stoplist("fr")))
+           fr=_dd_stoplist("fr")),
+    headline=True)
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel END TO END in one DAG — the composition a
     100 TB pretraining ingest actually runs: language ID + word-count
@@ -6969,7 +6973,8 @@ def q_arrow_grouped_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame
   FROM kept n JOIN kept a
     ON n.band = a.band AND n.bk = a.bk AND n.doc_id != a.doc_id
   WHERE n.doc_id % 3 = 0
-)""") + "\n" + _DD_MH_PAIRS_SELECT + "\n")
+)""") + "\n" + _DD_MH_PAIRS_SELECT + "\n",
+    headline=True)
 def q_minhash_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup: the day-N batch (doc_id % 3 = 0 as
     the synthetic new slice) is checked against the WHOLE corpus, but
