@@ -175,6 +175,14 @@ WINDOW_PRIORITY: list[str] = [
     "ivf_knn_multiprobe",
     "brp_ann_topk",
     "knn_metadata_filtered",
+    # -- beyond the 50-window: new in r03, queued to lead the next
+    #    rotation ---------------------------------------------------
+    "hash_reservoir_sample",
+    "ngram_novelty",
+    "vocab_prune_coverage",
+    "dedup_tokens_keep_first",
+    "attribution_first_touch",
+    "normalized_text_dedup",
 ]
 
 
@@ -7092,3 +7100,280 @@ def q_map_literal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("nation")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: sampling, novelty, vocabulary, attribution
+
+@register(
+    "hash_reservoir_sample",
+    oracle="""
+SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS rk
+FROM documents
+ORDER BY rk, doc_id
+LIMIT 100
+""")
+def q_hash_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-n uniform sample: rank every row by a hash
+    of its key and keep the n smallest — the distributed replacement
+    for reservoir sampling when the sample must be reproducible across
+    engines, runs, and partitionings (a training-data pipeline wants
+    the SAME eval sample every rebuild; rand()-based sampleBy gives
+    neither exactness nor cross-engine determinism). Physical plan is
+    scan + TakeOrderedAndProject: each partition keeps a local top-n
+    heap and the driver merges n-row heaps — no global sort, no
+    shuffle of the corpus, so it holds at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    rk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16)
+    return (d.select("doc_id", rk.alias("rk"))
+            .orderBy("rk", "doc_id").limit(100))
+
+
+@register(
+    "ngram_novelty",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, {tok} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1]))
+           AS grams
+  FROM t WHERE len(toks) >= 2
+),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM e GROUP BY gram)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM e JOIN f USING (gram)
+GROUP BY e.doc_id
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    bigrams whose global FIRST occurrence (min doc_id) is this doc —
+    the ordering-aware signal behind "how much does this shard add
+    that the corpus doesn't already have" (curriculum/dedup triage;
+    complements duplicated_ngram_spans, which finds the copies, by
+    scoring the remainder). Scale shape: explode to one row per
+    (doc, distinct gram), ONE groupBy on the gram key for the global
+    first-occurrence dictionary, one gram-keyed join back, one groupBy
+    on doc_id — all shuffles on keys with corpus-bounded cardinality,
+    no pairwise comparison anywhere."""
+    t = text_fns.tokens(F.col("text"))
+    grams = F.when(
+        F.size(t) >= 2,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "),
+                               F.element_at(t, i + 1)))))
+    d = _t(spark, sf_dir, "documents")
+    ex = (d.select("doc_id", grams.alias("grams"))
+          .where(F.col("grams").isNotNull())
+          .select("doc_id", F.explode("grams").alias("gram")))
+    first = ex.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0))
+    return (ex.join(first, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 novel.cast("long").alias("n_novel"),
+                 F.round(novel.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("novelty")))
+
+
+@register(
+    "vocab_prune_coverage",
+    oracle="""
+WITH e AS (
+  SELECT unnest({tok}) AS token FROM documents
+),
+v AS (
+  SELECT token, count(*) AS cnt FROM e WHERE token <> '' GROUP BY token
+),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rk,
+         sum(cnt) OVER (ORDER BY cnt DESC, token
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS tot
+  FROM v
+),
+t AS (SELECT unnest([80, 90, 95, 99]) AS pct)
+SELECT CAST(t.pct AS BIGINT) AS target_pct,
+       CAST(min(r.rk) AS BIGINT) AS vocab_size,
+       round(CAST(min_by(r.cum, r.rk) AS DOUBLE)
+             / min_by(r.tot, r.rk), 6) AS coverage
+FROM t JOIN r ON r.cum * 100 >= CAST(t.pct AS BIGINT) * r.tot
+GROUP BY t.pct
+ORDER BY target_pct
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_vocab_prune_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: the smallest frequency-ranked
+    vocabulary that covers >= {80,90,95,99}% of corpus token mass,
+    with the coverage actually achieved at that cut (the BPE/unigram
+    "how big must the vocab be" question, answered from data). The
+    corpus-sized work is ONE explode + groupBy(token); the global
+    rank/cumsum windows then run over the |vocab|-row table — small
+    relative to the corpus by Heaps' law — which is the standard
+    aggregate-then-window split (the window's single-partition sort
+    touches vocab rows, never corpus rows). Threshold comparison is
+    exact integer arithmetic (cum*100 >= pct*tot), so no float
+    boundary flake."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    ex = (d.select(F.explode(text_fns.tokens(F.col("text"))).alias("token"))
+          .where(F.col("token") != ""))
+    vocab = ex.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    order = Window.orderBy(F.desc("cnt"), F.col("token"))
+    ranked = vocab.select(
+        F.row_number().over(order).alias("rk"),
+        F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("tot"))
+    targets = spark.createDataFrame([(80,), (90,), (95,), (99,)],
+                                    "target_pct long")
+    hit = targets.join(
+        ranked, ranked.cum * 100 >= targets.target_pct * ranked.tot)
+    return (hit.groupBy("target_pct")
+            .agg(F.min(F.struct("rk", "cum", "tot")).alias("s"))
+            .select("target_pct",
+                    F.col("s.rk").cast("long").alias("vocab_size"),
+                    F.round(F.col("s.cum").cast("double") / F.col("s.tot"),
+                            6).alias("coverage"))
+            .orderBy("target_pct"))
+
+
+@register(
+    "dedup_tokens_keep_first",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, {tok} AS toks FROM documents
+),
+d AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (x, i) -> list_position(toks, x) = i) AS kept
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       substring(array_to_string(kept, ' '), 1, 80) AS cleaned_head
+FROM d
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_dedup_tokens_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition cleanup: drop repeated tokens keeping
+    each token's FIRST occurrence, preserving original order — the
+    within-doc rung of the dedup ladder (Gopher's repetition filters
+    FLAG repetitious docs; this is the repair variant). Pure per-row
+    array expressions (array_distinct is order-preserving in Spark),
+    so it executes scan-local inside whole-stage codegen: zero
+    shuffles, zero Python, embarrassingly parallel at any scale. The
+    oracle mirrors order-preserving distinct with an index lambda."""
+    t = text_fns.tokens(F.col("text"))
+    kept = F.array_distinct(t)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
+        F.substring(F.array_join(kept, " "), 1, 80).alias("cleaned_head"))
+
+
+@register(
+    "attribution_first_touch",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts AS c_ts, event_id AS c_id
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.p_id, p.user_id, p.p_ts, c.c_ts, c.c_id,
+         row_number() OVER (PARTITION BY p.p_id
+                            ORDER BY c.c_ts, c.c_id) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id
+              AND c.c_ts <= p.p_ts
+              AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+)
+SELECT p_id, user_id,
+       epoch_us(p_ts) AS p_us,
+       c_id AS first_click_id,
+       epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+FROM j WHERE rn = 1
+""")
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the user's
+    EARLIEST click in the preceding 7 days — the marketing twin of
+    the as-of join (asof_last_purchase picks the latest-before;
+    attribution picks the earliest-in-window, so the window bound is
+    load-bearing). Scale shape: both sides shuffle once on user_id
+    (hash join), the range predicate filters inside the join, and the
+    per-purchase argmin is a single min(struct(ts, id)) aggregate —
+    lexicographic struct ordering gives the deterministic tie-break
+    without a window sort. Timestamp math stays in exact integer
+    microseconds (unix_micros / epoch_us) on both engines."""
+    e = _events(spark, sf_dir)
+    c = (e.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts"),
+                 F.col("event_id").alias("c_id")))
+    p = (e.where(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("p_id")))
+    j = p.join(c, (p.user_id == c.c_user)
+               & (c.c_ts <= p.p_ts)
+               & (c.c_ts >= p.p_ts - F.expr("INTERVAL 7 DAYS")))
+    return (j.groupBy("p_id", "user_id", "p_ts")
+            .agg(F.min(F.struct("c_ts", "c_id")).alias("m"))
+            .select("p_id", "user_id",
+                    F.unix_micros("p_ts").alias("p_us"),
+                    F.col("m.c_id").alias("first_click_id"),
+                    (F.unix_micros("p_ts") - F.unix_micros("m.c_ts"))
+                    .alias("gap_us")))
+
+
+@register(
+    "normalized_text_dedup",
+    oracle="""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT doc_id, fp,
+       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same,
+       CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM n
+""")
+def q_normalized_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-hash dedup (CCNet-style): lowercase, strip
+    non-alphanumerics, collapse whitespace, THEN fingerprint — catches
+    the trivial-variant duplicates (case, punctuation, spacing) that
+    byte-exact dedup misses, at exact-dedup cost: per-row expressions
+    plus ONE shuffle on the 32-byte fingerprint for the canonical-pick
+    window. The aggressive ASCII normalization is the documented
+    trade-off (accented scripts collapse harder); the normalizer is
+    one expression swap away from a gentler class."""
+    from pyspark.sql.window import Window
+
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    d = _t(spark, sf_dir, "documents").withColumn("fp", F.md5(norm))
+    w = Window.partitionBy("fp")
+    return d.select(
+        "doc_id", "fp",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same"),
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0).cast("long").alias("is_canonical"))

@@ -386,3 +386,30 @@ def test_map_literal_enrich_is_join_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1  # only the groupBy shuffle
+
+
+def test_round3_additions_plan_shapes(spark):
+    """Scale assertions for the round-3 operators: the hash-rank sample
+    is scan + TakeOrderedAndProject (local top-n heaps, no global sort,
+    no corpus shuffle); token keep-first dedup is pure scan-local
+    expressions (no Exchange, no Python); first-touch attribution hash-
+    joins on user_id (the range bound is a join filter, never a
+    nested-loop over all pairs)."""
+    from rag_vector_database_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+
+    rs = registry.q_hash_reservoir_sample(spark, sf)
+    plan = rs._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "Sort " not in plan
+
+    kf = registry.q_dedup_tokens_keep_first(spark, sf)
+    plan = kf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Eval" not in plan
+
+    at = registry.q_attribution_first_touch(spark, sf)
+    plan = at._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
