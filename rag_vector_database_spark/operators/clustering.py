@@ -69,20 +69,31 @@ def kmeans_centroids(emb: DataFrame, k: int = 5, iters: int = 2,
     the learned coarse quantizer, k x dim doubles, safe to embed as
     plan literals. Empty clusters drop out of the recompute in both
     engines identically (GROUP BY emits no row)."""
-    init = (emb.where(F.col(id_col) < k)
-            .select(F.col(id_col).cast("long").alias("cl"), F.col(vec_col)))
-    cents = sorted((r["cl"], [float(x) for x in r[vec_col]])
-                   for r in init.collect())
-    dim = len(cents[0][1])
-    for _ in range(iters):
-        best = _argmin_centroid(cents, vec_col, ndigits)
-        means = [F.round(F.sum(F.col(vec_col)[i].cast("double"))
-                         / F.count(F.lit(1)), ndigits).alias(f"c{i}")
-                 for i in range(dim)]
-        newc = (emb.select(F.col(vec_col), best.getField("cl").alias("cl"))
-                .groupBy("cl").agg(*means))
-        cents = sorted((int(r["cl"]), [r[f"c{i}"] for i in range(dim)])
-                       for r in newc.collect())
+    # Iterative-ML discipline: the loop scans the corpus once per
+    # iteration, so persist it for the loop's lifetime (exactly what
+    # MLlib's KMeans does) instead of re-reading parquet each round.
+    # StorageLevel default (MEMORY_AND_DISK) degrades gracefully when
+    # the corpus outgrows executor memory.
+    cached = emb.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        init = (cached.where(F.col(id_col) < k)
+                .select(F.col(id_col).cast("long").alias("cl"),
+                        F.col(vec_col)))
+        cents = sorted((r["cl"], [float(x) for x in r[vec_col]])
+                       for r in init.collect())
+        dim = len(cents[0][1])
+        for _ in range(iters):
+            best = _argmin_centroid(cents, vec_col, ndigits)
+            means = [F.round(F.sum(F.col(vec_col)[i].cast("double"))
+                             / F.count(F.lit(1)), ndigits).alias(f"c{i}")
+                     for i in range(dim)]
+            newc = (cached.select(F.col(vec_col),
+                                  best.getField("cl").alias("cl"))
+                    .groupBy("cl").agg(*means))
+            cents = sorted((int(r["cl"]), [r[f"c{i}"] for i in range(dim)])
+                           for r in newc.collect())
+    finally:
+        cached.unpersist(blocking=False)
     return cents
 
 

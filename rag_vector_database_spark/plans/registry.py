@@ -183,6 +183,8 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_tokens_keep_first",
     "attribution_first_touch",
     "normalized_text_dedup",
+    "time_weighted_avg",
+    "ttl_dedup_events",
 ]
 
 
@@ -7377,3 +7379,81 @@ def q_normalized_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_same"),
         F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
         .otherwise(0).cast("long").alias("is_canonical"))
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS nts
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(epoch_us(nts) - epoch_us(ts)) AS BIGINT) AS span_us,
+       round(sum(value * (epoch_us(nts) - epoch_us(ts)))
+             / sum(epoch_us(nts) - epoch_us(ts)), 6) AS twa
+FROM o WHERE nts IS NOT NULL
+GROUP BY user_id
+""")
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each event's value holds until
+    the next event (step-function integration), so irregular sampling
+    doesn't bias the mean toward chatty periods — the standard
+    feature-store aggregate for sensor/price/state streams, absent
+    from plain AVG. Duration math is exact integer microseconds; only
+    the final ratio rounds. Scale shape: the lead() window and the
+    groupBy share the user_id hash partitioning, so Catalyst plans ONE
+    Exchange for both (asserted in test_perf_shapes) — the window sort
+    is per-user within partitions, never global."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (e.select("user_id", "value", dur.alias("dur_us"))
+            .where(F.col("dur_us").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"),
+                 F.sum("dur_us").cast("long").alias("span_us"),
+                 F.round(F.sum(F.col("value") * F.col("dur_us"))
+                         / F.sum("dur_us"), 6).alias("twa")))
+
+
+@register(
+    "ttl_dedup_events",
+    oracle="""
+WITH o AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM o
+WHERE prev_ts IS NULL
+   OR epoch_us(ts) - epoch_us(prev_ts) > 3600 * 1000000::BIGINT
+""")
+def q_ttl_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL/quiet-gap dedup: an event is kept only if the SAME
+    (user, type) hasn't fired within the last hour — the bounded-state
+    dedup a production stream runs (state expires after the TTL, so
+    memory never grows with history), here as the batch twin with the
+    TTL spelled out as a lag-gap predicate. Differs from exact-key
+    dedup (streaming_dedup): a key re-emits once it goes quiet. One
+    shuffle on (user_id, event_type); gap math in exact integer
+    microseconds."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    return (e.select("event_id", "user_id", "event_type",
+                     F.unix_micros("ts").alias("ts_us"),
+                     gap.alias("_gap"))
+            .where(F.col("_gap").isNull()
+                   | (F.col("_gap") > 3600 * 1000000))
+            .drop("_gap"))

@@ -413,3 +413,9 @@ def test_round3_additions_plan_shapes(spark):
     plan = at._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    # lead() window + groupBy share the user_id partitioning: ONE
+    # Exchange serves both (the window sort is per-partition)
+    twa = registry.q_time_weighted_avg(spark, sf)
+    plan = twa._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
