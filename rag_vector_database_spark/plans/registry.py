@@ -185,6 +185,10 @@ WINDOW_PRIORITY: list[str] = [
     "normalized_text_dedup",
     "time_weighted_avg",
     "ttl_dedup_events",
+    "quarantine_split",
+    "largest_remainder_alloc",
+    "time_decayed_sum",
+    "curriculum_interleave",
 ]
 
 
@@ -7457,3 +7461,172 @@ def q_ttl_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("_gap").isNull()
                    | (F.col("_gap") > 3600 * 1000000))
             .drop("_gap"))
+
+
+@register(
+    "quarantine_split",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         {dtok} AS dt, {tok} AS tk
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         list_filter([
+           CASE WHEN n_chars < 60 THEN 'short' END,
+           CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang' END,
+           CASE WHEN 10 * len(dt) < 4 * len(tk) THEN 'repetitive' END
+         ], x -> x IS NOT NULL) AS v
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(v) = 0 THEN 'pass' ELSE 'quarantine' END AS status,
+       coalesce(array_to_string(v, ','), '') AS violations,
+       CAST(len(v) AS BIGINT) AS n_violations
+FROM r
+""".format(dtok=dd_distinct_tokens("text"), tok=DD_TOKENS.format(c="text")))
+def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing for a curation pipeline: every row is
+    validated against named rules (too short, disallowed language,
+    high token repetition) and routed pass/quarantine WITH the list of
+    violated rules — so rejects are debuggable and re-processable, not
+    silently dropped (the observability gap in the reference's
+    skip-and-count error handling). Single scan, all rules are
+    per-row expressions, the repetition ratio compares in exact
+    integer arithmetic (10*distinct < 4*total) so no float boundary
+    flake; a sink split is one .where() per route on the same plan."""
+    t = text_fns.tokens(F.col("text"))
+    rules = F.array(
+        F.when(F.col("n_chars") < 60, F.lit("short")),
+        F.when(~F.col("lang").isin("en", "de", "es", "fr"), F.lit("lang")),
+        F.when(10 * F.size(F.array_distinct(t)) < 4 * F.size(t),
+               F.lit("repetitive")))
+    viol = F.filter(rules, lambda x: x.isNotNull())
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.size(viol) == 0, F.lit("pass"))
+        .otherwise(F.lit("quarantine")).alias("status"),
+        F.array_join(viol, ",").alias("violations"),
+        F.size(viol).cast("long").alias("n_violations"))
+
+
+@register(
+    "largest_remainder_alloc",
+    oracle="""
+WITH s AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+b AS (
+  SELECT lang, cnt,
+         (100 * cnt) // (SELECT sum(cnt) FROM s) AS base,
+         (100 * cnt) % (SELECT sum(cnt) FROM s) AS rem
+  FROM s
+),
+r AS (
+  SELECT lang, cnt, base, rem,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+         (SELECT 100 - sum(base) FROM b) AS leftover
+  FROM b
+)
+SELECT lang, CAST(cnt AS BIGINT) AS n_docs,
+       CAST(base AS BIGINT) AS base_alloc,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS final_alloc
+FROM r ORDER BY lang
+""")
+def q_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer budget allocation across strata (largest-remainder
+    / Hamilton method): a 100-doc sample budget split proportionally
+    over languages so the allocations SUM EXACTLY to the budget —
+    naive rounding over- or under-shoots, which is why mixture
+    pipelines drift from their declared weights. Everything after the
+    one corpus groupBy runs on the |languages|-row table (integer div/
+    mod, one rank window), so the method is exact at any corpus size.
+    Complements alpha_mixture_weights (which picks the TARGET
+    weights; this realizes a weight vector as integer counts)."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    wall = Window.partitionBy()
+    b = s.select(
+        "lang", "cnt",
+        F.expr("(100 * cnt) div sum(cnt) over ()").alias("base"),
+        (100 * F.col("cnt") % F.sum("cnt").over(wall)).alias("rem"))
+    r = b.select(
+        "lang", "cnt", "base", "rem",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.col("lang")))
+        .alias("rk"),
+        (100 - F.sum("base").over(wall)).alias("leftover"))
+    return (r.select(
+        "lang", F.col("cnt").cast("long").alias("n_docs"),
+        F.col("base").cast("long").alias("base_alloc"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1)
+         .otherwise(0)).cast("long").alias("final_alloc"))
+        .orderBy("lang"))
+
+
+@register(
+    "time_decayed_sum",
+    oracle="""
+WITH m AS (SELECT max(epoch_us(ts)) AS t_us FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value * exp(-(m.t_us - epoch_us(ts))
+                             / (7.0 * 86400 * 1000000))), 6)
+         AS decayed_sum
+FROM events, m
+GROUP BY user_id
+""")
+def q_time_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user (7-day
+    half-life-ish decay constant): the recency-weighted aggregate
+    behind churn/engagement features, where yesterday counts ~e times
+    last week. The reference anchor T is DATA-derived (max event ts,
+    one-row aggregate broadcast into the scan — never wall clock, so
+    the result is reproducible); decay exponents are exact integer
+    microsecond gaps over a double tau. One corpus scan + one groupBy
+    shuffle on user_id."""
+    e = _events(spark, sf_dir)
+    mx = e.agg(F.max(F.unix_micros("ts")).alias("t_us"))
+    tau = 7.0 * 86400 * 1000000
+    w = F.exp(-(F.col("t_us") - F.unix_micros(F.col("ts"))) / F.lit(tau))
+    return (e.crossJoin(F.broadcast(mx))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.sum(F.col("value") * w), 6).alias("decayed_sum")))
+
+
+@register(
+    "curriculum_interleave",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+           AS pos_in_lang
+  FROM documents
+)
+SELECT doc_id, lang, CAST(pos_in_lang AS BIGINT) AS pos_in_lang,
+       CAST(row_number() OVER (ORDER BY pos_in_lang, lang, doc_id)
+            AS BIGINT) AS global_pos
+FROM p
+""")
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced round-robin interleave across languages: emit docs in
+    the order (1st of each lang, 2nd of each lang, ...) so a training
+    run never sees a long monolingual stretch regardless of how the
+    corpus is laid out on disk — deterministic curriculum ordering as
+    a query, not a shuffle-the-files step. Shape: one window per lang
+    partition, then a global rank materialized by Spark's
+    range-partitioned sort (the scalable global order — sampled range
+    boundaries, no single-node sort of the corpus)."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    pos = F.row_number().over(
+        Window.partitionBy("lang").orderBy("doc_id"))
+    p = d.select("doc_id", "lang", pos.cast("long").alias("pos_in_lang"))
+    gpos = F.row_number().over(
+        Window.orderBy("pos_in_lang", "lang", "doc_id"))
+    return p.select("doc_id", "lang", "pos_in_lang",
+                    gpos.cast("long").alias("global_pos"))
