@@ -189,6 +189,7 @@ WINDOW_PRIORITY: list[str] = [
     "largest_remainder_alloc",
     "time_decayed_sum",
     "curriculum_interleave",
+    "manifest_time_travel",
 ]
 
 
@@ -7630,3 +7631,41 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("pos_in_lang", "lang", "doc_id"))
     return p.select("doc_id", "lang", "pos_in_lang",
                     gpos.cast("long").alias("global_pos"))
+
+
+@register(
+    "manifest_time_travel",
+    oracle="""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 10 = 0
+""")
+def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the generation-numbered manifest sink:
+    version 0 (docs with doc_id%10=0) is appended, then OVERWRITTEN by
+    version 1 (doc_id%7=0) — and reading ``generation=0`` still
+    returns version 0 exactly, because overwrite eclipses rather than
+    deletes (sources/manifest_sink.py). The oracle pins the OLD
+    version, proving the snapshot-read contract a table-format log
+    gives, on a plain shared-JSONL directory. Default (latest) reads
+    stay covered by manifest_sink_roundtrip."""
+    import shutil
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..sources.manifest_sink import read_manifest, register_manifest_sink
+
+    register_manifest_sink(spark)
+    path = _scratch_path(spark, sf_dir, "manifest_tt")
+    shutil.rmtree(path, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    v0 = (d.where(F.col("doc_id") % 10 == 0)
+          .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
+    v0.write.format("manifest_jsonl").option("path", path) \
+        .mode("append").save()
+    v1 = (d.where(F.col("doc_id") % 7 == 0)
+          .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
+    v1.write.format("manifest_jsonl").option("path", path) \
+        .mode("overwrite").save()
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("n_chars", LongType())])
+    return read_manifest(spark, path, schema, generation=0)

@@ -179,13 +179,18 @@ def register_manifest_sink(spark) -> None:
     spark.dataSource.register(ManifestJsonlSink)
 
 
-def read_manifest(spark, path: str, schema):
-    """Read back ONLY the files committed by the HIGHEST-generation
-    manifests (a crashed or concurrent writer's orphan part files are
-    invisible; an overwrite's new generation eclipses older ones the
-    instant its manifest renames into place). Batch jobs publish one
-    manifest per job; streaming publishes one per micro-batch — all
-    manifests at the current generation are unioned."""
+def read_manifest(spark, path: str, schema, generation: int | None = None):
+    """Read back ONLY the files committed by manifests of ONE
+    generation — by default the highest (a crashed or concurrent
+    writer's orphan part files are invisible; an overwrite's new
+    generation eclipses older ones the instant its manifest renames
+    into place). Because overwrite never deletes eclipsed manifests,
+    passing an explicit ``generation`` is TIME TRAVEL: any previously
+    committed version stays readable until a vacuum physically removes
+    it — the same snapshot-read contract a table format's log gives.
+    Batch jobs publish one manifest per job; streaming publishes one
+    per micro-batch — all manifests at the chosen generation are
+    unioned. A generation that never existed reads as empty."""
     import glob as _glob
     by_gen: dict[int, list[str]] = {}
     for mf in sorted(_glob.glob(os.path.join(path, "_manifest*.json"))):
@@ -193,7 +198,11 @@ def read_manifest(spark, path: str, schema):
             m = json.load(f)
         by_gen.setdefault(int(m.get("generation", 0)), []).extend(
             os.path.join(path, n) for n in m["files"])
-    files = by_gen[max(by_gen)] if by_gen else []
+    if not by_gen:
+        files = []
+    else:
+        pick = max(by_gen) if generation is None else generation
+        files = by_gen.get(pick, [])
     if not files:  # nothing ever committed -> empty, not an error
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
