@@ -190,6 +190,7 @@ WINDOW_PRIORITY: list[str] = [
     "time_decayed_sum",
     "curriculum_interleave",
     "manifest_time_travel",
+    "adaptive_quality_threshold",
 ]
 
 
@@ -7669,3 +7670,56 @@ def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("n_chars", LongType())])
     return read_manifest(spark, path, schema, generation=0)
+
+
+@register(
+    "adaptive_quality_threshold",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, lang,
+         round(CASE WHEN len({tok}) > 0
+               THEN CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok})
+               ELSE 0.0 END, 6) AS ttr
+  FROM documents
+),
+t AS (
+  SELECT lang, round(quantile_cont(ttr, 0.75), 6) AS thr
+  FROM q GROUP BY lang
+)
+SELECT q.lang, t.thr,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN q.ttr >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(CAST(sum(CASE WHEN q.ttr >= t.thr THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS kept_ratio
+FROM q JOIN t USING (lang)
+GROUP BY q.lang, t.thr
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_adaptive_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived per-group cutoffs: keep documents whose type-token
+    ratio clears their OWN language's 75th percentile — fixed global
+    thresholds over-filter some languages and under-filter others, so
+    production quality gates calibrate per group (CCNet buckets by
+    per-language LM percentile the same way). The exact percentile
+    runs as a window aggregate over the lang partition, so threshold
+    computation and filtering share ONE shuffle; scores are rounded
+    to 6dp BEFORE the percentile so both engines interpolate over
+    identical inputs."""
+    from pyspark.sql.window import Window
+
+    t = text_fns.tokens(F.col("text"))
+    ttr = F.when(F.size(t) > 0,
+                 F.size(F.array_distinct(t)).cast("double") / F.size(t)) \
+        .otherwise(F.lit(0.0))
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", "lang", F.round(ttr, 6).alias("ttr"))
+    w = Window.partitionBy("lang")
+    j = q.withColumn(
+        "thr", F.round(F.percentile(F.col("ttr"), F.lit(0.75)).over(w), 6))
+    kept = F.sum(F.when(F.col("ttr") >= F.col("thr"), 1).otherwise(0))
+    return (j.groupBy("lang", "thr")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+                 kept.cast("long").alias("n_kept"),
+                 F.round(kept.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("kept_ratio"))
+            .select("lang", "thr", "n_total", "n_kept", "kept_ratio"))
