@@ -191,6 +191,7 @@ WINDOW_PRIORITY: list[str] = [
     "curriculum_interleave",
     "manifest_time_travel",
     "adaptive_quality_threshold",
+    "cdc_apply_changelog",
 ]
 
 
@@ -7723,3 +7724,39 @@ def q_adaptive_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(kept.cast("double") / F.count(F.lit(1)), 6)
                  .alias("kept_ratio"))
             .select("lang", "thr", "n_total", "n_kept", "kept_ratio"))
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_op,
+       epoch_us(ts) AS ts_us, round(value, 6) AS value
+FROM o
+WHERE rn = 1 AND event_type <> 'error'
+""")
+def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize table state from a CDC changelog WITH delete
+    tombstones: per key, the latest entry wins, and if that entry is
+    a tombstone ('error' here) the key is ABSENT from the final state
+    — the semantics Debezium/Kafka-compact consumers apply, one step
+    past upsert_latest (#31), which has no deletes. One shuffle on the
+    key; latest-wins is a descending row_number with event_id as the
+    deterministic tie-break; at scale this is the same
+    partition-scoped merge the foreachBatch sink runs per
+    micro-batch."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", F.col("event_type").alias("last_op"),
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.round("value", 6).alias("value")))

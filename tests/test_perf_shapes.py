@@ -419,3 +419,21 @@ def test_round3_additions_plan_shapes(spark):
     twa = registry.q_time_weighted_avg(spark, sf)
     plan = twa._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+    # percentile window over lang + groupBy(lang, thr): partitioning
+    # on lang satisfies the superset grouping — one Exchange total
+    aq = registry.q_adaptive_quality_threshold(spark, sf)
+    plan = aq._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    # TTL dedup: one shuffle on (user, type); the gap filter rides it
+    ttl = registry.q_ttl_dedup_events(spark, sf)
+    plan = ttl._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    # decayed sum: the 1-row anchor broadcasts (BNLJ), the corpus
+    # never shuffles for it; one Exchange for the user groupBy
+    td = registry.q_time_decayed_sum(spark, sf)
+    plan = td._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
