@@ -263,3 +263,91 @@ def test_minhash_delta_equals_filtered_full(spark, sf_dir):
             if p[0] % 3 == 0 or p[1] % 3 == 0}
     assert delta == want
     assert len(delta) < len(full) or not full  # old-old pairs pruned
+
+
+def test_dedup_tokens_keep_first_invariants(spark):
+    """Cleaned output: no duplicate tokens, first-occurrence order
+    preserved, removal count consistent — on crafted edge inputs
+    (empty text, all-same tokens, already-unique)."""
+    from rag_vector_database_spark.plans.registry import (
+        q_dedup_tokens_keep_first)
+
+    import tempfile
+
+    rows = [(0, ""), (1, "a a a a"), (2, "x y z"), (3, "b a b c a d")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string") \
+            .withColumn("lang", F.lit("en")) \
+            .withColumn("source", F.lit("t")) \
+            .withColumn("n_chars", F.length("text")) \
+            .write.parquet(f"{d}/documents.parquet")
+        got = {r["doc_id"]: r for r in
+               q_dedup_tokens_keep_first(spark, d).collect()}
+    assert got[0]["n_tokens"] == 0 and got[0]["cleaned_head"] == ""
+    assert got[1]["n_removed"] == 3 and got[1]["cleaned_head"] == "a"
+    assert got[2]["n_removed"] == 0 and got[2]["cleaned_head"] == "x y z"
+    assert got[3]["cleaned_head"] == "b a c d"  # first-occurrence order
+    for r in got.values():
+        toks = r["cleaned_head"].split()
+        assert len(toks) == len(set(toks))  # no dup survives
+
+
+def test_largest_remainder_allocation_sums_exactly(spark, sf_dir):
+    """Hamilton-method invariants: final allocations sum EXACTLY to
+    the budget, every stratum gets base or base+1, and allocation is
+    monotone in stratum size."""
+    from rag_vector_database_spark.plans.registry import (
+        q_largest_remainder_alloc)
+
+    rows = q_largest_remainder_alloc(spark, sf_dir).collect()
+    assert sum(r["final_alloc"] for r in rows) == 100
+    for r in rows:
+        assert r["final_alloc"] in (r["base_alloc"], r["base_alloc"] + 1)
+    by_size = sorted(rows, key=lambda r: (-r["n_docs"], r["lang"]))
+    allocs = [r["final_alloc"] for r in by_size]
+    assert allocs == sorted(allocs, reverse=True)
+
+
+def test_hash_reservoir_sample_stability(spark, sf_dir):
+    """The sample is a fixed set: independent of partitioning, stable
+    across runs, always exactly n."""
+    from rag_vector_database_spark.plans.registry import (
+        q_hash_reservoir_sample)
+
+    a = sorted(r["doc_id"] for r in
+               q_hash_reservoir_sample(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in
+               q_hash_reservoir_sample(spark, sf_dir).collect())
+    assert a == b and len(a) == 100
+
+
+def test_cdc_apply_changelog_tombstones(spark, tmp_path):
+    """A key whose LATEST entry is a tombstone is absent; a tombstone
+    overwritten by a later upsert resurrects the key."""
+    import datetime
+
+    from rag_vector_database_spark.plans.registry import (
+        q_cdc_apply_changelog)
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, ts(1), 10, "view", 1.0, "{}"),
+        (2, ts(2), 10, "error", 0.0, "{}"),   # dead: tombstone is last
+        (3, ts(1), 20, "error", 0.0, "{}"),
+        (4, ts(2), 20, "purchase", 5.0, "{}"),  # resurrected
+        (5, ts(3), 30, "signup", 2.0, "{}"),
+    ]
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .write.parquet(f"{d}/events.parquet")
+    got = {r["user_id"]: r for r in q_cdc_apply_changelog(spark, d).collect()}
+    assert 10 not in got
+    assert got[20]["last_op"] == "purchase" and got[20]["value"] == 5.0
+    assert got[30]["last_op"] == "signup"
