@@ -122,3 +122,24 @@ def compact(path: str, spark, target_bytes: int = 128 * 1024 * 1024,
     dest = out_path or (path.rstrip("/") + "_compacted")
     df.coalesce(n_files).write.mode("overwrite").parquet(dest)
     return n_files
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                n_salts: int = 16) -> DataFrame:
+    """Skew-safe fact-to-dim join for keys too hot to hash-join and
+    dims too large (or plans too constrained) to broadcast: the fact
+    side gets a random salt in [0, n_salts), the dim side is
+    replicated once per salt, and the join runs on (key, salt) — each
+    hot key's rows spread over ``n_salts`` reducers instead of
+    hammering one. Result is row-identical to the plain join; cost is
+    n_salts x |dim| build rows, which is why the salt count is a
+    dial, not a constant. (AQE's skew-join split is the automatic
+    alternative for sort-merge plans; salting also covers
+    aggregations and works with AQE off.)"""
+    spark = fact.sparkSession
+    salt = (F.rand(seed=7) * n_salts).cast("int")
+    salts = spark.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt"))
+    return (fact.withColumn("_salt", salt)
+            .join(dim.crossJoin(salts), [key, "_salt"])
+            .drop("_salt"))

@@ -192,6 +192,8 @@ WINDOW_PRIORITY: list[str] = [
     "manifest_time_travel",
     "adaptive_quality_threshold",
     "cdc_apply_changelog",
+    "salted_join_skewed",
+    "event_transition_matrix",
 ]
 
 
@@ -7760,3 +7762,86 @@ def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", F.col("event_type").alias("last_op"),
                     F.unix_micros("ts").alias("ts_us"),
                     F.round("value", 6).alias("value")))
+
+
+@register(
+    "salted_join_skewed",
+    oracle="""
+WITH dimt AS (
+  SELECT l_returnflag,
+         row_number() OVER (ORDER BY l_returnflag) AS rf_code
+  FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+)
+SELECT d.rf_code,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem l JOIN dimt d USING (l_returnflag)
+GROUP BY d.rf_code
+""")
+def q_salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN on a pathologically skewed key (3 distinct
+    l_returnflag values over all of lineitem): the fact side is
+    salted, the 3-row derived dim replicated 16x, and the join runs
+    on (key, salt) — so no single reducer ever receives a whole hot
+    key, the failure mode that OOMs a 100 TB sort-merge join. The
+    oracle is the PLAIN join: salting must never change results
+    (operators/storage.py:salted_join; the aggregation twin is
+    salted_count_skewed). Revenue rounds to integer 1e-4 units PER ROW
+    before summing: salting regroups the summation, and only exact
+    integer sums are invariant to that regrouping at this magnitude
+    (a ~1e10 double sum formatted to 6dp is not)."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (li.select("l_returnflag").distinct()
+           .withColumn("rf_code",
+                       F.row_number().over(
+                           Window.orderBy("l_returnflag")).cast("long")))
+    rev_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     * 10000).cast("long")
+    j = storage_ops.salted_join(
+        li.select("l_returnflag", rev_e4.alias("rev_e4")),
+        dim, "l_returnflag")
+    return (j.groupBy("rf_code")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("rev_e4").cast("long").alias("revenue_e4")))
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT cur, nxt, count(*) AS n FROM o
+  WHERE nxt IS NOT NULL GROUP BY cur, nxt
+)
+SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur), 6) AS p
+FROM c
+""")
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the sequence feature
+    behind next-action models and funnel anomaly detection. Corpus
+    work is one lead() window on (user_id) + one groupBy on the
+    (cur, nxt) pair; the row-conditional normalization runs as a
+    window over the |types|^2-row count table — aggregate-then-window
+    again, so the normalizing sort never touches the corpus."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select(F.col("event_type").alias("cur"),
+                      F.lead("event_type").over(w).alias("nxt"))
+             .where(F.col("nxt").isNotNull()))
+    c = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "cur", "nxt", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(Window.partitionBy("cur")), 6).alias("p"))

@@ -273,3 +273,34 @@ def test_zvalue_masks_out_of_range_inputs(spark):
         expect = z(a & 1023, b & 1023)
         assert got[(a, b)] == expect, (a, b)
         assert 0 <= got[(a, b)] < (1 << 20)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """salted_join must (a) return exactly the plain join's rows and
+    (b) land a hot key's rows in MANY shuffle partitions — the whole
+    point of paying the n_salts x |dim| replication."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.operators import storage
+
+    fact = spark.createDataFrame(
+        [(("hot" if i % 100 else "cold"), i) for i in range(5000)],
+        "k string, v long")
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)],
+                                "k string, code long")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE would re-coalesce this tiny test shuffle into one partition;
+    # disable it so the salt's partition spread is observable
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        j = storage.salted_join(fact, dim, "k")
+        plain = fact.join(dim, "k")
+        assert sorted(map(tuple, j.collect())) == \
+            sorted(map(tuple, plain.collect()))
+        spread = (j.where(F.col("k") == "hot")
+                  .select(F.spark_partition_id().alias("p"))
+                  .distinct().count())
+        assert spread >= 4, spread
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
