@@ -194,6 +194,7 @@ WINDOW_PRIORITY: list[str] = [
     "cdc_apply_changelog",
     "salted_join_skewed",
     "event_transition_matrix",
+    "streaming_upsert_partitioned",
 ]
 
 
@@ -7845,3 +7846,49 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur", "nxt", F.col("n").cast("long").alias("n"),
         F.round(F.col("n").cast("double")
                 / F.sum("n").over(Window.partitionBy("cur")), 6).alias("p"))
+
+
+@register(
+    "streaming_upsert_partitioned",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, epoch_us(ts) AS ts_us, round(value, 6) AS value
+FROM o WHERE rn = 1
+""")
+def q_streaming_upsert_partitioned(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """#59 + #31 at scale: the event stream drains through foreachBatch
+    into a HASH-BUCKET-PARTITIONED keep-latest sink — each micro-batch
+    reads and dynamically overwrites only the buckets it touches
+    (streaming/events.py:keep_latest_merge_partitioned; the scoped-
+    rewrite property is pinned in tests/test_streaming.py). The
+    drained sink must hash-equal the batch keep-latest SQL: streaming
+    machinery, batch answer (Kappa parity)."""
+    from ..streaming import events as streaming_events
+
+    path = _scratch_path(spark, sf_dir, "stream_upsert")
+    ckpt = _scratch_path(spark, sf_dir, "stream_upsert_ck")
+    stream = (streaming_events.read_events_stream(spark, sf_dir)
+              .select("user_id", "event_type", "ts", "value", "event_id"))
+    # keep-latest orders by a (ts, event_id) struct so equal
+    # timestamps break ties deterministically
+    merge = streaming_events.keep_latest_merge_partitioned(
+        path, "user_id", "_ord", n_buckets=16)
+
+    def merge_with_tiebreak(batch, epoch):
+        merge(batch.withColumn(
+            "_ord", F.struct(F.col("ts"), F.col("event_id"))), epoch)
+
+    q = (stream.writeStream.foreachBatch(merge_with_tiebreak)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(path)
+            .select("user_id", "event_type",
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.round("value", 6).alias("value")))

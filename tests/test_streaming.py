@@ -199,3 +199,48 @@ def test_stream_stream_join_equals_batch_self_join(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
     assert want.count() > 0
+
+
+def test_keep_latest_merge_partitioned_scoped_rewrite(spark, tmp_path):
+    """The scale form of the streaming MERGE: a micro-batch touching
+    one key must rewrite ONLY that key's hash-bucket partition —
+    every other bucket's files stay byte-identical on disk — while
+    keep-latest semantics hold across the whole sink."""
+    import glob
+    import os
+
+    out = str(tmp_path / "sink")
+    schema = "user_id long, seq long, v string"
+    merge = se.keep_latest_merge_partitioned(out, "user_id", "seq",
+                                             n_buckets=8)
+    merge(spark.createDataFrame(
+        [(u, 1, "a") for u in range(40)], schema), 0)
+
+    def snapshot():
+        return {p: (os.path.getmtime(p), os.path.getsize(p))
+                for p in glob.glob(f"{out}/_bucket=*/*.parquet")}
+
+    before = snapshot()
+    assert len({os.path.dirname(p) for p in before}) == 8  # all buckets
+
+    merge(spark.createDataFrame([(7, 2, "b")], schema), 1)
+    after = snapshot()
+
+    [tb] = [r[0] for r in spark.createDataFrame([(7,)], "user_id long")
+            .select(F.pmod(F.xxhash64("user_id"), F.lit(8))).collect()]
+    untouched = [p for p in before if f"_bucket={tb}" + os.sep not in p]
+    assert untouched  # sanity: other buckets exist
+    for p in untouched:
+        assert p in after and after[p] == before[p], p
+
+    final = {r["user_id"]: (r["seq"], r["v"])
+             for r in spark.read.parquet(out)
+             .select("user_id", "seq", "v").collect()}
+    assert final[7] == (2, "b")
+    assert all(final[u] == (1, "a") for u in range(40) if u != 7)
+    # idempotence: replaying the batch changes nothing
+    merge(spark.createDataFrame([(7, 2, "b")], schema), 1)
+    again = {r["user_id"]: (r["seq"], r["v"])
+             for r in spark.read.parquet(out)
+             .select("user_id", "seq", "v").collect()}
+    assert again == final
