@@ -1,0 +1,176 @@
+"""Scale probe: measure the headline suite at ~10x sf0.1 (~sf1).
+
+The driver ships sf{0.001,0.01,0.1}; the engine is designed for 100 TB.
+This probe closes part of that gap empirically: it synthesizes a 10x
+dataset from sf0.1 with REALISTIC growth semantics and runs the exact
+frozen bench harness (bench.py, untouched) against it, so per-query
+scaling ratios are measured instead of argued.
+
+Growth semantics (why not naive replication):
+
+- ``documents``: each copy's text is passed through ``F.translate``
+  with the a-z/A-Z alphabet rotated by the copy index. Within a copy
+  the shingle structure (and therefore the near-dup cluster structure)
+  is byte-for-byte isomorphic to the original corpus; across copies
+  shingle overlap is zero. So a 10x corpus has 10x as MANY near-dup
+  clusters of the SAME size — which is how a real corpus grows — not
+  10x-larger clusters, which would quadratically inflate bucket pair
+  enumeration and measure an adversarial density no real pipeline sees.
+  (That adversarial case is separately covered by the ``max_bucket``
+  skew-guard tests in tests/test_dedup.py.)
+- ``lineitem``/``orders``/``customer``/``supplier``/``part``: key
+  spaces are shifted per copy with one shared stride so every FK still
+  lands on exactly one PK and fan-outs keep their sf0.1 distribution;
+  ``region``/``nation`` stay fixed (dims don't grow with fact data —
+  the broadcast-ability the plans rely on is preserved, as at 100 TB).
+- ``events``: ``user_id`` shifted per copy -> 10x users with the same
+  per-user event density, so sessionization state grows in KEY COUNT
+  (the dimension that matters for a shuffle/state backend), not in
+  per-key chain length.
+- ``embeddings``: ``vec_id`` shifted; vectors kept (kNN cost is
+  value-independent; ties break deterministically on vec_id).
+
+Usage:
+  python scale_probe.py build   # materialize /tmp/rvdb_scale_sf1.0
+  python scale_probe.py run     # build if missing, bench sf0.1 + 10x,
+                                # print one comparison JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import string
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/rvdb_scale_sf1.0"
+COPIES = 10
+# One stride for every key space: larger than any sf0.1 key, so shifted
+# copies can never collide with each other or the originals.
+STRIDE = 10_000_000
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+# key column -> shifted by copy*STRIDE (applied where present)
+SHIFT_COLS = ("c_custkey", "s_suppkey", "p_partkey", "o_orderkey",
+              "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+              "event_id", "user_id", "doc_id", "vec_id")
+DIMS = ("region", "nation")  # fixed: dims don't scale with fact data
+
+
+def _rotated(i: int) -> tuple[str, str]:
+    lo, up = string.ascii_lowercase, string.ascii_uppercase
+    k = i % 26
+    return lo + up, lo[k:] + lo[:k] + up[k:] + up[:k]
+
+
+def build(spark=None) -> str:
+    marker = os.path.join(DST, "_PROBE_COMPLETE")
+    if os.path.exists(marker):
+        return DST
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+
+    own_session = spark is None
+    if own_session:
+        from rag_vector_database_spark.session import get_spark
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = get_spark("rvdb-scale-build", master=f"local[{cpus}]")
+        spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    for t in TABLES:
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t in DIMS:
+            out = src
+        else:
+            copies = []
+            for i in range(COPIES):
+                c = src
+                for col in SHIFT_COLS:
+                    if col in c.columns:
+                        c = c.withColumn(col, F.col(col) + F.lit(i * STRIDE))
+                if t == "documents":
+                    frm, to = _rotated(i)
+                    c = c.withColumn("text", F.translate("text", frm, to))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        # file-count hygiene: big facts get multiple splits so scans
+        # parallelize the way a real multi-file dataset would
+        n_files = max(1, min(32, out.rdd.getNumPartitions() * 2)) \
+            if t not in DIMS else 1
+        out.repartition(n_files).write.mode("overwrite") \
+            .parquet(f"{DST}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    if own_session:
+        spark.stop()
+    return DST
+
+
+def run_interleaved(reps: int = 3) -> dict:
+    """Time each headline query at sf0.1 and at the 10x dir,
+    INTERLEAVED within one session and repeated ``reps`` times, taking
+    the per-query minimum. Single-shot wall-clocks on a shared VM vary
+    up to 2x with host steal; min-of-reps on adjacent runs is the
+    standard noise-robust estimator, and interleaving means both scale
+    points see the same host conditions."""
+    import time
+    from rag_vector_database_spark.plans.registry import REGISTRY
+    from rag_vector_database_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("rvdb-scale-probe", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    headline = [q for q in REGISTRY if q.headline]
+    warm_sf = "/root/testdata/sf0.001"
+    for q in headline:  # full codegen warmup at tiny sf
+        try:
+            q.builder(spark, warm_sf) \
+                .write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
+
+    best: dict[str, dict[str, float]] = \
+        {q.name: {"base": float("inf"), "scaled": float("inf")}
+         for q in headline}
+    for _ in range(reps):
+        for q in headline:
+            for key, d in (("base", SRC), ("scaled", DST)):
+                t0 = time.perf_counter()
+                q.builder(spark, d) \
+                    .write.mode("overwrite").format("noop").save()
+                best[q.name][key] = min(best[q.name][key],
+                                        time.perf_counter() - t0)
+    out = {
+        "metric": "headline suite wall-clock, sf0.1 vs 10x data "
+                  f"(min of {reps} interleaved reps)",
+        "data_ratio": COPIES,
+        "base_s": {n: round(v["base"], 3) for n, v in best.items()},
+        "scaled_s": {n: round(v["scaled"], 3) for n, v in best.items()},
+        "time_ratio_per_query":
+            {n: round(v["scaled"] / v["base"], 2) for n, v in best.items()},
+    }
+    out["time_ratio_total"] = round(
+        sum(v["scaled"] for v in best.values())
+        / sum(v["base"] for v in best.values()), 2)
+    return out
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if cmd == "build":
+        print(build())
+        return
+    build()
+    print(json.dumps(run_interleaved()))
+
+
+if __name__ == "__main__":
+    main()
