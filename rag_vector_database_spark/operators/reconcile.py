@@ -1,0 +1,87 @@
+"""Merkle-style store reconciliation (anti-entropy diff).
+
+``snapshot_diff`` (plans/registry.py) classifies every key with one
+full-outer join — correct, but at 100 TB it shuffles BOTH stores even
+when they are 99.9% identical. This module is the scale path, the
+DataFrame form of Merkle-tree repair in replicated stores (Dynamo §4.7,
+Cassandra anti-entropy): compare cheap per-bucket digests first, then
+row-join ONLY the buckets whose digests disagree.
+
+Cost shape: two scans with map-side-combined aggregation down to
+``n_buckets`` digest rows per side (a shuffle of n_buckets rows, not
+the corpus), one tiny digest join, then a key join restricted by a
+broadcast semi-join to the differing buckets — when the stores mostly
+agree, that's a sliver of either store. The digest is
+(bit_xor of per-row hashes, row count): order-independent, mergeable,
+no overflow under ANSI mode. A pair of identical rows XORs to zero,
+which the row count disambiguates.
+
+Probabilistic guarantee: a differing bucket escapes detection only on
+a 64-bit XOR-hash collision (~2^-64 per bucket) — the same trade every
+Merkle-repair system makes. The exact twin (snapshot_diff) stays in
+the registry as the correctness reference, and the oracle SQL for
+``merkle_reconcile`` IS the exact full-join diff: the driver proves
+the pruned plan returns byte-identical results to the exhaustive one.
+
+The reference itself reconciles naively: it fetches EVERY id from the
+store to diff against incoming chunks (ingest_chunks_to_chromadb.py:
+95-114) — exactly the full-compare this module avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_BUCKETS = 4096
+
+
+def _bucket(key: Column, n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets))
+
+
+def bucket_digests(df: DataFrame, key: str, fp: Column,
+                   n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+    """Per-bucket (digest, n) summary: bit_xor of per-row hashes plus
+    the row count. One map-side-combinable aggregation; the shuffle
+    moves n_buckets rows regardless of store size."""
+    row_hash = F.xxhash64(F.col(key), fp)
+    return (df.groupBy(_bucket(F.col(key), n_buckets).alias("bucket"))
+            .agg(F.bit_xor(row_hash).alias("digest"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def differing_buckets(left: DataFrame, right: DataFrame, key: str,
+                      fp: Column,
+                      n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+    """Bucket ids whose (digest, n) disagree between the two stores —
+    the only buckets whose rows need to be compared at all."""
+    ld = bucket_digests(left, key, fp, n_buckets)
+    rd = bucket_digests(right, key, fp, n_buckets)
+    j = ld.alias("l").join(rd.alias("r"), "bucket", "full_outer")
+    same = (F.col("l.digest").eqNullSafe(F.col("r.digest"))
+            & F.col("l.n").eqNullSafe(F.col("r.n")))
+    return j.where(~same).select("bucket")
+
+
+def reconcile(left: DataFrame, right: DataFrame, key: str, fp: Column,
+              n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+    """Symmetric store diff: (key, change) rows with change in
+    {'only_left', 'only_right', 'changed'} — identical output to the
+    exhaustive full-outer diff, computed by digest-pruned row compare.
+
+    ``fp`` is the content fingerprint column expression evaluated on
+    each side (e.g. ``F.md5('text')``)."""
+    diff = F.broadcast(differing_buckets(left, right, key, fp, n_buckets))
+    lsub = (left.withColumn("bucket", _bucket(F.col(key), n_buckets))
+            .join(diff, "bucket", "left_semi")
+            .select(F.col(key), fp.alias("fp1"), F.lit(1).alias("in1")))
+    rsub = (right.withColumn("bucket", _bucket(F.col(key), n_buckets))
+            .join(diff, "bucket", "left_semi")
+            .select(F.col(key), fp.alias("fp2"), F.lit(1).alias("in2")))
+    j = lsub.join(rsub, key, "full_outer")
+    change = (F.when(F.col("in2").isNull(), "only_left")
+              .when(F.col("in1").isNull(), "only_right")
+              .when(~F.col("fp1").eqNullSafe(F.col("fp2")), "changed"))
+    return (j.select(F.col(key), change.alias("change"))
+            .where(F.col("change").isNotNull()))

@@ -195,6 +195,7 @@ WINDOW_PRIORITY: list[str] = [
     "salted_join_skewed",
     "event_transition_matrix",
     "streaming_upsert_partitioned",
+    "merkle_reconcile",
 ]
 
 
@@ -6557,6 +6558,58 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("change")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.min("doc_id").alias("example_doc")))
+
+
+@register(
+    "merkle_reconcile",
+    oracle="""
+WITH l AS (SELECT doc_id, md5(text) AS fp1, 1 AS in1 FROM documents),
+r AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 17 = 0 THEN text || ' [edited]'
+                  ELSE text END) AS fp2, 1 AS in2
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text), 1
+  FROM documents WHERE doc_id < 7
+),
+j AS (
+  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id, fp1, fp2, in1, in2
+  FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id
+)
+SELECT doc_id,
+       CASE WHEN in2 IS NULL THEN 'only_left'
+            WHEN in1 IS NULL THEN 'only_right'
+            WHEN fp1 IS DISTINCT FROM fp2 THEN 'changed' END AS change
+FROM j
+WHERE in2 IS NULL OR in1 IS NULL OR fp1 IS DISTINCT FROM fp2
+ORDER BY doc_id
+""")
+def q_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy store diff, the SCALE twin of snapshot_diff: per-
+    bucket (bit_xor, count) digests are compared first and the row-
+    level full-outer join runs only over buckets whose digests
+    disagree (operators/reconcile.py — Merkle repair as DataFrames).
+    The oracle is the EXHAUSTIVE full-join diff, so the driver proves
+    the digest-pruned plan returns byte-identical classifications.
+    Right store = documents minus every 13th doc (only_left), every
+    17th edited (changed), plus 1M-shifted copies of docs 0-6
+    (only_right). The reference's analog is its fetch-every-id store
+    diff (ingest_chunks_to_chromadb.py:95-114)."""
+    from ..operators import reconcile as rc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    right = (d.where(F.col("doc_id") % 13 != 0)
+             .withColumn("text",
+                         F.when(F.col("doc_id") % 17 == 0,
+                                F.concat(F.col("text"), F.lit(" [edited]")))
+                         .otherwise(F.col("text")))
+             .unionByName(d.where(F.col("doc_id") < 7)
+                          .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                                  "text")))
+    return (rc.reconcile(d, right, "doc_id", F.md5(F.col("text")),
+                         n_buckets=256)
+            .orderBy("doc_id"))
 
 
 @register(

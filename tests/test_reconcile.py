@@ -1,0 +1,79 @@
+"""Merkle reconciliation: digest pruning + exact-equivalence checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rag_vector_database_spark.operators import reconcile as rc
+
+
+def _docs(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+
+
+def test_identical_stores_zero_rows_zero_buckets(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.col("text"))
+    assert rc.differing_buckets(d, d, "doc_id", fp).count() == 0
+    assert rc.reconcile(d, d, "doc_id", fp).count() == 0
+
+
+def test_single_changed_row_pruned_to_one_bucket(spark, sf_dir):
+    """One edited doc out of the corpus -> exactly one differing
+    bucket; the row-level compare touches only that bucket's rows."""
+    d = _docs(spark, sf_dir)
+    target = d.select(F.min("doc_id")).first()[0]
+    right = d.withColumn(
+        "text", F.when(F.col("doc_id") == target,
+                       F.concat(F.col("text"), F.lit("!"))).otherwise(
+                           F.col("text")))
+    fp = F.md5(F.col("text"))
+    n_total = d.count()
+    buckets = rc.differing_buckets(d, right, "doc_id", fp, n_buckets=64)
+    assert buckets.count() == 1
+    out = rc.reconcile(d, right, "doc_id", fp, n_buckets=64).collect()
+    assert [(r["doc_id"], r["change"]) for r in out] == [(target, "changed")]
+    # pruning: the compared subset is ~1/64th of the store, not all of it
+    b = buckets.first()["bucket"]
+    compared = d.where(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64)) == b).count()
+    assert compared < n_total / 8
+
+
+def test_count_disambiguates_xor_cancellation(spark):
+    """Two extra rows whose hashes XOR to the same digest must still be
+    detected: bit_xor of a duplicated pair cancels to the left side's
+    digest, but the row count differs."""
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    extra = spark.createDataFrame([(3, "c"), (3, "c")], "k long, v string")
+    right = left.unionByName(extra)
+    fp = F.md5(F.col("v"))
+    # all rows into ONE bucket so the xor-cancellation actually collides
+    diff = rc.differing_buckets(left, right, "k", fp, n_buckets=1)
+    assert diff.count() == 1
+    out = rc.reconcile(left, right, "k", fp, n_buckets=1).collect()
+    # both duplicate rows surface (full-outer join over a dup key)
+    assert [(r["k"], r["change"]) for r in out] \
+        == [(3, "only_right"), (3, "only_right")]
+
+
+def test_classification_matrix(spark):
+    left = spark.createDataFrame(
+        [(1, "same"), (2, "old"), (3, "gone")], "k long, v string")
+    right = spark.createDataFrame(
+        [(1, "same"), (2, "new"), (4, "added")], "k long, v string")
+    out = {r["k"]: r["change"]
+           for r in rc.reconcile(left, right, "k",
+                                 F.md5(F.col("v")), n_buckets=8).collect()}
+    assert out == {2: "changed", 3: "only_left", 4: "only_right"}
+
+
+def test_plan_semi_joins_by_bucket(spark, sf_dir):
+    """The row-level join inputs must be bucket-semi-joined (the
+    pruning step), not the raw stores."""
+    d = _docs(spark, sf_dir)
+    right = d.where(F.col("doc_id") % 13 != 0)
+    plan = rc.reconcile(d, right, "doc_id", F.md5(F.col("text"))) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
