@@ -124,6 +124,26 @@ def compact(path: str, spark, target_bytes: int = 128 * 1024 * 1024,
     return n_files
 
 
+def write_range_sorted(df: DataFrame, path: str, col: str,
+                       n_files: int = 8, mode: str = "overwrite") -> None:
+    """Globally range-sorted layout (the terasort shape):
+    ``repartitionByRange`` samples range bounds (one sampling pass),
+    then ``sortWithinPartitions`` orders every file internally. The
+    result is a GLOBAL total order across files: per-file min/max on
+    ``col`` are disjoint, so a range predicate prunes whole FILES at
+    the listing level — coarser and cheaper than row-group skipping —
+    and a reader that needs global order can merge files without a
+    sort. This is the 1-D clustering twin of ``zvalue`` (2-D): use
+    range-sort when one column dominates the read predicates, z-order
+    when two do. At 100 TB the bound-sampling job reads a fraction of
+    a percent of the input; skew in ``col`` lands contiguous ranges in
+    one file, which AQE's range-partition split or a higher
+    ``n_files`` absorbs."""
+    (df.repartitionByRange(n_files, F.col(col))
+     .sortWithinPartitions(col)
+     .write.mode(mode).parquet(path))
+
+
 def salted_join(fact: DataFrame, dim: DataFrame, key: str,
                 n_salts: int = 16) -> DataFrame:
     """Skew-safe fact-to-dim join for keys too hot to hash-join and

@@ -196,6 +196,7 @@ WINDOW_PRIORITY: list[str] = [
     "event_transition_matrix",
     "streaming_upsert_partitioned",
     "merkle_reconcile",
+    "range_sorted_scan",
 ]
 
 
@@ -5561,6 +5562,36 @@ def q_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("n_chars", LongType()),
     ])
     return (spark.read.schema(schema).option("header", True).csv(path))
+
+
+@register(
+    "range_sorted_scan",
+    oracle="""
+SELECT l_orderkey, round(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_extendedprice < 2000.0
+ORDER BY price, l_orderkey
+""")
+def q_range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-as-operator: lineitem rewritten with write_range_sorted
+    on l_extendedprice (repartitionByRange + sortWithinPartitions —
+    global total order, disjoint per-file min/max), then a low-price
+    range predicate read back from the sorted store. On the sorted
+    layout the predicate prunes whole files/row-groups at the scan
+    (proven on parquet footers in tests/test_storage.py::
+    test_range_sorted_write_disjoint_files); the oracle reads the
+    original table, so the rewrite is also proven lossless."""
+    from ..operators import storage
+
+    li = _t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_extendedprice")
+    path = _scratch_path(spark, sf_dir, "range_sorted")
+    storage.write_range_sorted(li, path, "l_extendedprice", n_files=8)
+    return (spark.read.parquet(path)
+            .where(F.col("l_extendedprice") < 2000.0)
+            .select("l_orderkey",
+                    F.round("l_extendedprice", 2).alias("price"))
+            .orderBy("price", "l_orderkey"))
 
 
 @register(

@@ -304,3 +304,44 @@ def test_salted_join_spreads_hot_key(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+
+
+def test_range_sorted_write_disjoint_files(spark, tmp_path):
+    """write_range_sorted's contract, proven on parquet footers: file-
+    level [min, max] intervals on the sort column are pairwise
+    disjoint (a global total order across files), so a range predicate
+    prunes whole files; an unsorted layout's files all overlap the
+    same predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice"))
+    path = str(tmp_path / "range_sorted")
+    storage.write_range_sorted(li, path, "l_extendedprice", n_files=8)
+
+    spans = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        st = md.row_group(0).column(idx["l_extendedprice"]).statistics
+        lo, hi = st.min, st.max
+        for g in range(1, md.num_row_groups):
+            s = md.row_group(g).column(idx["l_extendedprice"]).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        spans.append((lo, hi))
+    assert len(spans) >= 6  # range partitioner actually split the data
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint: global order across files
+
+    # bottom-quartile predicate overlaps a minority of files
+    glo = min(s[0] for s in spans)
+    ghi = max(s[1] for s in spans)
+    cut = glo + (ghi - glo) / 4
+    touched = sum(1 for lo, hi in spans if lo <= cut)
+    assert touched <= len(spans) // 2
+
+    # and the data survives the layout intact
+    assert spark.read.parquet(path).count() == li.count()
