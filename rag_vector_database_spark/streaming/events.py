@@ -23,7 +23,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (LongType, StructField, StructType,
+                               TimestampType)
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
@@ -228,6 +229,56 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     return (events.groupBy("user_id")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def idle_session_timeouts(events: DataFrame, gap_minutes: int = 30,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Emit-on-timeout stateful operator (EventTimeTimeout): per-user
+    state accumulates (n_events, last event time) and registers an
+    event-time timeout at last_ts + gap. When the WATERMARK passes
+    that timestamp — i.e. the stream has provably moved beyond any
+    event that could extend the session — the state times out, is
+    evicted, and ONE row (user_id, n_events, last_ts) is emitted for
+    the closed session. Rows are produced by the timeout path only,
+    never by data batches: this is the arbitrary-state analog of
+    session_window's late-binding close, and the shape for any
+    "detect absence" operator (abandoned carts, stalled ingests).
+
+    Scale: state is one struct per ACTIVE key and eviction is driven
+    by the watermark, so state size tracks concurrent sessions, not
+    stream history. Timeout timestamps live in the state store with
+    the struct — no extra shuffle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType([StructField("user_id", LongType()),
+                             StructField("n_events", LongType()),
+                             StructField("last_ts", TimestampType())])
+    state_schema = StructType([StructField("n", LongType()),
+                               StructField("last_us", LongType())])
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us * 1000)]})
+            return
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = pdf["ts"].max()
+            last_us = max(last_us, mx.value // 1000)
+        state.update((n, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))
 
 
 def click_purchase_join(clicks: DataFrame, purchases: DataFrame,

@@ -244,3 +244,117 @@ def test_keep_latest_merge_partitioned_scoped_rewrite(spark, tmp_path):
              for r in spark.read.parquet(out)
              .select("user_id", "seq", "v").collect()}
     assert again == final
+
+
+def test_event_time_timeout_evicts_idle_sessions(spark, tmp_path):
+    """Emit-on-timeout discipline: sessions close when the WATERMARK
+    passes last_event + gap, driven across restarts by checkpointed
+    watermark state. Three sequential availableNow runs on one
+    checkpoint: (1) seed users 1/2, no emissions; (2) a 2h-later
+    event advances the watermark; (3) the next batch's restored
+    watermark fires the event-time timeouts -> exactly the idle
+    users' sessions are emitted and their state evicted."""
+    import json
+
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampType)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ck_timeout")
+    base = "2024-01-01T00:0{m}:00.000Z"
+
+    schema = StructType([StructField("user_id", LongType()),
+                         StructField("ts", TimestampType())])
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+    def run():
+        s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (se.idle_session_timeouts(s, gap_minutes=30)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def emitted():
+        # fresh reader each time: a parquet DataFrame pins its file
+        # listing at creation, so reuse would miss later sink commits
+        return spark.read.schema(
+            "user_id long, n_events long, last_ts timestamp").parquet(out)
+
+    write_file("a.json", [(1, base.format(m=0)), (1, base.format(m=5)),
+                          (2, base.format(m=1))])
+    run()
+    assert emitted().count() == 0  # nothing times out within one batch
+
+    # 2h later: the watermark moves to 01:00 (2h - 1h delay) after this
+    # file's batch; availableNow then runs a trailing no-data batch in
+    # which 01:00 > 00:05+30min fires the timeouts for users 1 and 2.
+    # User 99 (timeout 02:30) stays live. Run a third file anyway so
+    # the emissions don't depend on the trailing-batch behavior.
+    write_file("b.json", [(99, "2024-01-01T02:00:00.000Z")])
+    run()
+    write_file("c.json", [(98, "2024-01-01T02:01:00.000Z")])
+    run()
+    got = {r["user_id"]: r["n_events"] for r in emitted().collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_watermark_drops_late_rows_with_accounting(spark, tmp_path):
+    """Late-data discipline: a row older than the checkpointed
+    watermark is dropped from the windowed aggregation AND the drop is
+    visible in the progress metrics (numRowsDroppedByWatermark) — the
+    operational signal a 100 TB pipeline alerts on instead of
+    silently undercounting."""
+    import json
+
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck_late")
+
+    schema = StructType([StructField("user_id", LongType()),
+                         StructField("event_type", StringType()),
+                         StructField("value", DoubleType()),
+                         StructField("ts", TimestampType())])
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, "event_type": "c",
+                                    "value": 1.0, "ts": ts}) + "\n")
+
+    def run():
+        s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (se.tumbling_counts(s)
+             .writeStream.format("noop").outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return q.recentProgress
+
+    write_file("a.json", [(1, "2024-01-01T00:05:00.000Z"),
+                          (2, "2024-01-01T00:10:00.000Z")])
+    p1 = run()
+    # 3h later -> watermark after this batch = 02:00
+    write_file("b.json", [(3, "2024-01-01T03:00:00.000Z")])
+    p2 = run()
+    # late row at 00:07, far behind the 02:00 watermark -> dropped
+    write_file("c.json", [(4, "2024-01-01T00:07:00.000Z")])
+    p3 = run()
+
+    def dropped(progress):
+        return sum(op.get("numRowsDroppedByWatermark", 0)
+                   for pr in progress for op in pr["stateOperators"])
+
+    assert dropped(p1) == 0 and dropped(p2) == 0
+    assert dropped(p3) >= 1
