@@ -197,6 +197,7 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_upsert_partitioned",
     "merkle_reconcile",
     "range_sorted_scan",
+    "streaming_idle_timeouts",
 ]
 
 
@@ -1322,6 +1323,37 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events.read_events_stream(spark, sf_dir)
     return streaming_events.run_available_now(
         streaming_events.session_counts(stream))
+
+
+@register(
+    "streaming_idle_timeouts",
+    oracle="""
+WITH wm AS (SELECT max(epoch_us(ts)) - 3600000000 AS w FROM events),
+per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+)
+SELECT p.user_id, p.n_events, CAST(p.last_us AS BIGINT) AS last_us
+FROM per_user p, wm
+WHERE p.last_us + 1800000000 < wm.w
+""")
+def q_streaming_idle_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#59/#63: the EventTimeTimeout eviction surface end-to-end. The
+    whole events file arrives as one micro-batch, so each user's state
+    accumulates every event and registers a timeout at last_ts + 30min;
+    the availableNow trailing batch then fires every timeout older
+    than the final watermark (global max ts - 1h delay). The oracle is
+    that closed-form: users whose last event + gap predates the final
+    watermark, with their total counts — proving the timeout path's
+    emissions (not just data-path emissions) against batch SQL."""
+    stream = streaming_events.read_events_stream(spark, sf_dir)
+    emitted = streaming_events.run_available_now(
+        streaming_events.idle_session_timeouts(stream, gap_minutes=30),
+        output_mode="append")
+    return emitted.select(
+        "user_id", "n_events",
+        (F.unix_micros(F.col("last_ts"))).cast("long").alias("last_us"))
 
 
 # ---------------------------------------------------------------------------
