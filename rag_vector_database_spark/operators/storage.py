@@ -144,6 +144,46 @@ def write_range_sorted(df: DataFrame, path: str, col: str,
      .write.mode(mode).parquet(path))
 
 
+def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
+                            key: str, partition_col: str) -> dict:
+    """Targeted delete propagation (the GDPR / right-to-be-forgotten
+    rewrite): remove every row whose ``key`` appears in ``keys`` from a
+    ``partition_col``-partitioned parquet store by REWRITING ONLY THE
+    PARTITIONS THAT CONTAIN A DOOMED KEY. Parquet is immutable, so a
+    delete is a rewrite — the difference between rewriting 100 TB and
+    rewriting the handful of partitions a delete set touches is this
+    function.
+
+    Steps: (1) one partition-pruned scan joins the broadcast delete
+    set to find affected partition values (a driver-side list of
+    partition VALUES, bounded by partition cardinality, never rows);
+    (2) each affected partition is re-read WITH partition pruning,
+    anti-joined against the delete set, and written to a staging dir;
+    (3) staged directories replace the originals (last-step rename —
+    on an object store this is the manifest/metastore swap the
+    manifest sink models). Untouched partitions are never read,
+    written, or moved. Returns {"partitions_rewritten", "rows_deleted"}.
+    """
+    import os
+    import shutil
+
+    store = spark.read.parquet(store_path)
+    doomed = (store.join(F.broadcast(keys), key, "left_semi")
+              .select(partition_col).distinct())
+    affected = [r[0] for r in doomed.collect()]
+    deleted = 0
+    for val in affected:
+        part_dir = os.path.join(store_path, f"{partition_col}={val}")
+        part = spark.read.parquet(part_dir)
+        kept = part.join(F.broadcast(keys), key, "left_anti")
+        deleted += part.count() - kept.count()
+        staged = part_dir + "__staged"
+        kept.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(part_dir)
+        os.replace(staged, part_dir)
+    return {"partitions_rewritten": len(affected), "rows_deleted": deleted}
+
+
 def salted_join(fact: DataFrame, dim: DataFrame, key: str,
                 n_salts: int = 16) -> DataFrame:
     """Skew-safe fact-to-dim join for keys too hot to hash-join and

@@ -198,6 +198,7 @@ WINDOW_PRIORITY: list[str] = [
     "merkle_reconcile",
     "range_sorted_scan",
     "streaming_idle_timeouts",
+    "gdpr_delete_partitioned",
 ]
 
 
@@ -1323,6 +1324,34 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events.read_events_stream(spark, sf_dir)
     return streaming_events.run_available_now(
         streaming_events.session_counts(stream))
+
+
+@register(
+    "gdpr_delete_partitioned",
+    oracle="""
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 37 != 0
+ORDER BY doc_id
+""")
+def q_gdpr_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten rewrite: a lang-partitioned store minus a
+    delete set, executed by rewriting ONLY the partitions containing a
+    doomed key (operators/storage.py:delete_keys_partitioned) —
+    untouched partitions are never read or written, which is the
+    difference between rewriting 100 TB and rewriting a sliver. The
+    oracle reads the logical result straight from the source table,
+    proving the partition-targeted rewrite equals the global delete."""
+    from ..operators import storage
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = _scratch_path(spark, sf_dir, "gdpr_store")
+    storage.write_partitioned(d, path, "lang")
+    doomed = d.where(F.col("doc_id") % 37 == 0).select("doc_id")
+    storage.delete_keys_partitioned(spark, path, doomed,
+                                    key="doc_id", partition_col="lang")
+    return (spark.read.parquet(path)
+            .select("doc_id", F.col("lang").cast("string").alias("lang"))
+            .orderBy("doc_id"))
 
 
 @register(

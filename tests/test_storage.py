@@ -345,3 +345,50 @@ def test_range_sorted_write_disjoint_files(spark, tmp_path):
 
     # and the data survives the layout intact
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_delete_keys_partitioned_touches_only_affected(spark, tmp_path):
+    """The delete rewrite's contract: partitions without a doomed key
+    keep their exact files (names AND mtimes); only partitions holding
+    deleted rows are rewritten; the surviving rows equal a global
+    anti-join."""
+    import glob
+    import os
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "source"))
+    path = str(tmp_path / "store")
+    storage.write_partitioned(docs, path, "source")
+
+    # delete keys drawn from ONE partition value only
+    victim = docs.select("source").distinct().orderBy("source").first()[0]
+    doomed = (docs.where(F.col("source") == victim)
+              .select("doc_id").limit(5))
+    doomed_ids = [r[0] for r in doomed.collect()]
+    assert len(doomed_ids) == 5
+
+    def snapshot():
+        return {f: os.path.getmtime(f)
+                for f in glob.glob(path + "/source=*/part-*.parquet")}
+
+    before = snapshot()
+    res = storage.delete_keys_partitioned(
+        spark, path, doomed, key="doc_id", partition_col="source")
+    after = snapshot()
+
+    assert res["partitions_rewritten"] == 1
+    assert res["rows_deleted"] == 5
+    untouched_before = {f: m for f, m in before.items()
+                        if f"/source={victim}/" not in f}
+    untouched_after = {f: m for f, m in after.items()
+                       if f"/source={victim}/" not in f}
+    assert untouched_before == untouched_after  # same files, same mtimes
+    # and the victim partition WAS rewritten
+    assert {f for f in before if f"/source={victim}/" in f} \
+        != {f for f in after if f"/source={victim}/" in f}
+
+    got = sorted(r[0] for r in
+                 spark.read.parquet(path).select("doc_id").collect())
+    want = sorted(r[0] for r in docs.join(
+        doomed, "doc_id", "left_anti").select("doc_id").collect())
+    assert got == want
