@@ -144,6 +144,41 @@ def write_range_sorted(df: DataFrame, path: str, col: str,
      .write.mode(mode).parquet(path))
 
 
+_V1_LIST_KEY = "spark.sql.sources.useV1SourceList"
+_AGG_PD_KEY = "spark.sql.parquet.aggregatePushdown"
+
+
+def footer_stats(spark, path: str, aggs: list[Column]):
+    """COUNT/MIN/MAX answered from parquet FOOTERS, not row scans: the
+    DataSource-V2 parquet reader with aggregate pushdown compiles
+    whole-table count/min/max into a metadata walk — on a 100 TB store
+    that's reading file footers instead of 100 TB of pages (the same
+    trick metastore-backed engines play with table statistics, but
+    always-fresh because it reads the files themselves).
+
+    Returns ``(stats_df, pushed)``: a LOCAL one-row DataFrame with the
+    computed stats, plus whether the plan actually contained a
+    ``PushedAggregation`` (callers assert it; pushdown silently falls
+    back to a scan for unsupported shapes — filters, nested fields).
+    The result is materialized before the session's source confs are
+    restored, because pushdown is decided at plan time."""
+    old = {k: spark.conf.get(k, None) for k in (_V1_LIST_KEY, _AGG_PD_KEY)}
+    spark.conf.set(_V1_LIST_KEY, "")
+    spark.conf.set(_AGG_PD_KEY, "true")
+    try:
+        df = spark.read.parquet(path).agg(*aggs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows = df.collect()
+        schema = df.schema
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema), "PushedAggregation" in plan
+
+
 def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
                             key: str, partition_col: str) -> dict:
     """Targeted delete propagation (the GDPR / right-to-be-forgotten

@@ -199,6 +199,7 @@ WINDOW_PRIORITY: list[str] = [
     "range_sorted_scan",
     "streaming_idle_timeouts",
     "gdpr_delete_partitioned",
+    "footer_agg_stats",
 ]
 
 
@@ -1324,6 +1325,40 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events.read_events_stream(spark, sf_dir)
     return streaming_events.run_available_now(
         streaming_events.session_counts(stream))
+
+
+@register(
+    "footer_agg_stats",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+""")
+def q_footer_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-free table statistics: COUNT/MIN/MAX compiled to a parquet
+    FOOTER walk via DataSource-V2 aggregate pushdown
+    (operators/storage.py:footer_stats) — the plan carries
+    PushedAggregation (asserted in tests/test_storage.py) and reads
+    metadata, not 100 TB of pages. The oracle computes the same stats
+    the exhaustive way, proving footer statistics are sound."""
+    from ..operators import storage
+
+    stats, _pushed = storage.footer_stats(
+        spark, f"{sf_dir}/lineitem.parquet",
+        [F.count(F.lit(1)).alias("n"),
+         F.min("l_shipdate").alias("min_ship_ts"),
+         F.max("l_shipdate").alias("max_ship_ts"),
+         F.min("l_extendedprice").alias("min_price_raw"),
+         F.max("l_extendedprice").alias("max_price_raw")])
+    return stats.select(
+        F.col("n").cast("long").alias("n"),
+        F.date_format("min_ship_ts", "yyyy-MM-dd").alias("min_ship"),
+        F.date_format("max_ship_ts", "yyyy-MM-dd").alias("max_ship"),
+        F.round("min_price_raw", 2).alias("min_price"),
+        F.round("max_price_raw", 2).alias("max_price"))
 
 
 @register(

@@ -392,3 +392,24 @@ def test_delete_keys_partitioned_touches_only_affected(spark, tmp_path):
     want = sorted(r[0] for r in docs.join(
         doomed, "doc_id", "left_anti").select("doc_id").collect())
     assert got == want
+
+
+def test_footer_stats_pushdown_and_soundness(spark):
+    """footer_stats must (a) actually push the aggregation into the
+    parquet scan, (b) return the same values as the exhaustive scan,
+    and (c) restore the session's source confs afterwards."""
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    before_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    stats, pushed = storage.footer_stats(
+        spark, path,
+        [F.count(F.lit(1)).alias("n"),
+         F.min("l_extendedprice").alias("mn"),
+         F.max("l_extendedprice").alias("mx")])
+    assert pushed  # PushedAggregation present in the plan
+    row = stats.first()
+    full = (spark.read.parquet(path)
+            .agg(F.count(F.lit(1)), F.min("l_extendedprice"),
+                 F.max("l_extendedprice")).first())
+    assert (row["n"], row["mn"], row["mx"]) == tuple(full)
+    assert spark.conf.get("spark.sql.sources.useV1SourceList",
+                          None) == before_v1
