@@ -358,3 +358,29 @@ def test_watermark_drops_late_rows_with_accounting(spark, tmp_path):
 
     assert dropped(p1) == 0 and dropped(p2) == 0
     assert dropped(p3) >= 1
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """State-store backend is a scale dial, not a semantics dial: the
+    same windowed aggregation drained under the RocksDB provider
+    (state spills to local disk — the backend for state far beyond
+    executor heap) equals the default HDFS-backed in-memory provider's
+    result row-for-row."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming."
+             "state.RocksDBStateStoreProvider")
+    default_rows = _rows(se.run_available_now(
+        se.tumbling_counts(se.read_events_stream(spark, sf_dir))),
+        ["ws", "event_type", "n", "sum_value"])
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        rocks_rows = _rows(se.run_available_now(
+            se.tumbling_counts(se.read_events_stream(spark, sf_dir))),
+            ["ws", "event_type", "n", "sum_value"])
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert rocks_rows == default_rows and len(rocks_rows) > 0
