@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .embedding import HashingEmbedder
+from .functions import text as text_fns
 from .operators import retrieval
 from .operators.conversation import RagConversation, history_fold
 from .operators.session_log import SessionLog
@@ -179,12 +180,20 @@ def run_auto_loop(spark: SparkSession, sf_dir: str,
                 show_stats = not show_stats
                 print_fn(f"[Show stats: {show_stats}]")
             elif cmd == "/set_rerank_threshold" and args:
-                rerank_threshold = float(args[0])
-                print_fn(f"[Rerank threshold: {rerank_threshold:.2f}]")
+                try:
+                    rerank_threshold = float(args[0])
+                    print_fn(f"[Rerank threshold: {rerank_threshold:.2f}]")
+                except ValueError:
+                    print_fn(f"[Invalid threshold {args[0]!r} — "
+                             "expected a number]")
             elif cmd == "/set_base_threshold" and args:
-                base_threshold = float(args[0])
-                print_fn(f"[Base similarity threshold: "
-                         f"{base_threshold:.2f}]")
+                try:
+                    base_threshold = float(args[0])
+                    print_fn(f"[Base similarity threshold: "
+                             f"{base_threshold:.2f}]")
+                except ValueError:
+                    print_fn(f"[Invalid threshold {args[0]!r} — "
+                             "expected a number]")
             else:
                 print_fn(f"[Unknown command {cmd}] " + help_text())
             continue
@@ -207,7 +216,7 @@ def run_auto_loop(spark: SparkSession, sf_dir: str,
                                   documents.doc_id == top.vec_id)
                    .select("doc_id", "score",
                            F.lit(0.0).alias("relevance_score"),
-                           F.substring("text", 1, 80).alias("snippet"))
+                           text_fns.snippet("text", 80).alias("snippet"))
                    .orderBy(F.desc("score"), "doc_id"))
         rows = top.collect()
         status = "Success" if rows else "No documents above threshold"

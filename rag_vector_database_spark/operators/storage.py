@@ -157,11 +157,16 @@ def footer_stats(spark, path: str, aggs: list[Column]):
     always-fresh because it reads the files themselves).
 
     Returns ``(stats_df, pushed)``: a LOCAL one-row DataFrame with the
-    computed stats, plus whether the plan actually contained a
-    ``PushedAggregation`` (callers assert it; pushdown silently falls
-    back to a scan for unsupported shapes — filters, nested fields).
+    computed stats, plus whether the aggregation was ACTUALLY pushed —
+    a V2 scan prints ``PushedAggregation: []`` even on fallback, so the
+    flag requires a non-empty pushed list. Pushdown silently falls
+    back to a full scan for unsupported shapes (sum/avg, filters,
+    nested fields, and non-numeric types like timestamps); callers
+    assert the flag when they depend on the metadata-walk cost model.
     The result is materialized before the session's source confs are
     restored, because pushdown is decided at plan time."""
+    import re
+
     old = {k: spark.conf.get(k, None) for k in (_V1_LIST_KEY, _AGG_PD_KEY)}
     spark.conf.set(_V1_LIST_KEY, "")
     spark.conf.set(_AGG_PD_KEY, "true")
@@ -176,7 +181,8 @@ def footer_stats(spark, path: str, aggs: list[Column]):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.createDataFrame(rows, schema), "PushedAggregation" in plan
+    pushed = re.search(r"PushedAggregation: \[(?!\])", plan) is not None
+    return spark.createDataFrame(rows, schema), pushed
 
 
 def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
@@ -189,33 +195,74 @@ def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
     rewriting the handful of partitions a delete set touches is this
     function.
 
-    Steps: (1) one partition-pruned scan joins the broadcast delete
-    set to find affected partition values (a driver-side list of
-    partition VALUES, bounded by partition cardinality, never rows);
-    (2) each affected partition is re-read WITH partition pruning,
-    anti-joined against the delete set, and written to a staging dir;
-    (3) staged directories replace the originals (last-step rename —
-    on an object store this is the manifest/metastore swap the
-    manifest sink models). Untouched partitions are never read,
+    Steps: (1) one scan joins the broadcast delete set to find
+    affected partition values (a driver-side list of partition VALUES,
+    bounded by partition cardinality, never rows); (2) each affected
+    partition directory — resolved from the actual on-disk listing by
+    UNESCAPING Hive path encoding (%XX escapes, NULL as
+    __HIVE_DEFAULT_PARTITION__), never by re-formatting the value into
+    a path — is anti-joined against the delete set and written to a
+    staging area OUTSIDE the store root (a sibling `..._staging` dir,
+    so a concurrent reader of the store can never pick up staged files
+    as a phantom partition); (3) the original partition dir is renamed
+    aside to a sibling trash dir and the staged dir renamed into
+    place, then trash is dropped.
+
+    Filesystem renames are not transactional: a crash between the two
+    renames of step (3) leaves that one partition absent from the
+    store but fully preserved in the trash dir (recoverable by hand;
+    nothing is ever deleted before its replacement is in place). True
+    atomic swap needs a manifest/metastore commit — exactly what
+    sources/manifest_sink.py models; this function is the
+    plain-directory variant. Untouched partitions are never read,
     written, or moved. Returns {"partitions_rewritten", "rows_deleted"}.
     """
     import os
     import shutil
+    import urllib.parse
+
+    def unescape(dirname: str):
+        """Hive path-encoding inverse: %XX escapes; the NULL marker."""
+        if dirname == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        return urllib.parse.unquote(dirname)
+
+    prefix = f"{partition_col}="
+    dirs_by_value = {
+        unescape(d[len(prefix):]): os.path.join(store_path, d)
+        for d in os.listdir(store_path)
+        if d.startswith(prefix)
+           and os.path.isdir(os.path.join(store_path, d))}
 
     store = spark.read.parquet(store_path)
     doomed = (store.join(F.broadcast(keys), key, "left_semi")
               .select(partition_col).distinct())
     affected = [r[0] for r in doomed.collect()]
+    missing = [v for v in affected
+               if (None if v is None else str(v)) not in dirs_by_value]
+    if missing:
+        raise ValueError(
+            f"partition value(s) {missing!r} not found on disk under "
+            f"{store_path!r} — listing/encoding mismatch; aborting "
+            "before any rewrite")
+
+    staging_root = store_path.rstrip("/") + "__delete_staging"
+    trash_root = store_path.rstrip("/") + "__delete_trash"
     deleted = 0
     for val in affected:
-        part_dir = os.path.join(store_path, f"{partition_col}={val}")
+        part_dir = dirs_by_value[None if val is None else str(val)]
+        base = os.path.basename(part_dir)
         part = spark.read.parquet(part_dir)
         kept = part.join(F.broadcast(keys), key, "left_anti")
         deleted += part.count() - kept.count()
-        staged = part_dir + "__staged"
+        staged = os.path.join(staging_root, base)
         kept.write.mode("overwrite").parquet(staged)
-        shutil.rmtree(part_dir)
-        os.replace(staged, part_dir)
+        trashed = os.path.join(trash_root, base)
+        os.makedirs(trash_root, exist_ok=True)
+        os.rename(part_dir, trashed)   # original preserved until...
+        os.rename(staged, part_dir)    # ...its replacement is in place
+    shutil.rmtree(trash_root, ignore_errors=True)
+    shutil.rmtree(staging_root, ignore_errors=True)
     return {"partitions_rewritten": len(affected), "rows_deleted": deleted}
 
 

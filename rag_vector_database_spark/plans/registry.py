@@ -1331,8 +1331,8 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "footer_agg_stats",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n,
-       strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
-       strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+       CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+       CAST(max(l_orderkey) AS BIGINT) AS max_okey,
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price
 FROM lineitem
@@ -1340,23 +1340,26 @@ FROM lineitem
 def q_footer_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-free table statistics: COUNT/MIN/MAX compiled to a parquet
     FOOTER walk via DataSource-V2 aggregate pushdown
-    (operators/storage.py:footer_stats) — the plan carries
-    PushedAggregation (asserted in tests/test_storage.py) and reads
-    metadata, not 100 TB of pages. The oracle computes the same stats
-    the exhaustive way, proving footer statistics are sound."""
+    (operators/storage.py:footer_stats) — reads metadata, not 100 TB
+    of pages. Columns are limited to pushdown-supported types (int64/
+    double; timestamp min/max silently falls back to a full scan, so
+    it stays out of this query), and the query ASSERTS the pushdown
+    actually happened rather than trusting it. The oracle computes the
+    same stats the exhaustive way, proving footer statistics sound."""
     from ..operators import storage
 
-    stats, _pushed = storage.footer_stats(
+    stats, pushed = storage.footer_stats(
         spark, f"{sf_dir}/lineitem.parquet",
         [F.count(F.lit(1)).alias("n"),
-         F.min("l_shipdate").alias("min_ship_ts"),
-         F.max("l_shipdate").alias("max_ship_ts"),
+         F.min("l_orderkey").alias("min_okey"),
+         F.max("l_orderkey").alias("max_okey"),
          F.min("l_extendedprice").alias("min_price_raw"),
          F.max("l_extendedprice").alias("max_price_raw")])
+    assert pushed, "parquet aggregate pushdown fell back to a scan"
     return stats.select(
         F.col("n").cast("long").alias("n"),
-        F.date_format("min_ship_ts", "yyyy-MM-dd").alias("min_ship"),
-        F.date_format("max_ship_ts", "yyyy-MM-dd").alias("max_ship"),
+        F.col("min_okey").cast("long").alias("min_okey"),
+        F.col("max_okey").cast("long").alias("max_okey"),
         F.round("min_price_raw", 2).alias("min_price"),
         F.round("max_price_raw", 2).alias("max_price"))
 
@@ -1392,7 +1395,9 @@ def q_gdpr_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_idle_timeouts",
     oracle="""
-WITH wm AS (SELECT max(epoch_us(ts)) - 3600000000 AS w FROM events),
+WITH wm AS (
+  SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS w_ms FROM events
+),
 per_user AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          max(epoch_us(ts)) AS last_us
@@ -1400,7 +1405,7 @@ per_user AS (
 )
 SELECT p.user_id, p.n_events, CAST(p.last_us AS BIGINT) AS last_us
 FROM per_user p, wm
-WHERE p.last_us + 1800000000 < wm.w
+WHERE (p.last_us // 1000) + 1800000 < wm.w_ms
 """)
 def q_streaming_idle_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#59/#63: the EventTimeTimeout eviction surface end-to-end. The

@@ -137,3 +137,16 @@ def test_main_argparse_ingest(tmp_path, monkeypatch, capsys):
                    "ingest", store, "--dim", "8"])
     assert rc == 0
     assert "[Ingest] rows added:" in capsys.readouterr().out
+
+
+def test_auto_loop_bad_threshold_does_not_crash(spark, sf_dir, sink):
+    out, print_fn = sink
+    turns = cli.run_auto_loop(
+        spark, sf_dir, show_stats=False,
+        input_fn=scripted(["/set_rerank_threshold abc",
+                           "/set_base_threshold 0,5",
+                           "still works?", "exit"]),
+        print_fn=print_fn)
+    assert turns == 1  # session survived the malformed commands
+    assert sum("Invalid threshold" in l for l in out) == 2
+    assert any(l.startswith("AI: ANSWER[") for l in out)

@@ -405,7 +405,7 @@ def test_footer_stats_pushdown_and_soundness(spark):
         [F.count(F.lit(1)).alias("n"),
          F.min("l_extendedprice").alias("mn"),
          F.max("l_extendedprice").alias("mx")])
-    assert pushed  # PushedAggregation present in the plan
+    assert pushed  # non-empty PushedAggregation in the plan
     row = stats.first()
     full = (spark.read.parquet(path)
             .agg(F.count(F.lit(1)), F.min("l_extendedprice"),
@@ -413,3 +413,30 @@ def test_footer_stats_pushdown_and_soundness(spark):
     assert (row["n"], row["mn"], row["mx"]) == tuple(full)
     assert spark.conf.get("spark.sql.sources.useV1SourceList",
                           None) == before_v1
+    # the flag must catch silent fallback, not just report scan flavor:
+    # SUM is unsupported by parquet aggregate pushdown, and so is
+    # min/max on a timestamp column — both must report pushed=False
+    _, pushed_sum = storage.footer_stats(
+        spark, path, [F.sum("l_extendedprice").alias("s")])
+    assert not pushed_sum
+    _, pushed_ts = storage.footer_stats(
+        spark, path, [F.min("l_shipdate").alias("m")])
+    assert not pushed_ts
+
+
+def test_delete_keys_partitioned_hive_escaped_values(spark, tmp_path):
+    """Partition values that Hive path-escapes (':' -> %3A) and NULLs
+    (__HIVE_DEFAULT_PARTITION__) must resolve to their on-disk dirs
+    via the listing, not by re-formatting the value into a path."""
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "plain"), (4, None)],
+        "k long, src string")
+    path = str(tmp_path / "esc_store")
+    storage.write_partitioned(df, path, "src")
+    doomed = spark.createDataFrame([(1,), (4,)], "k long")
+    res = storage.delete_keys_partitioned(
+        spark, path, doomed, key="k", partition_col="src")
+    assert res["rows_deleted"] == 2
+    assert res["partitions_rewritten"] == 2  # 'a:b' and NULL
+    left = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert left == [2, 3]
