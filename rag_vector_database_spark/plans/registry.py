@@ -200,6 +200,7 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_idle_timeouts",
     "gdpr_delete_partitioned",
     "footer_agg_stats",
+    "observed_ingest",
 ]
 
 
@@ -1325,6 +1326,35 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming_events.read_events_stream(spark, sf_dir)
     return streaming_events.run_available_now(
         streaming_events.session_counts(stream))
+
+
+@register(
+    "observed_ingest",
+    oracle="""
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE text IS NOT NULL AND trim(text) != ''
+ORDER BY doc_id
+""")
+def q_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest projection with observe() metrics riding the same scan
+    (operators/observe.py): the plan carries a CollectMetrics node
+    computing row/null/empty counters during the query's own
+    execution — the zero-extra-job form of the reference's loop
+    counters (ingest_chunks_to_chromadb.py:150-239). The oracle checks
+    the data path; tests/test_observe.py checks the metrics channel
+    and that no second scan runs."""
+    from ..operators import observe as obs_ops
+
+    d = _t(spark, sf_dir, "documents")
+    observed, _obs = obs_ops.with_observation(
+        d, obs_ops.ingest_metrics("text"))
+    return (observed
+            .where(F.col("text").isNotNull()
+                   & (F.trim(F.col("text")) != ""))
+            .select("doc_id", "lang",
+                    F.length("text").cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
 
 
 @register(
