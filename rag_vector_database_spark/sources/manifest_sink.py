@@ -179,6 +179,71 @@ def register_manifest_sink(spark) -> None:
     spark.dataSource.register(ManifestJsonlSink)
 
 
+def vacuum_generations(path: str, keep_last: int = 1,
+                       remove_orphans: bool = False) -> dict:
+    """Physical cleanup for the logical deletes overwrite leaves
+    behind: drop every manifest whose generation is NOT among the
+    ``keep_last`` highest, plus the part files referenced only by
+    dropped manifests. Reads of kept generations are untouched;
+    time travel to a vacuumed generation reads as empty — exactly a
+    table format's VACUUM/expire-snapshots contract.
+
+    Deletion order is crash-safe for readers: a dropped generation's
+    MANIFESTS are removed before its part files, so no reader can
+    resolve a manifest to a missing file mid-vacuum.
+
+    ``remove_orphans`` additionally deletes part files referenced by
+    NO manifest. Default False: an in-flight job's parts are orphans
+    until its commit publishes, so orphan removal is only safe when no
+    writer is running (the same caveat as a short table-format VACUUM
+    retention). Returns counts."""
+    import glob as _glob
+
+    manifests: list[tuple[str, int, list[str]]] = []
+    for mf in sorted(_glob.glob(os.path.join(path, "_manifest*.json"))):
+        try:
+            with open(mf) as f:
+                m = json.load(f)
+            manifests.append((mf, int(m.get("generation", 0)),
+                              list(m["files"])))
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            continue  # torn/foreign file: not a committed manifest
+    gens = sorted({g for _, g, _ in manifests})
+    kept_gens = set(gens[-keep_last:]) if gens else set()
+    kept_files = {f for _, g, files in manifests
+                  for f in files if g in kept_gens}
+    dropped = [(mf, files) for mf, g, files in manifests
+               if g not in kept_gens]
+    n_manifests = n_parts = 0
+    for mf, _files in dropped:   # manifests first: see docstring
+        try:
+            os.remove(mf)
+            n_manifests += 1
+        except OSError:
+            pass
+    for _mf, files in dropped:
+        for name in files:
+            if name in kept_files:
+                continue
+            try:
+                os.remove(os.path.join(path, name))
+                n_parts += 1
+            except OSError:
+                pass
+    n_orphans = 0
+    if remove_orphans:
+        referenced = kept_files
+        for part in _glob.glob(os.path.join(path, "part-*.jsonl")):
+            if os.path.basename(part) not in referenced:
+                try:
+                    os.remove(part)
+                    n_orphans += 1
+                except OSError:
+                    pass
+    return {"manifests_removed": n_manifests, "parts_removed": n_parts,
+            "orphans_removed": n_orphans, "kept_generations": sorted(kept_gens)}
+
+
 def read_manifest(spark, path: str, schema, generation: int | None = None):
     """Read back ONLY the files committed by manifests of ONE
     generation — by default the highest (a crashed or concurrent

@@ -311,3 +311,59 @@ def test_pdf_kernel_with_real_pymupdf(spark, tmp_path):
     [row] = readers.extract_pdf_text(df).collect()
     assert "hello spark" in row["text"]
     assert row["n_pages"] == 1 and row["pdf_title"] == "smoke-doc"
+
+
+def test_manifest_vacuum_generations(spark, tmp_path):
+    """VACUUM contract: dropping all but the newest generation leaves
+    current reads untouched, makes time travel to the vacuumed
+    generation read empty, removes the dropped manifests AND their
+    part files (manifests first — no manifest can reference a missing
+    file mid-vacuum), and leaves orphans alone unless asked."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from rag_vector_database_spark.sources.manifest_sink import (
+        read_manifest, register_manifest_sink, vacuum_generations)
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "vac_sink")
+    schema = StructType([StructField("doc_id", LongType())])
+
+    def write(lo, hi, mode):
+        spark.range(lo, hi).select(F.col("id").alias("doc_id")) \
+            .write.format("manifest_jsonl").option("path", out) \
+            .mode(mode).save()
+
+    write(0, 100, "append")      # gen 0
+    write(0, 50, "overwrite")    # gen 1
+    write(50, 60, "append")      # gen 1 (second manifest)
+    write(0, 7, "overwrite")     # gen 2
+    assert read_manifest(spark, out, schema).count() == 7
+    assert read_manifest(spark, out, schema, generation=1).count() == 60
+
+    # an orphan from a torn job
+    with open(f"{out}/part-orphanvac.jsonl", "w") as f:
+        f.write('{"doc_id": 123456}\n')
+
+    res = vacuum_generations(out, keep_last=1)
+    assert res["kept_generations"] == [2]
+    assert res["manifests_removed"] == 3  # gen 0 x1 + gen 1 x2
+    assert res["parts_removed"] > 0
+    assert res["orphans_removed"] == 0
+    # current generation unchanged; vacuumed one reads empty
+    assert read_manifest(spark, out, schema).count() == 7
+    assert read_manifest(spark, out, schema, generation=1).count() == 0
+    assert read_manifest(spark, out, schema, generation=0).count() == 0
+    # only gen-2 manifests remain on disk
+    import json as _json
+    gens_left = [_json.load(open(p)).get("generation", 0)
+                 for p in glob.glob(f"{out}/_manifest*.json")]
+    assert gens_left and set(gens_left) == {2}
+    # orphan untouched without the flag; removed with it
+    assert glob.glob(f"{out}/part-orphanvac.jsonl")
+    res2 = vacuum_generations(out, keep_last=1, remove_orphans=True)
+    assert res2["orphans_removed"] >= 1
+    assert not glob.glob(f"{out}/part-orphanvac.jsonl")
+    assert read_manifest(spark, out, schema).count() == 7
