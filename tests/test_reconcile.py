@@ -77,3 +77,36 @@ def test_plan_semi_joins_by_bucket(spark, sf_dir):
     plan = rc.reconcile(d, right, "doc_id", F.md5(F.col("text"))) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_reconcile_equals_exhaustive_diff_property(spark):
+    """Property: for arbitrary small stores, the digest-pruned
+    reconcile equals the exhaustive full-outer diff — including dup
+    keys, nulls, and any bucket count."""
+    from hypothesis import given, settings, strategies as st
+
+    row = st.tuples(st.integers(min_value=0, max_value=30),
+                    st.one_of(st.none(),
+                              st.text(alphabet="abc", max_size=3)))
+    stores = st.lists(row, max_size=25)
+
+    @settings(max_examples=15, deadline=None)
+    @given(left_rows=stores, right_rows=stores,
+           n_buckets=st.sampled_from([1, 2, 16]))
+    def prop(left_rows, right_rows, n_buckets):
+        left = spark.createDataFrame(left_rows, "k long, v string")
+        right = spark.createDataFrame(right_rows, "k long, v string")
+        fp = F.md5(F.coalesce(F.col("v"), F.lit("\x00null")))
+        got = sorted(map(tuple, rc.reconcile(
+            left, right, "k", fp, n_buckets=n_buckets).collect()))
+        l = left.select("k", fp.alias("fp1"), F.lit(1).alias("in1"))
+        r = right.select("k", fp.alias("fp2"), F.lit(1).alias("in2"))
+        j = l.join(r, "k", "full_outer")
+        change = (F.when(F.col("in2").isNull(), "only_left")
+                  .when(F.col("in1").isNull(), "only_right")
+                  .when(~F.col("fp1").eqNullSafe(F.col("fp2")), "changed"))
+        want = sorted(map(tuple, j.select("k", change.alias("change"))
+                          .where(F.col("change").isNotNull()).collect()))
+        assert got == want
+
+    prop()
