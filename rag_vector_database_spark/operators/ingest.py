@@ -141,24 +141,40 @@ def bloom_test(incoming: DataFrame, bitmap: DataFrame, key: str,
                     "__bk0", "__w0", "__bk1", "__w1")
 
 
+def read_store_or_none(spark, store_path: str):
+    """Read a parquet store WE own, or None when it provably doesn't
+    exist yet. "Doesn't exist" means a missing path (PATH_NOT_FOUND)
+    or a directory with no committed data files — the state a crashed
+    first write leaves behind, which Spark reports as
+    UNABLE_TO_INFER_SCHEMA. Anything else (corrupt footer, permission
+    error, transient FS failure) PROPAGATES: treating an unreadable
+    store as "first run" would silently discard or duplicate its
+    contents on the next healthy pass. Shared by every merge/append
+    sink in the engine so the failure policy can't drift per-call-site."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException as e:
+        s = str(e)
+        if "PATH_NOT_FOUND" in s or "UNABLE_TO_INFER_SCHEMA" in s:
+            return None
+        raise
+
+
 def idempotent_append(incoming: DataFrame, store_path: str, key: str,
                       spark=None) -> int:
     """Run-twice-adds-zero ingest (#30 + #12): anti-join against the
     store's existing keys, append only the new rows. Returns rows added.
 
-    Only a MISSING store means "first run": a corrupt store or a
+    First-run detection via read_store_or_none: a missing or
+    never-committed store starts fresh; a corrupt store or a
     permission error propagates instead of silently re-ingesting the
     whole batch (which would duplicate every row on the next healthy
     read)."""
-    from pyspark.errors import AnalysisException
-
     spark = spark or incoming.sparkSession
-    try:
-        existing = spark.read.parquet(store_path).select(key)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
-        existing = None  # first run: store not created yet
+    store = read_store_or_none(spark, store_path)
+    existing = None if store is None else store.select(key)
     fresh = incoming if existing is None else incremental_filter(
         incoming, existing, key)
     n = fresh.count()

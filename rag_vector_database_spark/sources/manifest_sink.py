@@ -92,6 +92,27 @@ def _current_generation(path: str) -> int:
     return max(gens)
 
 
+def _claim_next_generation(path: str) -> int:
+    """Atomically claim generation current+1 for an overwrite job via
+    an O_EXCL lock-file create (`.gen-<N>.claim`). If another writer
+    already claimed N, re-read the current generation (their manifest
+    may or may not have landed yet) and try N+1, so concurrent
+    overwrites serialize into distinct generations instead of merging.
+    Claim files are one-byte markers; vacuum/cleanup may remove them
+    freely once their generation's manifest is published."""
+    os.makedirs(path, exist_ok=True)
+    gen = _current_generation(path)
+    while True:
+        gen += 1
+        claim = os.path.join(path, f".gen-{gen}.claim")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return gen
+        except FileExistsError:
+            gen = max(gen, _current_generation(path))
+
+
 class ManifestJsonlWriter(DataSourceWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.path = options["path"]
@@ -110,10 +131,21 @@ class ManifestJsonlWriter(DataSourceWriter):
         # the old generation stays fully visible until the new manifest
         # lands, and a crash anywhere before that leaves it untouched —
         # no retract-then-publish window. Eclipsed manifests/parts are
-        # logical deletes; physical cleanup is a vacuum concern.
-        gen = _current_generation(self.path)
+        # logical deletes; physical cleanup is vacuum_generations.
+        #
+        # Concurrency: two concurrent OVERWRITES must not both publish
+        # the same new generation (readers would union two unrelated
+        # jobs' files), so the generation number is CLAIMED with an
+        # O_EXCL create — the portable atomic-create primitive — and
+        # on a lost race the writer re-reads and claims the next one.
+        # An APPEND racing an overwrite needs no claim: stamping the
+        # pre-overwrite generation is exactly the serialization
+        # "append happened first, then was eclipsed" — a legal
+        # outcome, identical to running the two jobs back to back.
         if self.overwrite:
-            gen += 1
+            gen = _claim_next_generation(self.path)
+        else:
+            gen = _current_generation(self.path)
         manifest = {
             "generation": gen,
             "files": sorted(m.filename for m in messages if m is not None),
@@ -230,6 +262,15 @@ def vacuum_generations(path: str, keep_last: int = 1,
                 n_parts += 1
             except OSError:
                 pass
+    # claim markers for dropped generations are stale by construction
+    # (their manifest either published and is now dropped, or the claim
+    # is below the kept range); in-flight claims are > max kept gen
+    for g in gens:
+        if g not in kept_gens:
+            try:
+                os.remove(os.path.join(path, f".gen-{g}.claim"))
+            except OSError:
+                pass
     n_orphans = 0
     if remove_orphans:
         referenced = kept_files
@@ -259,10 +300,16 @@ def read_manifest(spark, path: str, schema, generation: int | None = None):
     import glob as _glob
     by_gen: dict[int, list[str]] = {}
     for mf in sorted(_glob.glob(os.path.join(path, "_manifest*.json"))):
-        with open(mf) as f:
-            m = json.load(f)
+        try:
+            with open(mf) as f:
+                m = json.load(f)
+            files = list(m["files"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            continue  # torn/foreign file: never committed — same
+            #           tolerance as _current_generation, or a healthy
+            #           table would be unreadable over one stray file
         by_gen.setdefault(int(m.get("generation", 0)), []).extend(
-            os.path.join(path, n) for n in m["files"])
+            os.path.join(path, n) for n in files)
     if not by_gen:
         files = []
     else:

@@ -116,12 +116,13 @@ def keep_latest_merge(path: str, key: str, order_col: str):
     from pyspark.sql import Window
 
     def merge(batch: DataFrame, _epoch: int) -> None:
+        from ..operators.ingest import read_store_or_none
+
         spark = batch.sparkSession
-        try:
-            current = spark.read.parquet(path)
-            merged = current.unionByName(batch)
-        except Exception:  # first batch: sink does not exist yet
-            merged = batch
+        # only a provably-absent sink means "first batch" — a corrupt
+        # or unreadable sink must fail the batch, not be overwritten
+        current = read_store_or_none(spark, path)
+        merged = batch if current is None else current.unionByName(batch)
         w = Window.partitionBy(key).orderBy(F.desc(order_col))
         latest = (merged.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") == 1).drop("_rn"))
@@ -151,16 +152,18 @@ def keep_latest_merge_partitioned(path: str, key: str, order_col: str,
         return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
     def merge(batch: DataFrame, _epoch: int) -> None:
+        from ..operators.ingest import read_store_or_none
+
         spark = batch.sparkSession
         b = batch.withColumn("_bucket", bucket_of(F.col(key)))
         touched = [r["_bucket"] for r in
                    b.select("_bucket").distinct().collect()]
-        try:
-            current = (spark.read.parquet(path)
-                       .where(F.col("_bucket").isin(touched)))
-            merged = current.unionByName(b)
-        except Exception:  # first batch: sink does not exist yet
-            merged = b
+        # a corrupt/unreadable sink fails the batch rather than being
+        # treated as empty (which would rewrite touched buckets with
+        # only the batch's rows, deleting every other stored key there)
+        store = read_store_or_none(spark, path)
+        merged = b if store is None else (
+            store.where(F.col("_bucket").isin(touched)).unionByName(b))
         w = Window.partitionBy(key).orderBy(F.desc(order_col))
         latest = (merged.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") == 1).drop("_rn"))

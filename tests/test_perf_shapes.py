@@ -437,3 +437,16 @@ def test_round3_additions_plan_shapes(spark):
     plan = td._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_curriculum_interleave_no_single_partition_funnel(spark):
+    """The global rank must come from the range-partition + offsets
+    pattern, never a bare row_number() OVER (ORDER BY ...) whose
+    Exchange SinglePartition funnels the corpus through one task."""
+    from rag_vector_database_spark.plans import registry
+    ci = registry.q_curriculum_interleave(spark, "/root/testdata/sf0.001")
+    plan = ci._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # and the ranking is still correct: positions are 1..n, unique
+    rows = ci.orderBy("global_pos").collect()
+    assert [r["global_pos"] for r in rows] == list(range(1, len(rows) + 1))

@@ -367,3 +367,50 @@ def test_manifest_vacuum_generations(spark, tmp_path):
     assert res2["orphans_removed"] >= 1
     assert not glob.glob(f"{out}/part-orphanvac.jsonl")
     assert read_manifest(spark, out, schema).count() == 7
+
+
+def test_manifest_concurrent_overwrites_get_distinct_generations(tmp_path):
+    """Two overwrite jobs committing concurrently must serialize into
+    DISTINCT generations (the O_EXCL claim), so readers never union
+    two unrelated jobs' files at one generation."""
+    from rag_vector_database_spark.sources.manifest_sink import (
+        ManifestJsonlWriter, PartFileCommit, _current_generation)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out = str(tmp_path / "race_sink")
+    schema = StructType([StructField("doc_id", LongType())])
+    w1 = ManifestJsonlWriter({"path": out}, schema, overwrite=True)
+    w2 = ManifestJsonlWriter({"path": out}, schema, overwrite=True)
+    m1 = w1.write(iter([(1,), (2,)]))
+    m2 = w2.write(iter([(3,)]))
+    # both jobs' tasks done; commits race — whatever the interleaving,
+    # the claimed generations must differ
+    w1.commit([m1])
+    w2.commit([m2])
+    import glob as g
+    import json as j
+    gens = sorted(j.load(open(p))["generation"]
+                  for p in g.glob(f"{out}/_manifest*.json"))
+    assert len(gens) == 2 and gens[0] != gens[1]
+    assert _current_generation(out) == max(gens)
+
+
+def test_read_manifest_tolerates_torn_manifest_file(spark, tmp_path):
+    """A stray/truncated _manifest*.json (foreign tooling, partial
+    copy) must not take down readers of an otherwise healthy table —
+    same tolerance _current_generation already has."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from rag_vector_database_spark.sources.manifest_sink import (
+        read_manifest, register_manifest_sink)
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "torn_sink")
+    spark.range(0, 5).select(F.col("id").alias("doc_id")) \
+        .write.format("manifest_jsonl").option("path", out) \
+        .mode("append").save()
+    with open(f"{out}/_manifest-torn.json", "w") as f:
+        f.write('{"generation": 1, "files": [')  # truncated
+    schema = StructType([StructField("doc_id", LongType())])
+    assert read_manifest(spark, out, schema).count() == 5

@@ -384,3 +384,33 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
         else:
             spark.conf.set(key, old)
     assert rocks_rows == default_rows and len(rocks_rows) > 0
+
+
+def test_keep_latest_merge_corrupt_sink_raises(spark, tmp_path):
+    """A corrupt (unreadable) sink must FAIL the micro-batch, never be
+    treated as 'first batch' — that silent fallback would overwrite
+    the sink (or its touched buckets) with only the batch's rows."""
+    import pytest
+
+    # a directory containing a torn non-parquet data file
+    bad = tmp_path / "bad_sink"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    batch = spark.createDataFrame([(1, 10)], "k long, seq long")
+    with pytest.raises(Exception) as ei:
+        se.keep_latest_merge(str(bad), "k", "seq")(batch, 0)
+    assert "first batch" not in str(ei.value)
+    with pytest.raises(Exception):
+        se.keep_latest_merge_partitioned(str(bad), "k", "seq")(batch, 0)
+    # the corrupt file is still there — nothing overwrote it
+    assert (bad / "part-00000.parquet").read_bytes() == b"not a parquet file"
+
+
+def test_keep_latest_merge_empty_dir_is_first_batch(spark, tmp_path):
+    """An EXISTING but never-committed sink dir (what a crashed first
+    write leaves) must recover as first-batch, not brick the stream."""
+    empty = tmp_path / "empty_sink"
+    empty.mkdir()
+    batch = spark.createDataFrame([(1, 10), (2, 5)], "k long, seq long")
+    se.keep_latest_merge(str(empty), "k", "seq")(batch, 0)
+    assert spark.read.parquet(str(empty)).count() == 2
