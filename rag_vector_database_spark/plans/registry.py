@@ -208,6 +208,7 @@ WINDOW_PRIORITY: list[str] = [
     "gdpr_delete_partitioned",
     "footer_agg_stats",
     "observed_ingest",
+    "trajectory_knn",
 ]
 
 
@@ -8095,6 +8096,81 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur", "nxt", F.col("n").cast("long").alias("n"),
         F.round(F.col("n").cast("double")
                 / F.sum("n").over(Window.partitionBy("cur")), 6).alias("p"))
+
+
+@register(
+    "trajectory_knn",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT DISTINCT user_id,
+         event_type || '>' || e2 || '>' || e3 AS tg
+  FROM seq WHERE e3 IS NOT NULL
+),
+q AS (SELECT min(user_id) AS qid FROM tri),
+qtri AS (SELECT tg FROM tri, q WHERE tri.user_id = q.qid),
+sizes AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY user_id
+),
+inter AS (
+  SELECT t.user_id, CAST(count(*) AS BIGINT) AS i
+  FROM tri t JOIN qtri ON t.tg = qtri.tg
+  GROUP BY t.user_id
+),
+qs AS (SELECT n AS qn FROM sizes, q WHERE sizes.user_id = q.qid)
+SELECT s.user_id,
+       round(coalesce(i.i, 0)
+             / CAST(s.n + qs.qn - coalesce(i.i, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM sizes s CROSS JOIN qs LEFT JOIN inter i ON s.user_id = i.user_id,
+     q
+WHERE s.user_id != q.qid
+ORDER BY jaccard DESC, s.user_id
+LIMIT 10
+""")
+def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity search (REPOSE/ICDE-2021 family, adapted
+    to event streams): each user's ordered event-type sequence becomes
+    a SET of behavior trigrams; top-k users most similar to a query
+    user by trigram Jaccard. Shape is deliberately NOT all-pairs: the
+    query user's trigram set broadcasts into a semi-filtered join for
+    intersection counts, per-user set sizes come from one groupBy, and
+    the union size is |A|+|B|-|A∩B| — corpus cost is one lead-window
+    pass + two grouped aggregations regardless of user count. The
+    same blocking idea as minhash (compare only candidates that share
+    a token) specialized to sequences."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (e.select("user_id", F.concat_ws(
+        ">", "event_type",
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w)).alias("tg"),
+        F.lead("event_type", 2).over(w).alias("_e3"))
+        .where(F.col("_e3").isNotNull()).drop("_e3").distinct())
+    qid = tri.agg(F.min("user_id")).first()[0]
+    qtri = tri.where(F.col("user_id") == qid).select("tg")
+    qn = qtri.count()
+    sizes = tri.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (tri.join(F.broadcast(qtri), "tg")
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("i")))
+    return (sizes.join(inter, "user_id", "left")
+            .where(F.col("user_id") != qid)
+            .select("user_id",
+                    F.round(F.coalesce(F.col("i"), F.lit(0))
+                            / (F.col("n") + F.lit(qn)
+                               - F.coalesce(F.col("i"), F.lit(0)))
+                            .cast("double"), 6).alias("jaccard"))
+            .orderBy(F.desc("jaccard"), "user_id").limit(10))
 
 
 @register(
