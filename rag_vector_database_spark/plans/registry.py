@@ -6732,6 +6732,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "merkle_reconcile",
+    headline=True,
     oracle="""
 WITH l AS (SELECT doc_id, md5(text) AS fp1, 1 AS in1 FROM documents),
 r AS (
@@ -8100,6 +8101,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "trajectory_knn",
+    headline=True,
     oracle="""
 WITH seq AS (
   SELECT user_id, event_type,
