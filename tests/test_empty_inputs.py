@@ -62,3 +62,47 @@ def test_empty_bloom_and_incremental(spark):
     assert tested.where(F.col("bloom_pass")).count() == 0
     # empty incoming against a real log -> nothing to ingest
     assert ingest.incremental_filter(empty, some, "doc_id").count() == 0
+
+
+def test_empty_reconcile_and_deletes(spark, tmp_path):
+    """Round-3 operators on degenerate inputs: empty stores reconcile
+    to zero diffs; a delete set that matches nothing rewrites nothing;
+    footer stats on an empty delete path still restore confs."""
+    from rag_vector_database_spark.operators import reconcile as rc
+    from rag_vector_database_spark.operators import storage
+
+    empty = spark.createDataFrame([], "k long, v string")
+    full = spark.createDataFrame([(1, "a")], "k long, v string")
+    fp = F.md5(F.col("v"))
+    assert rc.reconcile(empty, empty, "k", fp).count() == 0
+    assert [tuple(r) for r in rc.reconcile(full, empty, "k", fp).collect()] \
+        == [(1, "only_left")]
+    assert [tuple(r) for r in rc.reconcile(empty, full, "k", fp).collect()] \
+        == [(1, "only_right")]
+
+    # delete set matching nothing: zero partitions rewritten, files intact
+    import glob
+    import os
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source"))
+    path = str(tmp_path / "no_match_store")
+    storage.write_partitioned(docs, path, "source")
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(path + "/source=*/part-*.parquet")}
+    res = storage.delete_keys_partitioned(
+        spark, path, spark.createDataFrame([(10**15,)], "doc_id long"),
+        key="doc_id", partition_col="source")
+    assert res == {"partitions_rewritten": 0, "rows_deleted": 0}
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(path + "/source=*/part-*.parquet")}
+    assert before == after
+
+
+def test_empty_manifest_vacuum(tmp_path):
+    from rag_vector_database_spark.sources.manifest_sink import (
+        vacuum_generations)
+
+    d = tmp_path / "never_written"
+    d.mkdir()
+    res = vacuum_generations(str(d))
+    assert res["manifests_removed"] == 0 and res["parts_removed"] == 0
