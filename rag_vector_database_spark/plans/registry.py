@@ -209,6 +209,8 @@ WINDOW_PRIORITY: list[str] = [
     "footer_agg_stats",
     "observed_ingest",
     "trajectory_knn",
+    "cuped_adjusted_metric",
+    "triangle_count",
 ]
 
 
@@ -6781,6 +6783,149 @@ def q_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rc.reconcile(d, right, "doc_id", F.md5(F.col("text")),
                          n_buckets=256)
             .orderBy("doc_id"))
+
+
+@register(
+    "triangle_count",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+  GROUP BY n
+),
+fwd AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+              THEN e0.a ELSE e0.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+              THEN e0.b ELSE e0.a END AS v
+  FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM fwd e1 JOIN fwd e2 ON e1.v = e2.u
+             JOIN fwd e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+""")
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with DEGREE ORIENTATION over the co-purchase
+    graph (parts appearing in the same order). The naive three-way
+    self-join counts each triangle 6x and lets a hub vertex's
+    neighborhood explode quadratically; orienting every edge from its
+    lower-(degree, id) endpoint to the higher one counts each triangle
+    exactly once and caps every join fan-out at O(sqrt(|E|)) per
+    vertex (arboricity bound) — the standard scale trick
+    (Schank-Wagner / Suri-Vassilvitskii MR adaptation). Corpus work:
+    one equi-self-join per order for edges, one union-groupBy for
+    degrees, two hash joins on oriented wedges."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (li.alias("x").join(
+        li.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")))
+        .select(F.col("x.l_partkey").alias("a"),
+                F.col("y.l_partkey").alias("b")).distinct())
+    deg = (pairs.select(F.col("a").alias("n"))
+           .unionAll(pairs.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ab_fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    fwd = (pairs.join(da, "a").join(db, "b")
+           .select(F.when(ab_fwd, F.col("a")).otherwise(F.col("b"))
+                   .alias("u"),
+                   F.when(ab_fwd, F.col("b")).otherwise(F.col("a"))
+                   .alias("v")))
+    e1 = fwd.select(F.col("u").alias("t_u"), F.col("v").alias("t_m"))
+    e2 = fwd.select(F.col("u").alias("t_m"), F.col("v").alias("t_w"))
+    wedges = e1.join(e2, "t_m")
+    closing = fwd.select(F.col("u").alias("t_u"), F.col("v").alias("t_w"))
+    tri = wedges.join(closing, ["t_u", "t_w"])
+    return (deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(pairs.agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_edges")))
+            .crossJoin(tri.agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_triangles"))))
+
+
+@register(
+    "cuped_adjusted_metric",
+    oracle="""
+WITH mid AS (
+  SELECT min(epoch_us(ts))
+         + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS m
+  FROM events
+),
+per_user AS (
+  SELECT user_id, user_id % 2 AS variant,
+         sum(CASE WHEN epoch_us(ts) < mid.m THEN value ELSE 0 END) AS pre,
+         sum(CASE WHEN epoch_us(ts) >= mid.m THEN value ELSE 0 END) AS post
+  FROM events, mid GROUP BY user_id
+),
+theta AS (
+  SELECT (avg(pre * post) - avg(pre) * avg(post))
+         / (avg(pre * pre) - avg(pre) * avg(pre)) AS th,
+         avg(pre) AS mean_pre
+  FROM per_user
+)
+SELECT CAST(p.variant AS BIGINT) AS variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(p.post), 6) AS mean_post,
+       round(avg(p.post - t.th * (p.pre - t.mean_pre)), 6)
+         AS mean_adjusted
+FROM per_user p, theta t
+GROUP BY p.variant, t.th, t.mean_pre
+ORDER BY variant
+""")
+def q_cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the
+    standard trick behind every large experimentation platform: the
+    post-period metric is adjusted by its pre-period covariate,
+    adjusted_i = post_i - theta * (pre_i - mean(pre)) with theta =
+    cov(pre, post) / var(pre), shrinking variance by the squared
+    pre/post correlation without biasing the treatment contrast
+    (theta and mean_pre are POOLED across variants). Periods split at
+    the data-derived time midpoint (same no-wall-clock principle as
+    psi_value_drift); variants by user hash. Shape: one conditional-
+    aggregation pass to per-user (pre, post), one tiny moments
+    aggregate for theta broadcast back as a 1-row cross join, one
+    groupBy variant — the corpus is scanned once."""
+    e = _events(spark, sf_dir)
+    mid = e.agg(
+        (F.min(F.unix_micros("ts"))
+         + ((F.max(F.unix_micros("ts"))
+             - F.min(F.unix_micros("ts"))) / 2).cast("long"))
+        .alias("m"))
+    per_user = (e.crossJoin(F.broadcast(mid))
+                .groupBy("user_id")
+                .agg(F.sum(F.when(F.unix_micros("ts") < F.col("m"),
+                                  F.col("value")).otherwise(0.0))
+                     .alias("pre"),
+                     F.sum(F.when(F.unix_micros("ts") >= F.col("m"),
+                                  F.col("value")).otherwise(0.0))
+                     .alias("post"))
+                .withColumn("variant", F.col("user_id") % 2))
+    theta = per_user.agg(
+        ((F.avg(F.col("pre") * F.col("post"))
+          - F.avg("pre") * F.avg("post"))
+         / (F.avg(F.col("pre") * F.col("pre"))
+            - F.avg("pre") * F.avg("pre"))).alias("th"),
+        F.avg("pre").alias("mean_pre"))
+    return (per_user.crossJoin(F.broadcast(theta))
+            .groupBy("variant")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.round(F.avg("post"), 6).alias("mean_post"),
+                 F.round(F.avg(F.col("post") - F.col("th")
+                               * (F.col("pre") - F.col("mean_pre"))), 6)
+                 .alias("mean_adjusted"))
+            .select(F.col("variant").cast("long").alias("variant"),
+                    "n_users", "mean_post", "mean_adjusted")
+            .orderBy("variant"))
 
 
 @register(
