@@ -211,6 +211,8 @@ WINDOW_PRIORITY: list[str] = [
     "trajectory_knn",
     "cuped_adjusted_metric",
     "triangle_count",
+    "postings_delta_merge",
+    "seasonal_decompose_daily",
 ]
 
 
@@ -6783,6 +6785,125 @@ def q_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rc.reconcile(d, right, "doc_id", F.md5(F.col("text")),
                          n_buckets=256)
             .orderBy("doc_id"))
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT d, revenue,
+         avg(revenue) OVER (ORDER BY d
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  FROM daily
+),
+dt AS (
+  SELECT d, revenue, trend, revenue - trend AS detrended,
+         date_diff('day', DATE '1970-01-01', d) % 7 AS dow
+  FROM tr
+),
+seas AS (
+  SELECT dow, avg(detrended) AS seasonal FROM dt GROUP BY dow
+)
+SELECT strftime(dt.d, '%Y-%m-%d') AS day,
+       round(dt.revenue, 6) AS revenue,
+       round(dt.trend, 6) AS trend,
+       round(s.seasonal, 6) AS seasonal,
+       round(dt.detrended - s.seasonal, 6) AS residual
+FROM dt JOIN seas s ON dt.dow = s.dow
+ORDER BY day
+""")
+def q_seasonal_decompose_daily(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of daily revenue:
+    trend = centered 7-day moving average, seasonal = day-of-week mean
+    of the detrended series, residual = the rest — the decomposition
+    behind seasonality-aware anomaly detection (alert on residual, not
+    raw value, or every weekend pages you). Day-of-week is computed as
+    days-since-epoch mod 7 so both engines share the convention.
+    Shape: daily aggregation shrinks the corpus to |days| rows; every
+    window/join after that runs on the aggregate — the
+    aggregate-then-window discipline, so the 'global' moving-average
+    sort orders days, never orders rows."""
+    from pyspark.sql.window import Window
+
+    daily = (_t(spark, sf_dir, "orders")
+             .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+             .agg(F.sum("o_totalprice").alias("revenue")))
+    wtrend = Window.orderBy("d").rowsBetween(-3, 3)
+    dt = (daily.withColumn("trend", F.avg("revenue").over(wtrend))
+          .withColumn("detrended", F.col("revenue") - F.col("trend"))
+          .withColumn("dow", F.datediff(
+              F.col("d"), F.lit("1970-01-01").cast("date")) % 7))
+    seas = dt.groupBy("dow").agg(F.avg("detrended").alias("seasonal"))
+    return (dt.join(F.broadcast(seas), "dow")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.round("revenue", 6).alias("revenue"),
+                    F.round("trend", 6).alias("trend"),
+                    F.round("seasonal", 6).alias("seasonal"),
+                    F.round(F.col("detrended") - F.col("seasonal"), 6)
+                    .alias("residual"))
+            .orderBy("day"))
+
+
+@register(
+    "postings_delta_merge",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest({ltok}) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY term, doc_id
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY term
+ORDER BY df DESC, term
+LIMIT 100
+""".format(ltok=DD_TOKENS.format(c="lower(text)")))
+def q_postings_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL inverted-index maintenance — the lexical twin of
+    minhash_delta_pairs: the term-statistics table (df, total_tf per
+    term) maintained by merging a DELTA batch's postings into existing
+    stats, instead of re-tokenizing the whole corpus. Existing index =
+    docs with doc_id%3!=0; delta = the rest. Merge cost scales with
+    |delta terms| (one tokenize+groupBy over the delta, one full-outer
+    join against term stats — at scale a bucketed/co-partitioned
+    join on term); the oracle recomputes the index from scratch over
+    ALL docs, proving delta-merge == full rebuild. This is what makes
+    BM25 serviceable on a daily-growing corpus: the index is
+    maintained, not rebuilt."""
+    from ..functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+
+    def term_stats(docs):
+        tok = docs.select(
+            "doc_id",
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+        tf = tok.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf"))
+        return tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"))
+
+    existing = term_stats(d.where(F.col("doc_id") % 3 != 0))
+    delta = term_stats(d.where(F.col("doc_id") % 3 == 0))
+    merged = (existing.alias("e").join(delta.alias("n"), "term",
+                                      "full_outer")
+              .select("term",
+                      (F.coalesce(F.col("e.df"), F.lit(0))
+                       + F.coalesce(F.col("n.df"), F.lit(0)))
+                      .cast("long").alias("df"),
+                      (F.coalesce(F.col("e.total_tf"), F.lit(0))
+                       + F.coalesce(F.col("n.total_tf"), F.lit(0)))
+                      .cast("long").alias("total_tf")))
+    return merged.orderBy(F.desc("df"), "term").limit(100)
 
 
 @register(
