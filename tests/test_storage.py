@@ -440,3 +440,50 @@ def test_delete_keys_partitioned_hive_escaped_values(spark, tmp_path):
     assert res["partitions_rewritten"] == 2  # 'a:b' and NULL
     left = sorted(r["k"] for r in spark.read.parquet(path).collect())
     assert left == [2, 3]
+
+
+def test_delete_keys_partitioned_crash_window_preserves_data(
+        spark, tmp_path, monkeypatch):
+    """The documented crash contract: if the process dies between the
+    rename-aside and the rename-into-place, the partition's surviving
+    rows exist in the trash dir — nothing is ever deleted before its
+    replacement is in place, so the state is recoverable by hand."""
+    import os
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "source"))
+    path = str(tmp_path / "crash_store")
+    storage.write_partitioned(docs, path, "source")
+    victim = docs.select("source").distinct().orderBy("source").first()[0]
+    doomed = (docs.where(F.col("source") == victim)
+              .select("doc_id").limit(3))
+
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def crashing_rename(src, dst):
+        state["n"] += 1
+        if state["n"] == 2:  # the rename-into-place step
+            raise OSError("injected crash between the two renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    try:
+        import pytest as _pytest
+        with _pytest.raises(OSError, match="injected crash"):
+            storage.delete_keys_partitioned(
+                spark, path, doomed, key="doc_id", partition_col="source")
+    finally:
+        monkeypatch.undo()
+
+    # the partition is absent from the store (documented torn window)…
+    trash = path + "__delete_trash"
+    staged = path + "__delete_staging"
+    assert os.path.isdir(trash)
+    # …but BOTH the original rows (trash) and the rewritten rows
+    # (staging) still exist on disk — full manual recovery possible
+    n_docs_victim = docs.where(F.col("source") == victim).count()
+    assert spark.read.parquet(
+        f"{trash}/source={victim}").count() == n_docs_victim
+    assert spark.read.parquet(
+        f"{staged}/source={victim}").count() == n_docs_victim - 3
