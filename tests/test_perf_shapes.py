@@ -450,3 +450,48 @@ def test_curriculum_interleave_no_single_partition_funnel(spark):
     # and the ranking is still correct: positions are 1..n, unique
     rows = ci.orderBy("global_pos").collect()
     assert [r["global_pos"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_round3_late_additions_plan_shapes(spark):
+    """Scale-shape pins for the newest operators: no cartesian
+    products, broadcasts where a side is provably small, and the
+    aggregate-then-window discipline."""
+    from rag_vector_database_spark.plans import registry
+    sf = "/root/testdata/sf0.001"
+
+    # trajectory_knn: the query user's trigram set BROADCASTS into the
+    # intersection join — no shuffle of the corpus for it, no all-pairs
+    tj = registry.q_trajectory_knn(spark, sf)
+    plan = tj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # cuped: theta is a 1-row broadcast (BNLJ is fine for 1 row); the
+    # corpus aggregates once on user_id
+    cu = registry.q_cuped_adjusted_metric(spark, sf)
+    plan = cu._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+    # triangle_count: every join is a hash join on keys — the degree
+    # orientation exists precisely to avoid quadratic hub fan-out
+    tc = registry.q_triangle_count(spark, sf)
+    plan = tc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # the only nested-loop joins allowed are the final three 1-row
+    # stat aggregates crossJoined together — never the edge joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    # seasonal decomposition: the moving-average window runs over the
+    # |days|-row aggregate; the day-of-week means broadcast back
+    sd = registry.q_seasonal_decompose_daily(spark, sf)
+    plan = sd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # postings delta merge: full-outer on term is a key join, and
+    # tokenize+explode stays Python-free (pure built-ins)
+    pd_ = registry.q_postings_delta_merge(spark, sf)
+    plan = pd_._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
