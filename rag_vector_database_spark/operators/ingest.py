@@ -144,20 +144,49 @@ def bloom_test(incoming: DataFrame, bitmap: DataFrame, key: str,
 def read_store_or_none(spark, store_path: str):
     """Read a parquet store WE own, or None when it provably doesn't
     exist yet. "Doesn't exist" means a missing path (PATH_NOT_FOUND)
-    or a directory with no committed data files — the state a crashed
+    or a directory with no data files at all — the state a crashed
     first write leaves behind, which Spark reports as
     UNABLE_TO_INFER_SCHEMA. Anything else (corrupt footer, permission
     error, transient FS failure) PROPAGATES: treating an unreadable
     store as "first run" would silently discard or duplicate its
-    contents on the next healthy pass. Shared by every merge/append
-    sink in the engine so the failure policy can't drift per-call-site."""
+    contents on the next healthy pass.
+
+    UNABLE_TO_INFER_SCHEMA alone is NOT proof of emptiness: under
+    ``spark.sql.files.ignoreCorruptFiles=true`` a store whose every
+    file is corrupt raises the same error. So the empty-dir claim is
+    verified against the directory listing — if any data-looking file
+    exists, the error propagates. (Listing via os: this engine's
+    stores are file:// paths; an object-store port would swap in the
+    Hadoop FS API here.) Shared by every merge/append sink in the
+    engine so the failure policy can't drift per-call-site."""
+    import os
+
     from pyspark.errors import AnalysisException
+
+    def _has_data_files(path: str) -> bool:
+        try:
+            entries = os.listdir(path)
+        except OSError:
+            return False
+        for e in entries:
+            full = os.path.join(path, e)
+            if e.startswith(("_", ".")):
+                continue
+            if os.path.isdir(full):
+                if _has_data_files(full):  # partitioned layout
+                    return True
+            else:
+                return True
+        return False
 
     try:
         return spark.read.parquet(store_path)
     except AnalysisException as e:
         s = str(e)
-        if "PATH_NOT_FOUND" in s or "UNABLE_TO_INFER_SCHEMA" in s:
+        if "PATH_NOT_FOUND" in s:
+            return None
+        if "UNABLE_TO_INFER_SCHEMA" in s and not _has_data_files(
+                store_path.removeprefix("file:")):
             return None
         raise
 

@@ -234,10 +234,23 @@ def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
         if d.startswith(prefix)
            and os.path.isdir(os.path.join(store_path, d))}
 
-    store = spark.read.parquet(store_path)
-    doomed = (store.join(F.broadcast(keys), key, "left_semi")
-              .select(partition_col).distinct())
-    affected = [r[0] for r in doomed.collect()]
+    # partition values must round-trip to their directory names, so
+    # type inference is off for the DISCOVERY read: with it on, a
+    # string partition like '001' reads back as int 1, whose str()
+    # matches the wrong directory (or none) — silent misses
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old_infer = spark.conf.get(infer_key, None)
+    spark.conf.set(infer_key, "false")
+    try:
+        store = spark.read.parquet(store_path)
+        doomed = (store.join(F.broadcast(keys), key, "left_semi")
+                  .select(partition_col).distinct())
+        affected = [r[0] for r in doomed.collect()]
+    finally:
+        if old_infer is None:
+            spark.conf.unset(infer_key)
+        else:
+            spark.conf.set(infer_key, old_infer)
     missing = [v for v in affected
                if (None if v is None else str(v)) not in dirs_by_value]
     if missing:

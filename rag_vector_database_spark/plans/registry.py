@@ -8379,7 +8379,8 @@ WITH seq AS (
 tri AS (
   SELECT DISTINCT user_id,
          event_type || '>' || e2 || '>' || e3 AS tg
-  FROM seq WHERE e3 IS NOT NULL
+  FROM seq
+  WHERE event_type IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
 ),
 q AS (SELECT min(user_id) AS qid FROM tri),
 qtri AS (SELECT tg FROM tri, q WHERE tri.user_id = q.qid),
@@ -8417,17 +8418,21 @@ def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tri = (e.select("user_id", F.concat_ws(
-        ">", "event_type",
-        F.lead("event_type", 1).over(w),
-        F.lead("event_type", 2).over(w)).alias("tg"),
-        F.lead("event_type", 2).over(w).alias("_e3"))
-        .where(F.col("_e3").isNotNull()).drop("_e3").distinct())
+    # NULL-PROPAGATING concat (matches the oracle's || semantics): a
+    # NULL event type anywhere in the window drops that trigram on
+    # both sides instead of silently collapsing to a bigram. The
+    # trigram table persists: the qid probe, the sizes aggregate, and
+    # the intersection join all reuse ONE lead-window pass.
+    tri = (e.select("user_id", F.concat(
+        F.col("event_type"), F.lit(">"),
+        F.lead("event_type", 1).over(w), F.lit(">"),
+        F.lead("event_type", 2).over(w)).alias("tg"))
+        .where(F.col("tg").isNotNull()).distinct().persist())
     qid = tri.agg(F.min("user_id")).first()[0]
     qtri = tri.where(F.col("user_id") == qid).select("tg")
-    qn = qtri.count()
     sizes = tri.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
+    qn = sizes.where(F.col("user_id") == qid).first()["n"]
     inter = (tri.join(F.broadcast(qtri), "tg")
              .groupBy("user_id")
              .agg(F.count(F.lit(1)).cast("long").alias("i")))

@@ -78,18 +78,35 @@ def _remove_parts(path: str, messages) -> None:
                 pass
 
 
+def _load_manifests(path: str) -> list[tuple[str, int, list[str]]]:
+    """Every committed manifest under ``path`` as (file, generation,
+    part-files) — THE single definition of "committed" shared by the
+    generation counter, the reader, and vacuum, so tolerance rules
+    can't drift between them. A file that PARSES wrong (truncated
+    JSON, missing keys, foreign tooling) was never atomically
+    committed and is skipped; a file that can't be OPENED (EACCES,
+    EIO) is a transient failure and RAISES — misreading 'can't read'
+    as 'doesn't exist' is how a vacuum deletes a live generation's
+    parts or a commit stamps the wrong generation."""
+    import glob as _glob
+    out = []
+    for mf in sorted(_glob.glob(os.path.join(path, "_manifest*.json"))):
+        with open(mf) as f:  # OSError propagates deliberately
+            try:
+                m = json.load(f)
+                out.append((mf, int(m.get("generation", 0)),
+                            list(m["files"])))
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError):
+                continue  # torn/foreign: never committed
+    return out
+
+
 def _current_generation(path: str) -> int:
     """Highest generation among committed manifests (0 if none).
     Pre-generation manifests (no ``generation`` key) read as 0."""
-    import glob as _glob
-    gens = [0]
-    for mf in _glob.glob(os.path.join(path, "_manifest*.json")):
-        try:
-            with open(mf) as f:
-                gens.append(int(json.load(f).get("generation", 0)))
-        except (OSError, ValueError, json.JSONDecodeError):
-            pass  # torn/foreign file: never committed, ignore
-    return max(gens)
+    gens = [g for _, g, _ in _load_manifests(path)]
+    return max(gens) if gens else 0
 
 
 def _claim_next_generation(path: str) -> int:
@@ -228,18 +245,17 @@ def vacuum_generations(path: str, keep_last: int = 1,
     NO manifest. Default False: an in-flight job's parts are orphans
     until its commit publishes, so orphan removal is only safe when no
     writer is running (the same caveat as a short table-format VACUUM
-    retention). Returns counts."""
+    retention). A manifest that cannot be OPENED aborts the vacuum
+    (via _load_manifests) — treating a transiently unreadable live
+    manifest as absent would classify its generation's parts as
+    orphans and delete the current table. Returns counts."""
     import glob as _glob
 
-    manifests: list[tuple[str, int, list[str]]] = []
-    for mf in sorted(_glob.glob(os.path.join(path, "_manifest*.json"))):
-        try:
-            with open(mf) as f:
-                m = json.load(f)
-            manifests.append((mf, int(m.get("generation", 0)),
-                              list(m["files"])))
-        except (OSError, ValueError, KeyError, json.JSONDecodeError):
-            continue  # torn/foreign file: not a committed manifest
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): a retention "
+            "that can drop the current generation deletes the table")
+    manifests = _load_manifests(path) if os.path.isdir(path) else []
     gens = sorted({g for _, g, _ in manifests})
     kept_gens = set(gens[-keep_last:]) if gens else set()
     kept_files = {f for _, g, files in manifests
@@ -297,18 +313,9 @@ def read_manifest(spark, path: str, schema, generation: int | None = None):
     Batch jobs publish one manifest per job; streaming publishes one
     per micro-batch — all manifests at the chosen generation are
     unioned. A generation that never existed reads as empty."""
-    import glob as _glob
     by_gen: dict[int, list[str]] = {}
-    for mf in sorted(_glob.glob(os.path.join(path, "_manifest*.json"))):
-        try:
-            with open(mf) as f:
-                m = json.load(f)
-            files = list(m["files"])
-        except (OSError, ValueError, KeyError, json.JSONDecodeError):
-            continue  # torn/foreign file: never committed — same
-            #           tolerance as _current_generation, or a healthy
-            #           table would be unreadable over one stray file
-        by_gen.setdefault(int(m.get("generation", 0)), []).extend(
+    for _mf, gen, files in _load_manifests(path):
+        by_gen.setdefault(gen, []).extend(
             os.path.join(path, n) for n in files)
     if not by_gen:
         files = []

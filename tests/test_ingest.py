@@ -93,3 +93,31 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     plan = tested._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_read_store_or_none_corrupt_under_ignore_corrupt_files(
+        spark, tmp_path):
+    """With spark.sql.files.ignoreCorruptFiles=true a fully-corrupt
+    store raises UNABLE_TO_INFER_SCHEMA just like an empty dir; the
+    directory listing must disambiguate — data files present means
+    the error PROPAGATES (the store is damaged, not absent)."""
+    import pytest
+
+    from rag_vector_database_spark.operators.ingest import (
+        read_store_or_none)
+
+    bad = tmp_path / "corrupt_store"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"garbage not parquet")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        with pytest.raises(Exception):
+            df = read_store_or_none(spark, str(bad))
+            assert df is not None  # must not classify as first-run
+            df.count()
+    finally:
+        spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    # and a genuinely EMPTY dir still reads as first-run
+    empty = tmp_path / "empty_store"
+    empty.mkdir()
+    assert read_store_or_none(spark, str(empty)) is None

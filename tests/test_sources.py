@@ -414,3 +414,43 @@ def test_read_manifest_tolerates_torn_manifest_file(spark, tmp_path):
         f.write('{"generation": 1, "files": [')  # truncated
     schema = StructType([StructField("doc_id", LongType())])
     assert read_manifest(spark, out, schema).count() == 5
+
+
+def test_vacuum_keep_last_zero_rejected(tmp_path):
+    import pytest
+
+    from rag_vector_database_spark.sources.manifest_sink import (
+        vacuum_generations)
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_generations(str(tmp_path), keep_last=0)
+
+
+def test_unreadable_manifest_aborts_instead_of_misclassifying(
+        spark, tmp_path):
+    """A manifest that cannot be OPENED (simulated by a directory
+    squatting on a manifest name — IsADirectoryError is an OSError)
+    must abort vacuum and reads, never be skipped as 'torn': skipping
+    would classify a live generation's parts as orphans."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from rag_vector_database_spark.sources.manifest_sink import (
+        read_manifest, register_manifest_sink, vacuum_generations)
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "unreadable_sink")
+    spark.range(0, 5).select(F.col("id").alias("doc_id")) \
+        .write.format("manifest_jsonl").option("path", out) \
+        .mode("append").save()
+    os.mkdir(f"{out}/_manifest-squatter.json")
+    schema = StructType([StructField("doc_id", LongType())])
+    with pytest.raises(OSError):
+        vacuum_generations(out, keep_last=1, remove_orphans=True)
+    with pytest.raises(OSError):
+        read_manifest(spark, out, schema)
+    # no part file was deleted by the aborted vacuum
+    import glob
+    assert glob.glob(f"{out}/part-*.jsonl")
