@@ -487,3 +487,31 @@ def test_delete_keys_partitioned_crash_window_preserves_data(
         f"{trash}/source={victim}").count() == n_docs_victim
     assert spark.read.parquet(
         f"{staged}/source={victim}").count() == n_docs_victim - 3
+
+
+def test_delete_keys_partitioned_weird_values_property(spark, tmp_path):
+    """Escaping round-trip hardening: partition values drawn from the
+    characters Hive path-escapes (colon, percent, slash, hash, space,
+    equals) plus zero-padded numerics must all resolve to their
+    on-disk directories and delete correctly."""
+    values = ["a:b", "100%", "x/y", "c#d", "a b", "k=v", "001", "1",
+              "UPPER", "__near_default__"]
+    rows = [(i * 10 + j, v) for i, v in enumerate(values)
+            for j in range(3)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    path = str(tmp_path / "weird_store")
+    storage.write_partitioned(df, path, "src")
+
+    # delete one row from every partition
+    doomed_ids = [i * 10 for i in range(len(values))]
+    doomed = spark.createDataFrame([(k,) for k in doomed_ids], "k long")
+    res = storage.delete_keys_partitioned(
+        spark, path, doomed, key="k", partition_col="src")
+    assert res["partitions_rewritten"] == len(values)
+    assert res["rows_deleted"] == len(values)
+    left = spark.read.parquet(path)
+    assert left.count() == len(rows) - len(values)
+    assert left.join(doomed, "k", "left_semi").count() == 0
+    # every partition value survived the round trip
+    got_values = {r[0] for r in left.select("src").distinct().collect()}
+    assert got_values == set(values)
