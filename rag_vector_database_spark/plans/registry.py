@@ -214,6 +214,7 @@ WINDOW_PRIORITY: list[str] = [
     "triangle_count",
     "postings_delta_merge",
     "seasonal_decompose_daily",
+    "funnel_step_latency",
 ]
 
 
@@ -6786,6 +6787,71 @@ def q_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rc.reconcile(d, right, "doc_id", F.md5(F.col("text")),
                          n_buckets=256)
             .orderBy("doc_id"))
+
+
+@register(
+    "funnel_step_latency",
+    oracle="""
+WITH t AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tb
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT tc - tv AS view_to_click, tb - tc AS click_to_buy
+  FROM t WHERE tc > tv AND tb > tc
+)
+SELECT step, n_users, round(p50_us, 6) AS p50_us,
+       round(p90_us, 6) AS p90_us
+FROM (
+  SELECT 'view_to_click' AS step, CAST(count(*) AS BIGINT) AS n_users,
+         quantile_cont(view_to_click, 0.5) AS p50_us,
+         quantile_cont(view_to_click, 0.9) AS p90_us
+  FROM conv
+  UNION ALL
+  SELECT 'click_to_buy', CAST(count(*) AS BIGINT),
+         quantile_cont(click_to_buy, 0.5),
+         quantile_cont(click_to_buy, 0.9)
+  FROM conv
+)
+ORDER BY step
+""")
+def q_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel TIMING, not just conversion counts: for users who
+    complete view -> click -> purchase in order (earliest-occurrence
+    semantics shared with conversion_funnel), the median and p90
+    latency of each step transition — where a product finds which
+    stage stalls. Shape: one groupBy(user) with conditional mins
+    (same single shuffle as the funnel), then exact interpolated
+    percentiles over the |converting users|-row table — percentile
+    input is post-aggregation, never raw events."""
+    e = _events(spark, sf_dir)
+    t = (e.groupBy("user_id")
+         .agg(F.min(F.when(F.col("event_type") == "view",
+                           F.unix_micros("ts"))).alias("tv"),
+              F.min(F.when(F.col("event_type") == "click",
+                           F.unix_micros("ts"))).alias("tc"),
+              F.min(F.when(F.col("event_type") == "purchase",
+                           F.unix_micros("ts"))).alias("tb")))
+    conv = (t.where((F.col("tc") > F.col("tv"))
+                    & (F.col("tb") > F.col("tc")))
+            .select((F.col("tc") - F.col("tv")).alias("view_to_click"),
+                    (F.col("tb") - F.col("tc")).alias("click_to_buy")))
+
+    def stats(col, name):
+        return conv.agg(
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.percentile(F.col(col), F.lit(0.5)), 6)
+            .alias("p50_us"),
+            F.round(F.percentile(F.col(col), F.lit(0.9)), 6)
+            .alias("p90_us"))
+
+    return (stats("view_to_click", "view_to_click")
+            .unionByName(stats("click_to_buy", "click_to_buy"))
+            .orderBy("step"))
 
 
 @register(
