@@ -215,6 +215,7 @@ WINDOW_PRIORITY: list[str] = [
     "postings_delta_merge",
     "seasonal_decompose_daily",
     "funnel_step_latency",
+    "forecast_backtest_eval",
 ]
 
 
@@ -6787,6 +6788,106 @@ def q_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rc.reconcile(d, right, "doc_id", F.md5(F.col("text")),
                          n_buckets=256)
             .orderBy("doc_id"))
+
+
+@register(
+    "forecast_backtest_eval",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   date_trunc('day', o_orderdate)) AS d,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+),
+bounds AS (
+  SELECT max(d) - 28 AS cutoff, min(d) AS first_d FROM daily
+),
+train AS (SELECT daily.* FROM daily, bounds WHERE d <= cutoff),
+test AS (SELECT daily.* FROM daily, bounds WHERE d > cutoff),
+anchor AS (
+  SELECT t.rev AS last_rev, b.cutoff, b.first_d,
+         f.rev AS first_rev
+  FROM train t, bounds b, train f
+  WHERE t.d = b.cutoff AND f.d = b.first_d
+),
+fc AS (
+  SELECT te.d, te.rev,
+         a.last_rev AS f_naive,
+         sn.rev AS f_snaive,
+         a.last_rev + (a.last_rev - a.first_rev)
+           / (a.cutoff - a.first_d) * (te.d - a.cutoff) AS f_drift
+  FROM test te
+  CROSS JOIN anchor a
+  LEFT JOIN daily sn ON sn.d = te.d - 28
+)
+SELECT method, CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(abs(rev - f)), 6) AS mae,
+       round(avg(abs(rev - f) / rev), 6) AS mape
+FROM (
+  SELECT d, rev, 'naive' AS method, f_naive AS f FROM fc
+  UNION ALL
+  SELECT d, rev, 'seasonal_naive', f_snaive FROM fc
+  UNION ALL
+  SELECT d, rev, 'drift', f_drift FROM fc
+)
+WHERE f IS NOT NULL
+GROUP BY method
+ORDER BY method
+""")
+def q_forecast_backtest_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST gate — the time-series twin of the
+    recall-eval family (measure before trusting): the last 28 days of
+    daily revenue are held out and three fixed-origin baselines are
+    scored on them — naive (last train value), seasonal-naive (the
+    actual from 28 days earlier, a whole-period lag so every lookup
+    lands in train), drift (last value plus the train-long slope).
+    MAE/MAPE per method tell you what any fancier model must beat.
+    Dates are epoch-day integers in both engines. Shape: the corpus
+    collapses to a |days|-row aggregate first; anchors are 1-row
+    broadcasts; the seasonal join is day-keyed on the aggregate."""
+    daily = (_t(spark, sf_dir, "orders")
+             .groupBy(F.datediff(F.date_trunc("day", "o_orderdate"),
+                                 F.lit("1970-01-01").cast("date"))
+                      .alias("d"))
+             .agg(F.sum("o_totalprice").alias("rev")))
+    bounds = daily.agg((F.max("d") - 28).alias("cutoff"),
+                       F.min("d").alias("first_d"))
+    train = daily.crossJoin(F.broadcast(bounds)) \
+        .where(F.col("d") <= F.col("cutoff"))
+    test = daily.crossJoin(F.broadcast(bounds)) \
+        .where(F.col("d") > F.col("cutoff"))
+    anchor = (train.where(F.col("d") == F.col("cutoff"))
+              .select(F.col("rev").alias("last_rev"),
+                      "cutoff", "first_d")
+              .crossJoin(F.broadcast(
+                  train.where(F.col("d") == F.col("first_d"))
+                  .select(F.col("rev").alias("first_rev")))))
+    sn = daily.select((F.col("d") + 28).alias("d"),
+                      F.col("rev").alias("f_snaive"))
+    fc = (test.select("d", "rev")
+          .crossJoin(F.broadcast(anchor))
+          .join(sn, "d", "left")
+          .select("d", "rev",
+                  F.col("last_rev").alias("f_naive"),
+                  "f_snaive",
+                  (F.col("last_rev")
+                   + (F.col("last_rev") - F.col("first_rev"))
+                   / (F.col("cutoff") - F.col("first_d"))
+                   * (F.col("d") - F.col("cutoff"))).alias("f_drift")))
+    parts = [fc.select("d", "rev", F.lit(m).alias("method"),
+                       F.col(c).alias("f"))
+             for m, c in (("naive", "f_naive"),
+                          ("seasonal_naive", "f_snaive"),
+                          ("drift", "f_drift"))]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (u.where(F.col("f").isNotNull())
+            .groupBy("method")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.round(F.avg(F.abs(F.col("rev") - F.col("f"))), 6)
+                 .alias("mae"),
+                 F.round(F.avg(F.abs(F.col("rev") - F.col("f"))
+                               / F.col("rev")), 6).alias("mape"))
+            .orderBy("method"))
 
 
 @register(
