@@ -12,12 +12,16 @@ Cost shape: two scans with map-side-combined aggregation down to
 the corpus), one tiny digest join, then a key join restricted by a
 broadcast semi-join to the differing buckets — when the stores mostly
 agree, that's a sliver of either store. The digest is
-(bit_xor of per-row hashes, row count): order-independent, mergeable,
-no overflow under ANSI mode. A pair of identical rows XORs to zero,
-which the row count disambiguates.
+(SUM of per-row hashes as DECIMAL(38,0), row count): order-independent,
+mergeable, duplicate-SENSITIVE, and overflow-safe under ANSI mode up
+to ~10^19 rows per bucket. Sum, not XOR: XOR cancels any repeated
+pair, so a bucket holding two copies of row A on one side and two
+copies of a DIFFERENT row B on the other digests identically under
+XOR (both to zero, equal counts) — a structured, not probabilistic,
+miss that hypothesis found; multiset sums keep multiplicity.
 
 Probabilistic guarantee: a differing bucket escapes detection only on
-a 64-bit XOR-hash collision (~2^-64 per bucket) — the same trade every
+a 64-bit sum-hash collision (~2^-64 per bucket) — the same trade every
 Merkle-repair system makes. The exact twin (snapshot_diff) stays in
 the registry as the correctness reference, and the oracle SQL for
 ``merkle_reconcile`` IS the exact full-join diff: the driver proves
@@ -42,12 +46,14 @@ def _bucket(key: Column, n_buckets: int) -> Column:
 
 def bucket_digests(df: DataFrame, key: str, fp: Column,
                    n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
-    """Per-bucket (digest, n) summary: bit_xor of per-row hashes plus
-    the row count. One map-side-combinable aggregation; the shuffle
-    moves n_buckets rows regardless of store size."""
-    row_hash = F.xxhash64(F.col(key), fp)
+    """Per-bucket (digest, n) summary: SUM of per-row hashes (as
+    DECIMAL(38,0) — duplicate-sensitive where XOR is not, see module
+    docstring) plus the row count. One map-side-combinable
+    aggregation; the shuffle moves n_buckets rows regardless of store
+    size."""
+    row_hash = F.xxhash64(F.col(key), fp).cast("decimal(38,0)")
     return (df.groupBy(_bucket(F.col(key), n_buckets).alias("bucket"))
-            .agg(F.bit_xor(row_hash).alias("digest"),
+            .agg(F.sum(row_hash).alias("digest"),
                  F.count(F.lit(1)).alias("n")))
 
 
@@ -69,6 +75,14 @@ def reconcile(left: DataFrame, right: DataFrame, key: str, fp: Column,
     """Symmetric store diff: (key, change) rows with change in
     {'only_left', 'only_right', 'changed'} — identical output to the
     exhaustive full-outer diff, computed by digest-pruned row compare.
+
+    CONTRACT: ``key`` is unique within each store (the normal
+    primary-key invariant). With duplicate keys the digest level
+    compares multisets (identical multisets -> no diff, correctly)
+    but the row level inherits full-outer-join semantics — a dup key
+    in a differing bucket expands to the cross product of its copies,
+    exactly as the exhaustive diff would. Deduplicate on (key, fp)
+    first if your store permits duplicates.
 
     ``fp`` is the content fingerprint column expression evaluated on
     each side (e.g. ``F.md5('text')``)."""

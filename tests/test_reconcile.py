@@ -41,21 +41,37 @@ def test_single_changed_row_pruned_to_one_bucket(spark, sf_dir):
     assert compared < n_total / 8
 
 
-def test_count_disambiguates_xor_cancellation(spark):
-    """Two extra rows whose hashes XOR to the same digest must still be
-    detected: bit_xor of a duplicated pair cancels to the left side's
-    digest, but the row count differs."""
+def test_duplicate_rows_do_not_cancel_in_digest(spark):
+    """Duplicate-pair sensitivity — the reason the digest is a SUM of
+    row hashes, not an XOR. Case 1: a duplicated extra pair on one
+    side (under XOR it cancels back to the other side's digest; the
+    count catches it, but only by luck of unequal sizes)."""
     left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     extra = spark.createDataFrame([(3, "c"), (3, "c")], "k long, v string")
     right = left.unionByName(extra)
     fp = F.md5(F.col("v"))
-    # all rows into ONE bucket so the xor-cancellation actually collides
     diff = rc.differing_buckets(left, right, "k", fp, n_buckets=1)
     assert diff.count() == 1
     out = rc.reconcile(left, right, "k", fp, n_buckets=1).collect()
     # both duplicate rows surface (full-outer join over a dup key)
     assert [(r["k"], r["change"]) for r in out] \
         == [(3, "only_right"), (3, "only_right")]
+
+
+def test_equal_count_duplicate_pairs_detected(spark):
+    """Case 2, the hypothesis-found counterexample XOR cannot catch:
+    EQUAL-sized buckets each holding one duplicated pair of DIFFERENT
+    content — under XOR both digests cancel to zero with equal counts
+    and the diff silently vanishes; the sum digest must detect it."""
+    left = spark.createDataFrame([(0, None), (0, None)],
+                                 "k long, v string")
+    right = spark.createDataFrame([(0, ""), (0, "")], "k long, v string")
+    fp = F.md5(F.coalesce(F.col("v"), F.lit("\x00null")))
+    assert rc.differing_buckets(left, right, "k", fp,
+                                n_buckets=1).count() == 1
+    out = rc.reconcile(left, right, "k", fp, n_buckets=1).collect()
+    assert sorted((r["k"], r["change"]) for r in out) \
+        == [(0, "changed")] * 4  # 2x2 full-outer over the dup key
 
 
 def test_classification_matrix(spark):
@@ -80,15 +96,19 @@ def test_plan_semi_joins_by_bucket(spark, sf_dir):
 
 
 def test_reconcile_equals_exhaustive_diff_property(spark):
-    """Property: for arbitrary small stores, the digest-pruned
-    reconcile equals the exhaustive full-outer diff — including dup
-    keys, nulls, and any bucket count."""
+    """Property: for arbitrary KEY-UNIQUE stores (the documented
+    contract — stores have primary keys), the digest-pruned reconcile
+    equals the exhaustive full-outer diff, including nulls and any
+    bucket count. (Unconstrained dup keys make the exhaustive
+    full-outer reference itself a cross product — see the reconcile
+    docstring; dup-key behavior is pinned by the dedicated tests
+    above.)"""
     from hypothesis import given, settings, strategies as st
 
     row = st.tuples(st.integers(min_value=0, max_value=30),
                     st.one_of(st.none(),
                               st.text(alphabet="abc", max_size=3)))
-    stores = st.lists(row, max_size=25)
+    stores = st.lists(row, max_size=25, unique_by=lambda r: r[0])
 
     @settings(max_examples=15, deadline=None)
     @given(left_rows=stores, right_rows=stores,
