@@ -39,7 +39,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QVEC_CACHE: dict[str, list[float]] = {}
 _QTEXT_CACHE: dict[str, str] = {}
-_TRI_CACHE: dict = {}  # trajectory_knn's persisted trigram tables
+_TRI_CACHE: dict = {}  # (applicationId, sf_dir) -> persisted trigram table
+# keyed on the session's applicationId so a stopped/recreated session
+# never serves a DataFrame bound to a dead SparkContext
 
 
 def _scratch_path(spark: SparkSession, sf_dir: str, tag: str) -> str:
@@ -6799,23 +6801,20 @@ WITH daily AS (
          sum(o_totalprice) AS rev
   FROM orders GROUP BY 1
 ),
-bounds AS (
-  SELECT max(d) - 28 AS cutoff, min(d) AS first_d FROM daily
-),
+bounds AS (SELECT max(d) - 28 AS cutoff FROM daily),
 train AS (SELECT daily.* FROM daily, bounds WHERE d <= cutoff),
 test AS (SELECT daily.* FROM daily, bounds WHERE d > cutoff),
 anchor AS (
-  SELECT t.rev AS last_rev, b.cutoff, b.first_d,
-         f.rev AS first_rev
-  FROM train t, bounds b, train f
-  WHERE t.d = b.cutoff AND f.d = b.first_d
+  SELECT max(d) AS last_d, min(d) AS first_d,
+         arg_max(rev, d) AS last_rev, arg_min(rev, d) AS first_rev
+  FROM train
 ),
 fc AS (
   SELECT te.d, te.rev,
          a.last_rev AS f_naive,
          sn.rev AS f_snaive,
          a.last_rev + (a.last_rev - a.first_rev)
-           / (a.cutoff - a.first_d) * (te.d - a.cutoff) AS f_drift
+           / (a.last_d - a.first_d) * (te.d - a.last_d) AS f_drift
   FROM test te
   CROSS JOIN anchor a
   LEFT JOIN daily sn ON sn.d = te.d - 28
@@ -6842,38 +6841,33 @@ def q_forecast_backtest_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual from 28 days earlier, a whole-period lag so every lookup
     lands in train), drift (last value plus the train-long slope).
     MAE/MAPE per method tell you what any fancier model must beat.
-    Dates are epoch-day integers in both engines. Shape: the corpus
-    collapses to a |days|-row aggregate first; anchors are 1-row
-    broadcasts; the seasonal join is day-keyed on the aggregate."""
+    Dates are epoch-day integers in both engines; anchors are the
+    last/first POPULATED train days (max_by/arg_max), never a lookup
+    at an exact calendar offset that a gap day would empty out.
+    Shape: the corpus collapses to the |days|-row daily aggregate;
+    the anchor scalars are collected once (4 numbers) and injected as
+    plan literals, so the final plan is the daily aggregate joined to
+    its own 28-day shift — not re-derived per anchor branch."""
     daily = (_t(spark, sf_dir, "orders")
              .groupBy(F.datediff(F.date_trunc("day", "o_orderdate"),
                                  F.lit("1970-01-01").cast("date"))
                       .alias("d"))
              .agg(F.sum("o_totalprice").alias("rev")))
-    bounds = daily.agg((F.max("d") - 28).alias("cutoff"),
-                       F.min("d").alias("first_d"))
-    train = daily.crossJoin(F.broadcast(bounds)) \
-        .where(F.col("d") <= F.col("cutoff"))
-    test = daily.crossJoin(F.broadcast(bounds)) \
-        .where(F.col("d") > F.col("cutoff"))
-    anchor = (train.where(F.col("d") == F.col("cutoff"))
-              .select(F.col("rev").alias("last_rev"),
-                      "cutoff", "first_d")
-              .crossJoin(F.broadcast(
-                  train.where(F.col("d") == F.col("first_d"))
-                  .select(F.col("rev").alias("first_rev")))))
+    cutoff = daily.agg(F.max("d")).first()[0] - 28
+    a = (daily.where(F.col("d") <= cutoff)
+         .agg(F.max("d").alias("last_d"), F.min("d").alias("first_d"),
+              F.expr("max_by(rev, d)").alias("last_rev"),
+              F.expr("min_by(rev, d)").alias("first_rev")).first())
+    slope = (a["last_rev"] - a["first_rev"]) / (a["last_d"] - a["first_d"])
     sn = daily.select((F.col("d") + 28).alias("d"),
                       F.col("rev").alias("f_snaive"))
-    fc = (test.select("d", "rev")
-          .crossJoin(F.broadcast(anchor))
+    fc = (daily.where(F.col("d") > cutoff)
           .join(sn, "d", "left")
           .select("d", "rev",
-                  F.col("last_rev").alias("f_naive"),
+                  F.lit(a["last_rev"]).alias("f_naive"),
                   "f_snaive",
-                  (F.col("last_rev")
-                   + (F.col("last_rev") - F.col("first_rev"))
-                   / (F.col("cutoff") - F.col("first_d"))
-                   * (F.col("d") - F.col("cutoff"))).alias("f_drift")))
+                  (F.lit(a["last_rev"]) + F.lit(slope)
+                   * (F.col("d") - F.lit(a["last_d"]))).alias("f_drift")))
     parts = [fc.select("d", "rev", F.lit(m).alias("method"),
                        F.col(c).alias("f"))
              for m, c in (("naive", "f_naive"),
@@ -8594,13 +8588,14 @@ def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-sf cache of the persisted trigram table: repeated calls
     # (bench reps, driver runs) reuse one materialization instead of
     # accumulating persisted copies
-    if sf_dir not in _TRI_CACHE:
-        _TRI_CACHE[sf_dir] = (e.select("user_id", F.concat(
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key not in _TRI_CACHE:
+        _TRI_CACHE[cache_key] = (e.select("user_id", F.concat(
             F.col("event_type"), F.lit(">"),
             F.lead("event_type", 1).over(w), F.lit(">"),
             F.lead("event_type", 2).over(w)).alias("tg"))
             .where(F.col("tg").isNotNull()).distinct().persist())
-    tri = _TRI_CACHE[sf_dir]
+    tri = _TRI_CACHE[cache_key]
     qid = tri.agg(F.min("user_id")).first()[0]
     qtri = tri.where(F.col("user_id") == qid).select("tg")
     sizes = tri.groupBy("user_id").agg(
