@@ -299,6 +299,42 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
+def incremental_components(assignments: DataFrame, delta_pairs: DataFrame,
+                           id_col: str = "id",
+                           cluster_col: str = "cluster_id",
+                           id_a: str = "id_a",
+                           id_b: str = "id_b") -> DataFrame:
+    """Merge a DELTA batch of near-dup pairs into EXISTING cluster
+    assignments — the third leg of the incremental-dedup story
+    (minhash_delta_pairs finds the new pairs; this folds them into
+    yesterday's clusters without re-propagating the whole graph).
+
+    Only clusters touched by a delta endpoint participate: untouched
+    assignments pass through without entering the propagation at all,
+    so per-batch cost scales with the AFFECTED subgraph, not the
+    corpus. The work graph is (delta pairs) ∪ (star edges member ->
+    cluster label for affected clusters); cluster labels are min
+    member ids, i.e. real nodes, so the stars are radius-1 and
+    min-label propagation converges in a couple of rounds regardless
+    of how deep the original clusters were. Result == full
+    connected_components over (old pairs ∪ delta pairs), which the
+    registry oracle checks exactly."""
+    ends = (delta_pairs.select(F.col(id_a).alias(id_col))
+            .union(delta_pairs.select(F.col(id_b).alias(id_col)))
+            .distinct())
+    affected = (assignments.join(ends, id_col)
+                .select(cluster_col).distinct())
+    touched = assignments.join(F.broadcast(affected), cluster_col,
+                               "left_semi")
+    untouched = assignments.join(F.broadcast(affected), cluster_col,
+                                 "left_anti")
+    stars = touched.select(F.col(id_col).alias(id_a),
+                           F.col(cluster_col).alias(id_b))
+    work = delta_pairs.select(id_a, id_b).unionByName(stars)
+    relabeled = connected_components(work, id_a=id_a, id_b=id_b)
+    return untouched.unionByName(relabeled)
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over distinct tokens: bit i is the sign of the
     sum over tokens of (+1/-1 by bit i of the token's 16-bit md5 hash).

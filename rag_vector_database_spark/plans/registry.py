@@ -218,6 +218,7 @@ WINDOW_PRIORITY: list[str] = [
     "seasonal_decompose_daily",
     "funnel_step_latency",
     "forecast_backtest_eval",
+    "minhash_delta_clusters",
 ]
 
 
@@ -680,6 +681,51 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
         max_bucket=_MH["max_bucket"])
     return dedup.connected_components(pairs)
+
+
+@register(
+    "minhash_delta_clusters",
+    oracle=("WITH RECURSIVE " + _DD_MH_CTES + ",\n"
+            + "pairs AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+            + """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+ORDER BY id
+"""))
+def q_minhash_delta_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup trilogy completed: yesterday's cluster
+    assignments (CC over pairs among old docs, doc_id%3!=0) merged
+    with today's delta pairs (every pair touching a new doc) via
+    dedup.incremental_components — untouched clusters never enter the
+    propagation; the work graph is delta edges plus radius-1 star
+    edges of the affected clusters only. The oracle is the FULL
+    transitive closure over all pairs, proving merge == rebuild.
+    (Pair-generation incrementality is proven separately by
+    minhash_delta_pairs; here both slices come from one full-corpus
+    pair run so the cap binds identically on both paths.)"""
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"]).select("id_a", "id_b")
+    is_new = lambda c: F.col(c) % 3 == 0  # noqa: E731
+    old_pairs = pairs.where(~is_new("id_a") & ~is_new("id_b"))
+    delta = pairs.where(is_new("id_a") | is_new("id_b"))
+    assignments = dedup.connected_components(old_pairs)
+    return (dedup.incremental_components(assignments, delta)
+            .select(F.col("id"), F.col("cluster_id").cast("long")
+                    .alias("cluster_id"))
+            .orderBy("id"))
 
 
 @register(

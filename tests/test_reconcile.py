@@ -130,3 +130,32 @@ def test_reconcile_equals_exhaustive_diff_property(spark):
         assert got == want
 
     prop()
+
+
+def test_incremental_components_merges_and_passes_through(spark):
+    """incremental_components semantics on a hand-built graph:
+    a delta edge bridging two old clusters merges them to the global
+    min label; a cluster untouched by any delta endpoint passes
+    through unchanged; brand-new nodes (no old assignment) cluster
+    from delta edges alone. Result equals full CC over all edges."""
+    from rag_vector_database_spark.operators import dedup
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),        # cluster 1
+         (10, 11),              # cluster 10
+         (20, 21), (21, 22)],   # cluster 20 (untouched)
+        "id_a long, id_b long")
+    delta = spark.createDataFrame(
+        [(3, 10),    # bridges cluster 1 and cluster 10
+         (30, 31)],  # brand-new nodes
+        "id_a long, id_b long")
+    assignments = dedup.connected_components(old_pairs)
+    out = {r["id"]: r["cluster_id"] for r in
+           dedup.incremental_components(assignments, delta).collect()}
+    full = {r["id"]: r["cluster_id"] for r in
+            dedup.connected_components(
+                old_pairs.unionByName(delta)).collect()}
+    assert out == full
+    assert out[11] == 1   # merged across the bridge
+    assert out[22] == 20  # untouched cluster label preserved
+    assert out[31] == 30  # new-node cluster
