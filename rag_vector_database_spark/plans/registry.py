@@ -219,6 +219,7 @@ WINDOW_PRIORITY: list[str] = [
     "funnel_step_latency",
     "forecast_backtest_eval",
     "minhash_delta_clusters",
+    "k_anonymity_audit",
 ]
 
 
@@ -7180,6 +7181,46 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  .alias("n_edges")))
             .crossJoin(tri.agg(F.count(F.lit(1)).cast("long")
                                .alias("n_triangles"))))
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(class_size) AS BIGINT) AS k_anonymity,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+            AS BIGINT) AS rows_below_k5,
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k5,
+       round(avg(class_size), 6) AS avg_class_size
+FROM classes
+""")
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit completing the GDPR-delete / PII-
+    redaction family: k-anonymity of the customer table under the
+    quasi-identifier (nation, market segment) — the dataset's k is
+    the SMALLEST equivalence-class size (any class below the policy
+    threshold re-identifies its members), plus how many rows/classes
+    sit below k=5, the usual release bar. One groupBy to the class
+    table, one tiny aggregate over it — the audit a release pipeline
+    runs before publishing any quasi-identifiable slice."""
+    c = _t(spark, sf_dir, "customer")
+    classes = (c.groupBy("c_nationkey", "c_mktsegment")
+               .agg(F.count(F.lit(1)).alias("class_size")))
+    below = F.col("class_size") < 5
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        F.sum(F.when(below, F.col("class_size")).otherwise(0))
+        .cast("long").alias("rows_below_k5"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long")
+        .alias("classes_below_k5"),
+        F.round(F.avg("class_size"), 6).alias("avg_class_size"))
 
 
 @register(
