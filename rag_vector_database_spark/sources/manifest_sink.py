@@ -250,6 +250,7 @@ def vacuum_generations(path: str, keep_last: int = 1,
     manifest as absent would classify its generation's parts as
     orphans and delete the current table. Returns counts."""
     import glob as _glob
+    import re as _re
 
     if keep_last < 1:
         raise ValueError(
@@ -285,6 +286,23 @@ def vacuum_generations(path: str, keep_last: int = 1,
         if g not in kept_gens:
             try:
                 os.remove(os.path.join(path, f".gen-{g}.claim"))
+            except OSError:
+                pass
+    # ABANDONED claims: a writer that crashed between claiming gen N
+    # and publishing its manifest leaves .gen-N.claim forever, and
+    # every later overwrite burns a number skipping past it. Once a
+    # LATER manifest exists (N <= current max gen), that claim can
+    # never become the table's current generation — readers take the
+    # highest gen — so it is safe to reap. Claims ABOVE the max gen
+    # may belong to an in-flight writer and are left alone. (Vacuum's
+    # existing contract — run it without concurrent writers — makes
+    # this unambiguous; the guard is defense in depth.)
+    cur_gen = gens[-1] if gens else 0
+    for claim in _glob.glob(os.path.join(path, ".gen-*.claim")):
+        m = _re.match(r"\.gen-(\d+)\.claim$", os.path.basename(claim))
+        if m and int(m.group(1)) not in gens and int(m.group(1)) <= cur_gen:
+            try:
+                os.remove(claim)
             except OSError:
                 pass
     n_orphans = 0

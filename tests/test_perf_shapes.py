@@ -74,6 +74,33 @@ def test_minhash_cache_released_between_calls(spark):
     assert not dedup._PERSISTED
 
 
+def test_trajectory_trigram_cache_evicts_at_cap(spark):
+    """_TRI_CACHE holds at most _TRI_CACHE_CAP persisted trigram
+    tables: inserting beyond the cap unpersists + drops the oldest
+    entry, so a long-lived session cycling sf_dirs never accumulates
+    persisted copies (VERDICT r03 #6)."""
+    from rag_vector_database_spark.plans import registry
+
+    registry._TRI_CACHE.clear()
+    app = spark.sparkContext.applicationId
+    dfs = []
+    for i in range(registry._TRI_CACHE_CAP + 1):
+        # distinct plan per entry: identical plans share one cache
+        # slot, so unpersisting one would clear them all
+        df = spark.range(5 + i).persist()
+        df.count()
+        dfs.append(df)
+        registry._tri_cache_put((app, f"/tmp/sf_fake_{i}"), df)
+    assert len(registry._TRI_CACHE) == registry._TRI_CACHE_CAP
+    # oldest entry evicted AND unpersisted; newest still cached
+    assert (app, "/tmp/sf_fake_0") not in registry._TRI_CACHE
+    assert dfs[0].storageLevel.useMemory is False
+    assert dfs[-1].storageLevel.useMemory is True
+    for df in dfs:
+        df.unpersist()
+    registry._TRI_CACHE.clear()
+
+
 def test_headline_plans_push_down_and_broadcast(spark):
     """The scale claims, asserted on real physical plans at sf0.001:
     fact-scan predicate pushdown reaches the parquet reader, small

@@ -159,3 +159,24 @@ def test_incremental_components_merges_and_passes_through(spark):
     assert out[11] == 1   # merged across the bridge
     assert out[22] == 20  # untouched cluster label preserved
     assert out[31] == 30  # new-node cluster
+
+
+def test_incremental_components_custom_column_names(spark):
+    """Non-default id/cluster/pair column names flow through: the
+    relabeled side is renamed back before the union with untouched
+    rows (regression: unionByName used to raise on custom names)."""
+    from rag_vector_database_spark.operators import dedup
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (10, 11)], "src long, dst long")
+    delta = spark.createDataFrame([(2, 10)], "src long, dst long")
+    assignments = (dedup.connected_components(old_pairs,
+                                              id_a="src", id_b="dst")
+                   .select(F.col("id").alias("node"),
+                           F.col("cluster_id").alias("grp")))
+    out = dedup.incremental_components(
+        assignments, delta, id_col="node", cluster_col="grp",
+        id_a="src", id_b="dst")
+    assert out.columns == ["node", "grp"]
+    got = {r["node"]: r["grp"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1}

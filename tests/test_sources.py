@@ -369,6 +369,42 @@ def test_manifest_vacuum_generations(spark, tmp_path):
     assert read_manifest(spark, out, schema).count() == 7
 
 
+def test_manifest_vacuum_reaps_abandoned_claims(spark, tmp_path):
+    """A .gen-N.claim from a writer that crashed before publishing its
+    manifest is reaped by vacuum once a LATER manifest exists (N <=
+    current gen, no manifest at N) — so abandoned claims stop burning
+    a generation number on every subsequent overwrite. A claim ABOVE
+    the current generation (a possibly in-flight writer) survives."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.sources.manifest_sink import (
+        _current_generation, register_manifest_sink, vacuum_generations)
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "claim_sink")
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    df.write.format("manifest_jsonl").option("path", out) \
+        .mode("overwrite").save()   # gen 1
+    # crashed writer: claimed gen 2, never published
+    open(os.path.join(out, ".gen-2.claim"), "w").close()
+    df.write.format("manifest_jsonl").option("path", out) \
+        .mode("overwrite").save()   # skips 2, lands on gen 3
+    assert _current_generation(out) == 3
+    # an in-flight claim above the current gen must survive vacuum
+    open(os.path.join(out, ".gen-4.claim"), "w").close()
+    vacuum_generations(out, keep_last=1)
+    assert not os.path.exists(os.path.join(out, ".gen-2.claim"))
+    assert os.path.exists(os.path.join(out, ".gen-4.claim"))
+    # with the stale claim gone, the next overwrite takes gen 4... no:
+    # gen 4 is claimed (in-flight), so the writer serializes to gen 5
+    os.remove(os.path.join(out, ".gen-4.claim"))
+    df.write.format("manifest_jsonl").option("path", out) \
+        .mode("overwrite").save()
+    assert _current_generation(out) == 4
+
+
 def test_manifest_concurrent_overwrites_get_distinct_generations(tmp_path):
     """Two overwrite jobs committing concurrently must serialize into
     DISTINCT generations (the O_EXCL claim), so readers never union
