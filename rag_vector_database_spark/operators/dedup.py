@@ -275,27 +275,36 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     per round — the difference between d and d/4 blocking round-trips
     on a diameter-d chain.
     """
+    # edges are joined once per round: PERSIST them so the (possibly
+    # expensive — e.g. a full MinHash pipeline) upstream plan runs ONCE
+    # instead of once per propagation round. Safe to release on exit:
+    # every labels round is localCheckpoint'ed eagerly, so the returned
+    # DataFrame has no lineage back through edges.
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
-                                 F.col(id_a).alias("dst"))))
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("lbl", F.col("id")))
-    anchor = labels  # labels at the last convergence check
-    for r in range(1, max_iter + 1):
-        prop = (edges.join(labels, edges.src == labels.id)
-                .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
-        labels = (labels.join(prop, labels.id == prop.dst, "left")
-                  .select("id", F.least(F.col("lbl"),
-                                        F.coalesce("nlbl", "lbl"))
-                          .alias("lbl"))
-                  .localCheckpoint())
-        if r % check_every == 0 or r == max_iter:
-            changed = (labels.alias("n")
-                       .join(anchor.alias("o"), "id")
-                       .where(F.col("n.lbl") != F.col("o.lbl")).count())
-            if changed == 0:
-                break
-            anchor = labels
+                                 F.col(id_a).alias("dst")))
+             .persist())
+    try:
+        labels = (edges.select(F.col("src").alias("id")).distinct()
+                  .withColumn("lbl", F.col("id")))
+        anchor = labels  # labels at the last convergence check
+        for r in range(1, max_iter + 1):
+            prop = (edges.join(labels, edges.src == labels.id)
+                    .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
+            labels = (labels.join(prop, labels.id == prop.dst, "left")
+                      .select("id", F.least(F.col("lbl"),
+                                            F.coalesce("nlbl", "lbl"))
+                              .alias("lbl"))
+                      .localCheckpoint())
+            if r % check_every == 0 or r == max_iter:
+                changed = (labels.alias("n")
+                           .join(anchor.alias("o"), "id")
+                           .where(F.col("n.lbl") != F.col("o.lbl")).count())
+                if changed == 0:
+                    break
+                anchor = labels
+    finally:
+        edges.unpersist(blocking=False)
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 

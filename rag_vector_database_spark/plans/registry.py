@@ -770,11 +770,16 @@ def q_minhash_delta_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Pair-generation incrementality is proven separately by
     minhash_delta_pairs; here both slices come from one full-corpus
     pair run so the cap binds identically on both paths.)"""
+    # the pair table feeds THREE consumers (old CC, delta split, and
+    # incremental's work graph): localCheckpoint materializes the full
+    # MinHash pipeline once and every consumer reads the checkpoint —
+    # without it each CC convergence job re-ran the whole pipeline
     pairs = dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
         n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
-        max_bucket=_MH["max_bucket"]).select("id_a", "id_b")
+        max_bucket=_MH["max_bucket"]).select("id_a", "id_b") \
+        .localCheckpoint(eager=False)
     is_new = lambda c: F.col(c) % 3 == 0  # noqa: E731
     old_pairs = pairs.where(~is_new("id_a") & ~is_new("id_b"))
     delta = pairs.where(is_new("id_a") | is_new("id_b"))
@@ -7211,6 +7216,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     one equi-self-join per order for edges, one union-groupBy for
     degrees, two hash joins on oriented wedges."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # pairs/fwd have several consumers but are NOT checkpointed:
+    # everything lands in one physical plan where ReuseExchange dedupes
+    # the repeated subtrees for free — measured at 10x data, forcing a
+    # localCheckpoint materialization was strictly slower (7.1x vs
+    # 5.3x scaling ratio).
     pairs = (li.alias("x").join(
         li.alias("y"),
         (F.col("x.l_orderkey") == F.col("y.l_orderkey"))

@@ -114,13 +114,18 @@ def build(spark=None) -> str:
     return DST
 
 
-def run_interleaved(reps: int = 3) -> dict:
-    """Time each headline query at sf0.1 and at the 10x dir,
+def run_interleaved(reps: int = 3, names: list[str] | None = None) -> dict:
+    """Time each probed query at sf0.1 and at the 10x dir,
     INTERLEAVED within one session and repeated ``reps`` times, taking
     the per-query minimum. Single-shot wall-clocks on a shared VM vary
     up to 2x with host steal; min-of-reps on adjacent runs is the
     standard noise-robust estimator, and interleaving means both scale
-    points see the same host conditions."""
+    points see the same host conditions.
+
+    ``names`` selects specific registry entries (headline or not) —
+    used to probe non-headline operators (gdpr delete, triangle count,
+    postings merge, range-sorted scan) without widening the frozen
+    bench suite. Default remains the headline set."""
     import time
     from rag_vector_database_spark.plans.registry import REGISTRY
     from rag_vector_database_spark.session import get_spark
@@ -128,7 +133,14 @@ def run_interleaved(reps: int = 3) -> dict:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("rvdb-scale-probe", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    headline = [q for q in REGISTRY if q.headline]
+    if names:
+        by_name = {q.name: q for q in REGISTRY}
+        missing = [n for n in names if n not in by_name]
+        if missing:
+            raise SystemExit(f"unknown query name(s): {missing}")
+        headline = [by_name[n] for n in names]
+    else:
+        headline = [q for q in REGISTRY if q.headline]
     warm_sf = "/root/testdata/sf0.001"
     for q in headline:  # full codegen warmup at tiny sf
         try:
@@ -169,7 +181,8 @@ def main() -> None:
         print(build())
         return
     build()
-    print(json.dumps(run_interleaved()))
+    names = sys.argv[2:] or None  # run [name ...] probes specific queries
+    print(json.dumps(run_interleaved(names=names)))
 
 
 if __name__ == "__main__":
