@@ -271,6 +271,7 @@ WINDOW_PRIORITY: list[str] = [
     "sql_api_shipping_priority",
     "token_entropy",
     "token_collocations",
+    "bucketed_join_colocated",  # new in r04
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -5848,6 +5849,47 @@ def q_range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_orderkey",
                     F.round("l_extendedprice", 2).alias("price"))
             .orderBy("price", "l_orderkey"))
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+       round(CAST(e.embedding[1] AS DOUBLE), 6) AS dim0
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE d.doc_id % 4 = 0
+""")
+def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-as-operator, the bucketing leg (write_bucketed's driver
+    proof, completing the storage trilogy with range_sorted_scan and
+    gdpr_delete_partitioned): both sides are rewritten as tables
+    bucketed+sorted on the join key, then joined — identically
+    bucketed tables join with ZERO Exchange (pinned on the physical
+    plan in tests/test_perf_shapes.py), which at 100 TB is the
+    difference between a free co-located merge and shuffling both
+    corpora. The oracle joins the original parquet, so the bucketed
+    rewrite is also proven lossless. Table names are
+    application-scoped so concurrent sessions never collide; the
+    in-memory catalog plus overwrite keeps reruns idempotent."""
+    import re as _re
+
+    app = _re.sub(r"[^A-Za-z0-9_]", "_",
+                  spark.sparkContext.applicationId)
+    from ..operators import storage
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 4 == 0)
+         .select("doc_id", "source", F.col("n_chars").cast("long")
+                 .alias("n_chars")))
+    e = (_t(spark, sf_dir, "embeddings")
+         .select(F.col("vec_id").alias("doc_id"),
+                 F.round(F.col("embedding")[0].cast("double"), 6)
+                 .alias("dim0")))
+    t_docs, t_emb = f"b_docs_{app}", f"b_emb_{app}"
+    storage.write_bucketed(d, t_docs, "doc_id", 8)
+    storage.write_bucketed(e, t_emb, "doc_id", 8)
+    return (spark.table(t_docs).join(spark.table(t_emb), "doc_id")
+            .select("doc_id", "source", "n_chars", "dim0"))
 
 
 @register(

@@ -101,6 +101,31 @@ def test_trajectory_trigram_cache_evicts_at_cap(spark):
     registry._TRI_CACHE.clear()
 
 
+def test_bucketed_join_colocated_has_no_exchange(spark):
+    """The registry's bucketed_join_colocated builder must produce an
+    Exchange-free join: both sides are bucketed+sorted on the key, so
+    the physical plan reads the buckets directly — the co-located-join
+    contract at driver-query granularity."""
+    from rag_vector_database_spark.plans import registry
+
+    # at test scale the planner prefers a broadcast join (and rightly
+    # disables the bucketed scan); disable broadcast to see the shape
+    # the 100 TB plan takes — bucketed SMJ with no shuffle Exchange
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        df = registry.q_bucketed_join_colocated(
+            spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_headline_plans_push_down_and_broadcast(spark):
     """The scale claims, asserted on real physical plans at sf0.001:
     fact-scan predicate pushdown reaches the parquet reader, small
