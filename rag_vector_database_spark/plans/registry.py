@@ -271,7 +271,8 @@ WINDOW_PRIORITY: list[str] = [
     "sql_api_shipping_priority",
     "token_entropy",
     "token_collocations",
-    "bucketed_join_colocated",  # new in r04
+    "bucketed_join_colocated",    # new in r04
+    "streaming_minhash_pairs",    # new in r04
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -789,6 +790,38 @@ def q_minhash_delta_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("id"), F.col("cluster_id").cast("long")
                     .alias("cluster_id"))
             .orderBy("id"))
+
+
+@register(
+    "streaming_minhash_pairs",
+    oracle="WITH " + _DD_MH_CTES + "\n" + _DD_MH_PAIRS_SELECT + "\n")
+def q_streaming_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS near-dup detection (#59 composed with the MinHash
+    ladder): the corpus arrives as a sequence of micro-batches (one
+    parquet drop per trigger); each batch probes a persistent LSH band
+    index for candidates against everything already ingested and
+    appends its own bands/shingles (streaming/neardup.py — per-batch
+    cost is |batch bands| x bucket width, never corpus²). The drained
+    pair set must hash-equal the BATCH all-pairs oracle: candidate
+    generation is order-independent by construction (a pair is found
+    when its later member arrives) and the skew cap is re-applied on
+    final bucket sizes at read time, so streaming machinery yields
+    the batch answer exactly — Kappa parity for dedup."""
+    from ..streaming import neardup
+
+    in_dir = _scratch_path(spark, sf_dir, "mh_stream_in")
+    index = _scratch_path(spark, sf_dir, "mh_stream_idx")
+    cands = _scratch_path(spark, sf_dir, "mh_stream_cand")
+    ckpt = _scratch_path(spark, sf_dir, "mh_stream_ck")
+    neardup.write_doc_slices(spark, sf_dir, in_dir, n_slices=3)
+    neardup.run_docs_stream(
+        spark, in_dir, index, cands, ckpt,
+        shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], max_bucket=_MH["max_bucket"])
+    return neardup.final_pairs(
+        spark, index, cands,
+        jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
 
 
 @register(

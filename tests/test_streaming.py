@@ -414,3 +414,59 @@ def test_keep_latest_merge_empty_dir_is_first_batch(spark, tmp_path):
     batch = spark.createDataFrame([(1, 10), (2, 5)], "k long, seq long")
     se.keep_latest_merge(str(empty), "k", "seq")(batch, 0)
     assert spark.read.parquet(str(empty)).count() == 2
+
+
+def test_streaming_minhash_pairs_kappa_parity(spark, sf_dir, tmp_path):
+    """The drained streaming near-dup pair set must equal the batch
+    minhash_lsh_pairs answer exactly — candidate generation is
+    order-independent and the skew cap is re-applied on final bucket
+    sizes at read time (streaming/neardup.py docstring)."""
+    from rag_vector_database_spark.operators import dedup
+    from rag_vector_database_spark.streaming import neardup
+
+    in_dir = str(tmp_path / "in")
+    index = str(tmp_path / "idx")
+    cands = str(tmp_path / "cand")
+    ckpt = str(tmp_path / "ck")
+    mh = dict(shingle_n=2, n_hashes=12, n_bands=4, max_bucket=64)
+    neardup.write_doc_slices(spark, sf_dir, in_dir, n_slices=3)
+    neardup.run_docs_stream(spark, in_dir, index, cands, ckpt, **mh)
+    got = _rows(neardup.final_pairs(spark, index, cands,
+                                    jaccard_threshold=0.5, max_bucket=64),
+                ["id_a", "id_b", "jaccard"])
+    want = _rows(dedup.minhash_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        shingle_n=2, n_hashes=12, n_bands=4,
+        jaccard_threshold=0.5, max_bucket=64),
+        ["id_a", "id_b", "jaccard"])
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_minhash_replayed_batch_changes_nothing(spark, sf_dir,
+                                                          tmp_path):
+    """foreachBatch is at-least-once: re-running one batch's merge (a
+    crash-replay) appends duplicate index/candidate rows, but the
+    read-side dedup keeps the final answer identical."""
+    from rag_vector_database_spark.streaming import neardup
+
+    in_dir = str(tmp_path / "in")
+    index = str(tmp_path / "idx")
+    cands = str(tmp_path / "cand")
+    ckpt = str(tmp_path / "ck")
+    mh = dict(shingle_n=2, n_hashes=12, n_bands=4, max_bucket=64)
+    neardup.write_doc_slices(spark, sf_dir, in_dir, n_slices=3)
+    neardup.run_docs_stream(spark, in_dir, index, cands, ckpt, **mh)
+    before = _rows(neardup.final_pairs(spark, index, cands,
+                                       jaccard_threshold=0.5,
+                                       max_bucket=64),
+                   ["id_a", "id_b", "jaccard"])
+    # replay: run the slice-0 batch through the merge again by hand
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") % 3 == 0))
+    neardup.minhash_index_merge(index, cands, **mh)(docs, 999)
+    after = _rows(neardup.final_pairs(spark, index, cands,
+                                      jaccard_threshold=0.5,
+                                      max_bucket=64),
+                  ["id_a", "id_b", "jaccard"])
+    assert after == before
