@@ -273,6 +273,7 @@ WINDOW_PRIORITY: list[str] = [
     "token_collocations",
     "bucketed_join_colocated",    # new in r04
     "streaming_minhash_pairs",    # new in r04
+    "ivf_delta_assign",           # new in r04
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -4439,6 +4440,83 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return CL.kmeans_assign(emb, k=5, iters=2) \
         .select("vec_id", "cluster", "dist2")
+
+
+def _dd_kmeans_cte_split(k: int = 5, train_pred: str = "TRUE") -> str:
+    """_dd_kmeans_cte with a TRAINING predicate: Lloyd's (seeds,
+    recompute, intermediate assignments) runs only over rows matching
+    ``train_pred``; the final assignment ``f`` covers ALL rows against
+    the frozen centroids — the incremental-index contract (new vectors
+    join an index whose quantizer is not retrained)."""
+    dist = ("round(list_reduce(list_transform(generate_series(1, len(e.embedding)), "
+            "i -> pow(CAST(e.embedding[i] AS DOUBLE) - c.cv[i], 2)), "
+            "(acc, v) -> acc + v), 6)")
+    assign = ("SELECT vec_id, cl, d2 FROM ("
+              "SELECT vec_id, cl, d2, row_number() OVER "
+              "(PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM ("
+              "SELECT e.vec_id, c.cl, " + dist + " AS d2 "
+              "FROM (SELECT * FROM embeddings WHERE {w}) e "
+              "CROSS JOIN {c} c)) WHERE rn = 1")
+    return f"""
+WITH u AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE {train_pred}
+),
+c0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cl,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {k} AND {train_pred}
+),
+m1 AS ({assign.format(c="c0", w=train_pred)}),
+c1 AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM (
+  SELECT m.cl, u.pos, round(sum(u.x) / count(*), 6) AS cx
+  FROM u JOIN m1 m USING (vec_id) GROUP BY m.cl, u.pos) GROUP BY cl),
+m2 AS ({assign.format(c="c1", w=train_pred)}),
+c2 AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM (
+  SELECT m.cl, u.pos, round(sum(u.x) / count(*), 6) AS cx
+  FROM u JOIN m2 m USING (vec_id) GROUP BY m.cl, u.pos) GROUP BY cl),
+f AS ({assign.format(c="c2", w="TRUE")})
+"""
+
+
+@register(
+    "ivf_delta_assign",
+    oracle=_dd_kmeans_cte_split(train_pred="vec_id % 7 != 3")
+    + "SELECT vec_id, cl AS cluster, (vec_id % 7 = 3) AS is_delta FROM f")
+def q_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF maintenance: the index's coarse quantizer is
+    trained once on the existing corpus (vec_id % 7 != 3) and FROZEN;
+    a delta batch of new vectors (% 7 == 3) is assigned against the
+    literal centroids and APPENDED into its cluster partitions — the
+    production pattern for a vector store that grows daily, where
+    retraining (and re-partitioning 100 TB of stored vectors) per
+    batch is exactly what must not happen. Delta cost: one scan of the
+    BATCH against k plan-literal centroids plus a partition-scoped
+    append; stored vectors are never read or moved. The oracle trains
+    Lloyd's on the same old slice and assigns everyone against the
+    frozen centroids, so the maintained store is proven identical to
+    a from-scratch assignment. (Retraining cadence is a quality knob —
+    ivf_recall_eval measures when the frozen quantizer has drifted.)"""
+    from ..operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 7 != 3)
+    delta = emb.where(F.col("vec_id") % 7 == 3)
+    cents = CL.kmeans_centroids(old, k=5, iters=2)
+    best = CL._argmin_centroid(cents, "embedding", 6)
+    store = _scratch_path(spark, sf_dir, "ivf_delta_store")
+    assigned = lambda df: df.select(  # noqa: E731
+        "vec_id", best.getField("cl").alias("cluster"))
+    # initial build (idempotent overwrite), then the delta append —
+    # the append writes only the batch's rows into its partitions
+    assigned(old).write.mode("overwrite") \
+        .partitionBy("cluster").parquet(store)
+    assigned(delta).write.mode("append") \
+        .partitionBy("cluster").parquet(store)
+    return (spark.read.parquet(store)
+            .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
+                    (F.col("vec_id") % 7 == 3).alias("is_delta")))
 
 
 @register(

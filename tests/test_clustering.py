@@ -179,3 +179,34 @@ def test_ivfpq_rows_come_from_probed_cells(spark, sf_dir):
     # adc ordering is ascending and deterministic
     adcs = [r.adc for r in top.collect()]
     assert adcs == sorted(adcs)
+
+
+def test_ivf_delta_assign_matches_full_rebuild_and_is_idempotent(spark, sf_dir):
+    """Incremental IVF maintenance: assigning the delta batch against
+    the FROZEN old-corpus centroids and appending must yield exactly
+    the store a from-scratch assignment (same centroids) would build;
+    re-running the query overwrites its own previous output (same
+    rows, no accumulation)."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.plans import registry
+
+    first = registry.q_ivf_delta_assign(spark, sf_dir)
+    rows1 = sorted((r.vec_id, r.cluster, r.is_delta)
+                   for r in first.collect())
+    # from-scratch reference under the same frozen centroids
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 7 != 3)
+    cents = clustering.kmeans_centroids(old, k=5, iters=2)
+    best = clustering._argmin_centroid(cents, "embedding", 6)
+    want = sorted((r.vec_id, r.cluster, r.vec_id % 7 == 3)
+                  for r in emb.select(
+                      "vec_id", best.getField("cl").alias("cluster"))
+                  .collect())
+    assert rows1 == want
+    assert any(d for _, _, d in rows1) and any(not d for _, _, d in rows1)
+    # rerun: idempotent, not accumulating
+    rows2 = sorted((r.vec_id, r.cluster, r.is_delta)
+                   for r in registry.q_ivf_delta_assign(spark, sf_dir)
+                   .collect())
+    assert rows2 == rows1
