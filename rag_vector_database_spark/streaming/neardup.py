@@ -78,8 +78,16 @@ def minhash_index_merge(index_path: str, cand_path: str, *,
         try:
             new_bands = bands.select("k", "band", "bk")
             stored = read_store_or_none(spark, f"{index_path}/bands")
+            # only buckets the BATCH touches can yield new candidates,
+            # so restrict the stored index to them before anything
+            # else — per-batch cost is |batch bands| x bucket width,
+            # not a pass over the whole index
+            touched = new_bands.select("band", "bk").distinct()
             combined = new_bands if stored is None else \
-                new_bands.unionByName(stored.select("k", "band", "bk"))
+                new_bands.unionByName(
+                    stored.select("k", "band", "bk")
+                    .join(F.broadcast(touched), ["band", "bk"],
+                          "left_semi"))
             # replayed batches may have appended the same index rows
             # twice; the row set, not the file bytes, is the index
             combined = combined.dropDuplicates(["k", "band", "bk"])
