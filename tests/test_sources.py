@@ -397,8 +397,8 @@ def test_manifest_vacuum_reaps_abandoned_claims(spark, tmp_path):
     vacuum_generations(out, keep_last=1)
     assert not os.path.exists(os.path.join(out, ".gen-2.claim"))
     assert os.path.exists(os.path.join(out, ".gen-4.claim"))
-    # with the stale claim gone, the next overwrite takes gen 4... no:
-    # gen 4 is claimed (in-flight), so the writer serializes to gen 5
+    # once the in-flight claim is released, the next overwrite no
+    # longer burns a number: it lands on gen 4 directly
     os.remove(os.path.join(out, ".gen-4.claim"))
     df.write.format("manifest_jsonl").option("path", out) \
         .mode("overwrite").save()
