@@ -470,3 +470,52 @@ def test_streaming_minhash_replayed_batch_changes_nothing(spark, sf_dir,
                                       max_bucket=64),
                   ["id_a", "id_b", "jaccard"])
     assert after == before
+
+
+def test_streaming_minhash_order_independence_random_splits(spark, sf_dir,
+                                                            tmp_path):
+    """The order-independence claim, adversarially: for RANDOM batch
+    partitions of the corpus (any number of batches, any assignment,
+    any processing order), driving the per-batch merge by hand yields
+    the same final pair set as the batch operator. Hypothesis picks
+    the partition; the stream machinery is bypassed so each example
+    costs merges only."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rag_vector_database_spark.operators import dedup
+    from rag_vector_database_spark.streaming import neardup
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") < 120).localCheckpoint())
+    mh = dict(shingle_n=2, n_hashes=12, n_bands=4, max_bucket=8)
+    want = _rows(dedup.minhash_lsh_pairs(
+        docs, shingle_n=2, n_hashes=12, n_bands=4,
+        jaccard_threshold=0.5, max_bucket=8),
+        ["id_a", "id_b", "jaccard"])
+    assert len(want) > 0
+    counter = [0]
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.integers(0, 3), min_size=120, max_size=120),
+           st.permutations(list(range(4))))
+    def prop(assignment, order):
+        counter[0] += 1
+        root = tmp_path / f"prop{counter[0]}"
+        index, cands = str(root / "idx"), str(root / "cand")
+        amap = {i: b for i, b in enumerate(assignment)}
+        merge = neardup.minhash_index_merge(index, cands, **mh)
+        udf_map = F.udf(lambda d: amap[d], "int")
+        tagged = docs.withColumn("_b", udf_map("doc_id")).localCheckpoint()
+        for epoch, b in enumerate(order):
+            batch = tagged.where(F.col("_b") == b).drop("_b")
+            if batch.take(1):
+                merge(batch, epoch)
+        got = _rows(neardup.final_pairs(spark, index, cands,
+                                        jaccard_threshold=0.5,
+                                        max_bucket=8),
+                    ["id_a", "id_b", "jaccard"])
+        assert got == want
+
+    prop()
