@@ -166,28 +166,20 @@ def footer_stats(spark, path: str, aggs: list[Column]):
     The result is materialized before the session's source confs are
     restored, because pushdown is decided at plan time.
 
-    Concurrency: the V1-list/pushdown confs are session-wide, so a
-    query planned on another thread of the SAME SparkSession during
-    this window would see them. Callers that share a session across
-    threads should pass ``spark.newSession()`` (shared SparkContext,
-    isolated SQL conf) — the registry's single-threaded driver calls
-    use the session directly."""
+    Concurrency: the V1-list/pushdown conf overrides run in a PRIVATE
+    ``spark.newSession()`` (same SparkContext, isolated SQL conf), so
+    queries planned concurrently on the caller's session — any thread
+    — never see them. The returned DataFrame is rebuilt on the
+    caller's session from the (1-row) collected stats."""
     import re
 
-    old = {k: spark.conf.get(k, None) for k in (_V1_LIST_KEY, _AGG_PD_KEY)}
-    spark.conf.set(_V1_LIST_KEY, "")
-    spark.conf.set(_AGG_PD_KEY, "true")
-    try:
-        df = spark.read.parquet(path).agg(*aggs)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        rows = df.collect()
-        schema = df.schema
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    s = spark.newSession()
+    s.conf.set(_V1_LIST_KEY, "")
+    s.conf.set(_AGG_PD_KEY, "true")
+    df = s.read.parquet(path).agg(*aggs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
+    schema = df.schema
     pushed = re.search(r"PushedAggregation: \[(?!\])", plan) is not None
     return spark.createDataFrame(rows, schema), pushed
 
@@ -226,11 +218,10 @@ def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
     (rows_deleted comes from the discovery scan's per-partition doomed
     counts — valid under this function's single-writer contract).
 
-    Concurrency: the partition-type-inference conf toggle is
-    session-wide for the duration of the discovery read; share-nothing
-    callers should hand this function ``spark.newSession()`` if other
-    threads plan queries on the same session concurrently (the
-    single-threaded registry/driver path uses the session directly).
+    Concurrency: the partition-type-inference toggle for the
+    discovery read runs in a PRIVATE ``spark.newSession()`` (same
+    SparkContext, isolated SQL conf), so concurrent queries on the
+    caller's session never execute under the altered conf.
     """
     import os
     import shutil
@@ -252,24 +243,23 @@ def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
     # partition values must round-trip to their directory names, so
     # type inference is off for the DISCOVERY read: with it on, a
     # string partition like '001' reads back as int 1, whose str()
-    # matches the wrong directory (or none) — silent misses
+    # matches the wrong directory (or none) — silent misses. The
+    # toggle lives in a private session so it can never leak.
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old_infer = spark.conf.get(infer_key, None)
-    spark.conf.set(infer_key, "false")
-    try:
-        store = spark.read.parquet(store_path)
-        # one job yields both the affected partition VALUES and the
-        # doomed row count per partition (= rows_deleted, single-writer
-        # store), so the rewrite loop below never runs count jobs
-        doomed = (store.join(F.broadcast(keys), key, "left_semi")
-                  .groupBy(partition_col).count())
-        doomed_counts = {r[0]: r[1] for r in doomed.collect()}
-        affected = list(doomed_counts)
-    finally:
-        if old_infer is None:
-            spark.conf.unset(infer_key)
-        else:
-            spark.conf.set(infer_key, old_infer)
+    s = spark.newSession()
+    s.conf.set(infer_key, "false")
+    store = s.read.parquet(store_path)
+    # the keys DataFrame belongs to the caller's session; rebuild it
+    # in the private one (delete sets are small by contract)
+    keys_local = s.createDataFrame(keys.select(key).collect(),
+                                   keys.select(key).schema)
+    # one job yields both the affected partition VALUES and the
+    # doomed row count per partition (= rows_deleted, single-writer
+    # store), so the rewrite loop below never runs count jobs
+    doomed = (store.join(F.broadcast(keys_local), key, "left_semi")
+              .groupBy(partition_col).count())
+    doomed_counts = {r[0]: r[1] for r in doomed.collect()}
+    affected = list(doomed_counts)
     missing = [v for v in affected
                if (None if v is None else str(v)) not in dirs_by_value]
     if missing:
