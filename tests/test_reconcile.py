@@ -180,3 +180,37 @@ def test_incremental_components_custom_column_names(spark):
     assert out.columns == ["node", "grp"]
     got = {r["node"]: r["grp"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 10: 1, 11: 1}
+
+
+def test_incremental_components_random_graphs_property(spark):
+    """Merge == rebuild on RANDOM graphs: for arbitrary old/delta edge
+    sets, folding the delta into the old assignments must equal full
+    connected components over the union (the registry oracle proves
+    one instance; hypothesis sweeps the structure space — bridges,
+    new nodes, deltas inside one cluster, empty deltas)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rag_vector_database_spark.operators import dedup
+
+    edge = st.tuples(st.integers(0, 24), st.integers(0, 24)) \
+        .filter(lambda p: p[0] < p[1])
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(edge, min_size=1, max_size=20, unique=True),
+           st.lists(edge, min_size=0, max_size=8, unique=True))
+    def prop(old_edges, delta_edges):
+        old = spark.createDataFrame(old_edges, "id_a long, id_b long")
+        delta = (spark.createDataFrame(delta_edges, "id_a long, id_b long")
+                 if delta_edges else
+                 spark.createDataFrame([], "id_a long, id_b long"))
+        assignments = dedup.connected_components(old)
+        got = {r["id"]: r["cluster_id"] for r in
+               dedup.incremental_components(assignments, delta).collect()}
+        want = {r["id"]: r["cluster_id"] for r in
+                dedup.connected_components(old.unionByName(delta))
+                .collect()}
+        assert got == want
+
+    prop()
