@@ -59,6 +59,42 @@ def write_doc_slices(spark: SparkSession, sf_dir: str, in_dir: str,
          .coalesce(1).write.mode("append").parquet(in_dir))
 
 
+def batch_candidates(new_bands: DataFrame, stored: DataFrame | None,
+                     max_bucket: int) -> DataFrame:
+    """The per-batch candidate plan, exposed for plan-shape tests:
+    only buckets the BATCH touches can yield new candidates, so the
+    stored index is SEMI-JOINED to the batch's bucket set before
+    anything else — per-batch cost is |batch bands| x bucket width,
+    not a pass over the whole index. The cap is applied to the
+    visible bucket (a bucket over the cap only grows; pruning early
+    loses nothing — the read side re-applies it on final sizes)."""
+    from pyspark.sql.window import Window
+
+    touched = new_bands.select("band", "bk").distinct()
+    combined = new_bands if stored is None else \
+        new_bands.unionByName(
+            stored.select("k", "band", "bk")
+            .join(F.broadcast(touched), ["band", "bk"], "left_semi"))
+    # replayed batches may have appended the same index rows twice;
+    # the row set, not the file bytes, is the index
+    combined = combined.dropDuplicates(["k", "band", "bk"])
+    w = Window.partitionBy("band", "bk")
+    kept = (combined.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .where(F.col("__bn") <= max_bucket).drop("__bn"))
+    new_keys = new_bands.select("k").distinct()
+    kept_new = kept.join(F.broadcast(new_keys), "k", "left_semi")
+    return (kept_new.alias("n")
+            .join(kept.alias("a"),
+                  (F.col("n.band") == F.col("a.band"))
+                  & (F.col("n.bk") == F.col("a.bk"))
+                  & (F.col("n.k") != F.col("a.k")))
+            .select(F.col("n.band").alias("band"),
+                    F.col("n.bk").alias("bk"),
+                    F.least("n.k", "a.k").alias("id_a"),
+                    F.greatest("n.k", "a.k").alias("id_b"))
+            .distinct())
+
+
 def minhash_index_merge(index_path: str, cand_path: str, *,
                         text_col: str = "text", key_col: str = "doc_id",
                         shingle_n: int, n_hashes: int, n_bands: int,
@@ -70,7 +106,6 @@ def minhash_index_merge(index_path: str, cand_path: str, *,
 
     def merge(batch: DataFrame, _epoch: int) -> None:
         from ..operators.ingest import read_store_or_none
-        from pyspark.sql.window import Window
 
         spark = batch.sparkSession
         sh, bands = dedup._minhash_shingle_bands(
@@ -78,34 +113,7 @@ def minhash_index_merge(index_path: str, cand_path: str, *,
         try:
             new_bands = bands.select("k", "band", "bk")
             stored = read_store_or_none(spark, f"{index_path}/bands")
-            # only buckets the BATCH touches can yield new candidates,
-            # so restrict the stored index to them before anything
-            # else — per-batch cost is |batch bands| x bucket width,
-            # not a pass over the whole index
-            touched = new_bands.select("band", "bk").distinct()
-            combined = new_bands if stored is None else \
-                new_bands.unionByName(
-                    stored.select("k", "band", "bk")
-                    .join(F.broadcast(touched), ["band", "bk"],
-                          "left_semi"))
-            # replayed batches may have appended the same index rows
-            # twice; the row set, not the file bytes, is the index
-            combined = combined.dropDuplicates(["k", "band", "bk"])
-            w = Window.partitionBy("band", "bk")
-            kept = (combined.withColumn("__bn", F.count(F.lit(1)).over(w))
-                    .where(F.col("__bn") <= max_bucket).drop("__bn"))
-            new_keys = new_bands.select("k").distinct()
-            kept_new = kept.join(F.broadcast(new_keys), "k", "left_semi")
-            cand = (kept_new.alias("n")
-                    .join(kept.alias("a"),
-                          (F.col("n.band") == F.col("a.band"))
-                          & (F.col("n.bk") == F.col("a.bk"))
-                          & (F.col("n.k") != F.col("a.k")))
-                    .select(F.col("n.band").alias("band"),
-                            F.col("n.bk").alias("bk"),
-                            F.least("n.k", "a.k").alias("id_a"),
-                            F.greatest("n.k", "a.k").alias("id_b"))
-                    .distinct())
+            cand = batch_candidates(new_bands, stored, max_bucket)
             # candidates first (they read the PRE-batch index), then
             # the batch's own rows join the index for later batches
             cand.write.mode("append").parquet(cand_path)

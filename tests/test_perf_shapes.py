@@ -547,3 +547,46 @@ def test_round3_late_additions_plan_shapes(spark):
     plan = pd_._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_streaming_neardup_semi_joins_stored_index(spark, tmp_path):
+    """The per-batch candidate plan must restrict the STORED band
+    index to the batch's buckets with a semi-join before any window
+    or pair join — the touched-bucket-local cost claim."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.streaming import neardup
+
+    stored_path = str(tmp_path / "bands")
+    spark.createDataFrame(
+        [(i, b, f"bk{i % 7}") for i in range(100) for b in range(4)],
+        "k long, band int, bk string").write.parquet(stored_path)
+    stored = spark.read.parquet(stored_path)
+    new_bands = spark.createDataFrame(
+        [(1000, 0, "bk0"), (1000, 1, "bk1")], "k long, band int, bk string")
+    cand = neardup.batch_candidates(new_bands, stored, max_bucket=64)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # results only involve the touched buckets
+    got = cand.select("bk").distinct().collect()
+    assert {r["bk"] for r in got} <= {"bk0", "bk1"}
+
+
+def test_ivf_delta_assignment_plan_is_scan_local(spark):
+    """Delta assignment against frozen centroids must be a pure scan:
+    centroids are plan literals, so the assignment plan contains no
+    Join and no shuffle Exchange — the 'batch-scan-only' delta cost
+    claim of ivf_delta_assign."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.operators import clustering
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = clustering.kmeans_centroids(
+        emb.where(F.col("vec_id") % 7 != 3), k=5, iters=2)
+    best = clustering._argmin_centroid(cents, "embedding", 6)
+    delta = (emb.where(F.col("vec_id") % 7 == 3)
+             .select("vec_id", best.getField("cl").alias("cluster")))
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
