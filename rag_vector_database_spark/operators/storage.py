@@ -28,11 +28,18 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str,
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
-                   mode: str = "overwrite") -> None:
+                   mode: str = "overwrite", path: str | None = None) -> None:
     """Bucketed saveAsTable: rows hash-distributed into fixed buckets by
-    ``key``. Two tables bucketed identically join without any Exchange."""
-    (df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key)
-     .format("parquet").saveAsTable(table))
+    ``key``. Two tables bucketed identically join without any Exchange.
+    Bucketing metadata lives in the catalog, so the write must go
+    through ``saveAsTable``; pass ``path`` to make it an EXTERNAL
+    table whose files land there instead of under the session's
+    warehouse dir (which may be an unwritable cwd)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key) \
+        .format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def salted_agg(df: DataFrame, key: str, agg_cols: list[Column],

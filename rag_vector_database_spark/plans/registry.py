@@ -5997,8 +5997,12 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.col("embedding")[0].cast("double"), 6)
                  .alias("dim0")))
     t_docs, t_emb = f"b_docs_{app}", f"b_emb_{app}"
-    storage.write_bucketed(d, t_docs, "doc_id", 8)
-    storage.write_bucketed(e, t_emb, "doc_id", 8)
+    # external tables at scratch paths: the session warehouse dir may
+    # be an unwritable cwd in the consuming driver's environment
+    storage.write_bucketed(d, t_docs, "doc_id", 8,
+                           path=_scratch_path(spark, sf_dir, "b_docs"))
+    storage.write_bucketed(e, t_emb, "doc_id", 8,
+                           path=_scratch_path(spark, sf_dir, "b_emb"))
     return (spark.table(t_docs).join(spark.table(t_emb), "doc_id")
             .select("doc_id", "source", "n_chars", "dim0"))
 
