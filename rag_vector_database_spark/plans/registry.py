@@ -274,6 +274,7 @@ WINDOW_PRIORITY: list[str] = [
     "bucketed_join_colocated",    # new in r04
     "streaming_minhash_pairs",    # new in r04
     "ivf_delta_assign",           # new in r04
+    "multimodal_audio_energy",    # new in r04
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -1417,6 +1418,40 @@ def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("int").alias("n_frames"),
                  F.sum(F.length("frame")).cast("long").alias("frame_bytes"))
             .select(F.col("id").alias("doc_id"), "n_frames", "frame_bytes"))
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L
+  FROM documents WHERE doc_id % 11 = 0 AND length(text) > 0
+),
+p AS (
+  SELECT doc_id, CAST((i - 1) // 64 AS INT) AS win,
+         ascii(substring(text, i, 1)) AS s
+  FROM d, unnest(generate_series(1, L)) g(i)
+)
+SELECT doc_id, win, CAST(count(*) AS INT) AS n_samples,
+       round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms
+FROM p GROUP BY doc_id, win
+""")
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style feature extraction through the Arrow/mapInPandas
+    plumbing: blobs as unsigned 8-bit PCM, per-64-sample-window RMS
+    energy (sources/multimodal.py:window_rms — the librosa windowed-
+    feature shape). The sum of squares stays in integer arithmetic so
+    numpy's summation order cannot perturb the float, and only the
+    final divide+sqrt run in float64 — which is why a Python numeric
+    kernel can sit inside the value-hash oracle gate at all. 1 blob
+    row -> N window rows, partition-local, zero shuffle before the
+    final exchange-free projection."""
+    d = (_t(spark, sf_dir, "documents")
+         .where((F.col("doc_id") % 11 == 0) & (F.length("text") > 0)))
+    blobs = multimodal.attach_blob(d)
+    return (multimodal.window_rms(blobs, id_col="doc_id", window=64)
+            .select(F.col("id").alias("doc_id"), "win", "n_samples",
+                    "rms"))
 
 
 @register(

@@ -150,3 +150,24 @@ def test_image_kernels_with_real_pil(spark):
     df = spark.createDataFrame([(1, bytearray(png))], "id long, blob binary")
     [row] = mm.decode_images(df).collect()
     assert (row["width"], row["height"], row["format"]) == (20, 10, "png")
+
+
+def test_window_rms_partial_windows_and_exact_math(spark):
+    """window_rms: full + partial windows, integer-exact sum of
+    squares, empty blob emits one zero window (the stub decode's
+    1-row contract)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.sources import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "")], "id long, text string") \
+        .withColumn("blob", F.encode("text", "UTF-8"))
+    out = {(r.id, r.win): (r.n_samples, r.rms)
+           for r in multimodal.window_rms(df, window=2).collect()}
+    a, b, c = ord("a"), ord("b"), ord("c")
+    assert out[(1, 0)] == (2, round(math.sqrt((a * a + b * b) / 2), 6))
+    assert out[(1, 1)] == (1, round(math.sqrt(c * c / 1), 6))
+    assert out[(2, 0)] == (0, 0.0)
