@@ -155,6 +155,23 @@ _V1_LIST_KEY = "spark.sql.sources.useV1SourceList"
 _AGG_PD_KEY = "spark.sql.parquet.aggregatePushdown"
 
 
+def _isolated_session(spark):
+    """A private session that still SEES the caller's runtime SQL
+    confs: ``newSession()`` inherits only builder-time configs, so a
+    caller who e.g. set ``spark.sql.legacy.parquet.nanosAsLong`` at
+    runtime (session.read_events does) would lose it — the private
+    session's reads would fail where the caller's succeed. Copy every
+    explicitly-set conf (``SET`` lists exactly those) before applying
+    this module's own overrides on top."""
+    s = spark.newSession()
+    for row in spark.sql("SET").collect():
+        try:
+            s.conf.set(row["key"], row["value"])
+        except Exception:
+            pass  # static/read-only entries can't be re-set
+    return s
+
+
 def footer_stats(spark, path: str, aggs: list[Column]):
     """COUNT/MIN/MAX answered from parquet FOOTERS, not row scans: the
     DataSource-V2 parquet reader with aggregate pushdown compiles
@@ -180,7 +197,7 @@ def footer_stats(spark, path: str, aggs: list[Column]):
     caller's session from the (1-row) collected stats."""
     import re
 
-    s = spark.newSession()
+    s = _isolated_session(spark)
     s.conf.set(_V1_LIST_KEY, "")
     s.conf.set(_AGG_PD_KEY, "true")
     df = s.read.parquet(path).agg(*aggs)
@@ -253,7 +270,7 @@ def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
     # matches the wrong directory (or none) — silent misses. The
     # toggle lives in a private session so it can never leak.
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    s = spark.newSession()
+    s = _isolated_session(spark)
     s.conf.set(infer_key, "false")
     store = s.read.parquet(store_path)
     # the keys DataFrame belongs to the caller's session; rebuild it

@@ -1425,7 +1425,9 @@ def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT doc_id, text, length(text) AS L
-  FROM documents WHERE doc_id % 11 = 0 AND length(text) > 0
+  FROM documents
+  WHERE doc_id % 11 = 0 AND length(text) > 0
+    AND octet_length(encode(text)) = length(text)
 ),
 p AS (
   SELECT doc_id, CAST((i - 1) // 64 AS INT) AS win,
@@ -1446,8 +1448,14 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel can sit inside the value-hash oracle gate at all. 1 blob
     row -> N window rows, partition-local, zero shuffle before the
     final exchange-free projection."""
+    # pure-ASCII docs only, on BOTH sides: the kernel windows UTF-8
+    # BYTES while the SQL oracle windows CHARACTERS — identical only
+    # when octet length == char length (a non-ASCII char would shift
+    # every later window boundary)
     d = (_t(spark, sf_dir, "documents")
-         .where((F.col("doc_id") % 11 == 0) & (F.length("text") > 0)))
+         .where((F.col("doc_id") % 11 == 0) & (F.length("text") > 0)
+                & (F.octet_length(F.encode("text", "UTF-8"))
+                   == F.length("text"))))
     blobs = multimodal.attach_blob(d)
     return (multimodal.window_rms(blobs, id_col="doc_id", window=64)
             .select(F.col("id").alias("doc_id"), "win", "n_samples",
@@ -4421,62 +4429,6 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-space clustering, semantic dedup, and data-mixing
 # (training-data pipeline ops beyond the reference; SemDeDup recipe)
 
-def _dd_kmeans_cte(k: int = 5) -> str:
-    """Shared DuckDB CTE chain replicating clustering.kmeans_assign:
-    seed centroids from the k lowest ids, two (assign, recompute)
-    Lloyd iterations, final assignment `f(vec_id, cl, d2)`. Distances
-    and centroid means are rounded 6dp at exactly the same points as
-    the Spark operator, so both engines iterate on identical values."""
-    dist = ("round(list_reduce(list_transform(generate_series(1, len(e.embedding)), "
-            "i -> pow(CAST(e.embedding[i] AS DOUBLE) - c.cv[i], 2)), "
-            "(acc, v) -> acc + v), 6)")
-    assign = ("SELECT vec_id, cl, d2 FROM ("
-              "SELECT vec_id, cl, d2, row_number() OVER "
-              "(PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM ("
-              "SELECT e.vec_id, c.cl, " + dist + " AS d2 "
-              "FROM embeddings e CROSS JOIN {c} c)) WHERE rn = 1")
-    recompute = ("SELECT cl, list(cx ORDER BY pos) AS cv FROM ("
-                 "SELECT m.cl, u.pos, round(sum(u.x) / count(*), 6) AS cx "
-                 "FROM u JOIN {m} m USING (vec_id) GROUP BY m.cl, u.pos) "
-                 "GROUP BY cl")
-    return f"""
-WITH u AS (
-  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
-         CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings
-),
-c0 AS (
-  SELECT CAST(vec_id AS BIGINT) AS cl,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM embeddings WHERE vec_id < {k}
-),
-m1 AS ({assign.format(c="c0")}),
-c1 AS ({recompute.format(m="m1")}),
-m2 AS ({assign.format(c="c1")}),
-c2 AS ({recompute.format(m="m2")}),
-f AS ({assign.format(c="c2")})
-"""
-
-
-@register(
-    "kmeans_lloyd",
-    oracle=_dd_kmeans_cte()
-    + "SELECT vec_id, cl AS cluster, d2 AS dist2 FROM f",
-    headline=True)
-def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embedding column (k=5, 2 iterations,
-    deterministic seeding) — the centroid learner behind IVF indexes
-    and SemDeDup blocking. Scale shape: centroids are plan literals,
-    so every assignment pass is scan-local (NO corpus shuffle, no
-    N x k exchange); each recompute shuffles only k x (dim+1)
-    map-side-combined partial sums, and the driver collects k rows
-    per iteration — bounded by k, never by corpus size."""
-    from ..operators import clustering as CL
-    emb = _t(spark, sf_dir, "embeddings")
-    return CL.kmeans_assign(emb, k=5, iters=2) \
-        .select("vec_id", "cluster", "dist2")
-
-
 def _dd_kmeans_cte_split(k: int = 5, train_pred: str = "TRUE") -> str:
     """_dd_kmeans_cte with a TRAINING predicate: Lloyd's (seeds,
     recompute, intermediate assignments) runs only over rows matching
@@ -4513,6 +4465,36 @@ c2 AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM (
   FROM u JOIN m2 m USING (vec_id) GROUP BY m.cl, u.pos) GROUP BY cl),
 f AS ({assign.format(c="c2", w="TRUE")})
 """
+
+
+def _dd_kmeans_cte(k: int = 5) -> str:
+    """Shared DuckDB CTE chain replicating clustering.kmeans_assign:
+    seed centroids from the k lowest ids, two (assign, recompute)
+    Lloyd iterations, final assignment `f(vec_id, cl, d2)`. Distances
+    and centroid means are rounded 6dp at exactly the same points as
+    the Spark operator, so both engines iterate on identical values.
+    Delegates to the split variant with an all-rows training
+    predicate so the Lloyd's SQL exists in exactly one place."""
+    return _dd_kmeans_cte_split(k=k, train_pred="TRUE")
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=_dd_kmeans_cte()
+    + "SELECT vec_id, cl AS cluster, d2 AS dist2 FROM f",
+    headline=True)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding column (k=5, 2 iterations,
+    deterministic seeding) — the centroid learner behind IVF indexes
+    and SemDeDup blocking. Scale shape: centroids are plan literals,
+    so every assignment pass is scan-local (NO corpus shuffle, no
+    N x k exchange); each recompute shuffles only k x (dim+1)
+    map-side-combined partial sums, and the driver collects k rows
+    per iteration — bounded by k, never by corpus size."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    return CL.kmeans_assign(emb, k=5, iters=2) \
+        .select("vec_id", "cluster", "dist2")
 
 
 @register(

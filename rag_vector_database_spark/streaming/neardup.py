@@ -49,14 +49,23 @@ def write_doc_slices(spark: SparkSession, sf_dir: str, in_dir: str,
     ``in_dir`` (one file per slice, doc_id % n_slices) so the file
     stream source with maxFilesPerTrigger=1 replays it as a sequence
     of micro-batches — the local stand-in for a directory receiving
-    daily drops. Skipped when the directory already exists (reruns in
-    one application must not enqueue the corpus twice)."""
-    if os.path.isdir(in_dir):
+    daily drops. A completion marker distinguishes "already fully
+    materialized" (rerun in one application: skip, the checkpoint
+    must not see the corpus twice) from "a previous materialization
+    died mid-write" (rebuild from scratch — silently streaming a
+    partial corpus would drop every cross-slice pair)."""
+    import shutil
+
+    marker = os.path.join(in_dir, "_SLICES_COMPLETE")
+    if os.path.exists(marker):
         return
+    shutil.rmtree(in_dir, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     for i in range(n_slices):
         (docs.where(F.col("doc_id") % n_slices == i)
          .coalesce(1).write.mode("append").parquet(in_dir))
+    with open(marker, "w") as f:
+        f.write("ok")
 
 
 def batch_candidates(new_bands: DataFrame, stored: DataFrame | None,

@@ -125,7 +125,12 @@ def run_interleaved(reps: int = 3, names: list[str] | None = None) -> dict:
     ``names`` selects specific registry entries (headline or not) —
     used to probe non-headline operators (gdpr delete, triangle count,
     postings merge, range-sorted scan) without widening the frozen
-    bench suite. Default remains the headline set."""
+    bench suite. Default remains the headline set.
+
+    NOT valid for stateful scratch-keyed queries (streaming sinks /
+    checkpoints): their first run does the work and same-session
+    reruns replay nothing, so min-of-reps times only the final read —
+    use ``scale_probe.py cold <name>`` for those (SCALE.md footnote)."""
     import time
     from rag_vector_database_spark.plans.registry import REGISTRY
     from rag_vector_database_spark.session import get_spark
@@ -175,12 +180,61 @@ def run_interleaved(reps: int = 3, names: list[str] | None = None) -> dict:
     return out
 
 
+_COLD_CHILD = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from rag_vector_database_spark.session import get_spark
+from rag_vector_database_spark.plans.registry import REGISTRY
+spark = get_spark("scale-cold", master="local[" + {cpus!r} + "]")
+spark.sparkContext.setLogLevel("ERROR")
+q = next(q for q in REGISTRY if q.name == {name!r})
+q.builder(spark, "/root/testdata/sf0.001") \\
+    .write.mode("overwrite").format("noop").save()   # codegen warmup
+t0 = time.perf_counter()
+q.builder(spark, {sf!r}).write.mode("overwrite").format("noop").save()
+print("COLD_SECONDS", round(time.perf_counter() - t0, 3))
+"""
+
+
+def run_cold(names: list[str]) -> dict:
+    """Single-shot timing in a FRESH session (subprocess) per (query,
+    scale point) — the valid method for stateful scratch-keyed queries
+    (streaming sinks, checkpoints): within one session their first run
+    does the work and reruns replay nothing, so ``run_interleaved``'s
+    min-of-reps would time only the final read. Cost: one JVM startup
+    per measurement; use for the handful of stateful entries only."""
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    out = {"metric": "cold single-shot wall-clock, fresh session per "
+                     "measurement, sf0.1 vs 10x data",
+           "data_ratio": COPIES, "base_s": {}, "scaled_s": {},
+           "time_ratio_per_query": {}}
+    for name in names:
+        for key, d in (("base_s", SRC), ("scaled_s", DST)):
+            code = _COLD_CHILD.format(repo=repo, cpus=cpus, name=name, sf=d)
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, check=True)
+            m = re.search(r"COLD_SECONDS ([0-9.]+)", r.stdout)
+            out[key][name] = float(m.group(1))
+        out["time_ratio_per_query"][name] = round(
+            out["scaled_s"][name] / out["base_s"][name], 2)
+    return out
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "build":
         print(build())
         return
     build()
+    if cmd == "cold":
+        if len(sys.argv) < 3:
+            raise SystemExit("usage: scale_probe.py cold <name> [name ...]")
+        print(json.dumps(run_cold(sys.argv[2:])))
+        return
     names = sys.argv[2:] or None  # run [name ...] probes specific queries
     print(json.dumps(run_interleaved(names=names)))
 
