@@ -275,6 +275,7 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_minhash_pairs",    # new in r04
     "ivf_delta_assign",           # new in r04
     "multimodal_audio_energy",    # new in r04
+    "multimodal_audio_energy",    # new in r04
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
