@@ -262,6 +262,7 @@ WINDOW_PRIORITY: list[str] = [
     "alpha_mixture_weights",
     "csv_sink_roundtrip",
     "orc_sink_roundtrip",
+    "xml_sink_roundtrip",    # new in r04
     "bloom_prefilter_antijoin",
     "incremental_agg_merge",
     "pagerank_nations",
@@ -6023,6 +6024,45 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                            path=_scratch_path(spark, sf_dir, "b_emb"))
     return (spark.table(t_docs).join(spark.table(t_emb), "doc_id")
             .select("doc_id", "source", "n_chars", "dim0"))
+
+
+@register(
+    "xml_sink_roundtrip",
+    oracle="""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       trim(substring(text, 1, 60)) AS head
+FROM documents
+WHERE doc_id % 9 = 0 AND length(trim(substring(text, 1, 60))) > 0
+""")
+def q_xml_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth: XML round trip through Spark 4's
+    NATIVE xml data source (the enterprise-feed format an ingest
+    layer still meets constantly). Values are trimmed and non-empty
+    on BOTH sides because XML readers strip surrounding whitespace
+    and read empty elements as null — the contract is made explicit
+    rather than depending on those defaults. The read passes an
+    explicit schema so a numeric-looking head can never flip the
+    column's inferred type. Overwrite keeps the query idempotent."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    d = _t(spark, sf_dir, "documents")
+    head = F.trim(F.substring("text", 1, 60))
+    out = (d.where((F.col("doc_id") % 9 == 0) & (F.length(head) > 0))
+           .select("doc_id", "source",
+                   F.col("n_chars").cast("long").alias("n_chars"),
+                   head.alias("head")))
+    path = _scratch_path(spark, sf_dir, "xml_sink")
+    (out.write.mode("overwrite").option("rootTag", "docs")
+     .option("rowTag", "doc").format("xml").save(path))
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("head", StringType()),
+    ])
+    return (spark.read.schema(schema).option("rowTag", "doc")
+            .format("xml").load(path))
 
 
 @register(
