@@ -262,7 +262,9 @@ WINDOW_PRIORITY: list[str] = [
     "alpha_mixture_weights",
     "csv_sink_roundtrip",
     "orc_sink_roundtrip",
-    "xml_sink_roundtrip",    # new in r04
+    "xml_sink_roundtrip",     # new in r04
+    "variant_props_shred",    # new in r04
+    "pandas_on_spark_summary",  # new in r04
     "bloom_prefilter_antijoin",
     "incremental_agg_merge",
     "pagerank_nations",
@@ -2768,6 +2770,64 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy((F.col("k") % 10).cast("int").alias("k_mod"))
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.sum("k").cast("long").alias("sum_k")))
+
+
+@register(
+    "variant_props_shred",
+    oracle="""
+SELECT CAST(CAST(json_extract(props, '$.k') AS INT) // 20 AS INT) AS k_band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1
+""")
+def q_variant_props_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type — the
+    modern lakehouse path for schema-on-read: ``parse_json`` builds
+    the shredded binary VARIANT once, ``try_variant_get`` extracts a
+    typed path from it (no per-access string re-parse, unlike
+    get_json_object), and the aggregation runs over the typed column.
+    At 100 TB the difference is parsing each JSON blob ONCE into a
+    columnar-shreddable encoding vs re-tokenizing strings per
+    expression. floor-div banding matches the oracle's // (both
+    floor toward -inf on non-negative k)."""
+    e = _events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (e.select(k.alias("k")).where(F.col("k").isNotNull())
+            .groupBy(F.floor(F.col("k") / 20).cast("int").alias("k_band"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min("k").cast("int").alias("min_k"),
+                 F.max("k").cast("int").alias("max_k")))
+
+
+@register(
+    "pandas_on_spark_summary",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(l_quantity) AS DOUBLE), 6) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_pandas_on_spark_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark surface (pyspark.pandas): the same
+    flag-level summary a pandas user would write with groupby/agg,
+    executing as distributed Spark plans underneath (to_spark() hands
+    the logical plan back — no driver materialization anywhere). This
+    is API breadth, not a new operator: the point is that the
+    pandas-shaped front end lands on the same Catalyst plan the SQL
+    twin (the oracle) describes."""
+    import pyspark.pandas as ps
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    psdf = li.pandas_api()
+    g = psdf.groupby("l_returnflag").agg(
+        n=("l_quantity", "count"), sum_qty=("l_quantity", "sum"))
+    out = g.reset_index().to_spark()
+    return out.select("l_returnflag", F.col("n").cast("long").alias("n"),
+                      F.round(F.col("sum_qty").cast("double"), 6)
+                      .alias("sum_qty"))
 
 
 _DD_Q8 = ("list_transform({v}, x -> CAST(greatest(-127, least(127, "
