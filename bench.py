@@ -101,10 +101,26 @@ def main() -> None:
         try:
             with open(ab_path) as f:
                 ab = json.load(f)
-            for k in ("ab_prev_commit", "ab_prev_subtotal", "ab_host",
-                      "ab_recorded_at"):
-                if k in ab:
-                    out[k] = ab[k]
+            import platform
+            import subprocess
+            here = platform.node()
+            head = subprocess.run(
+                ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+                 "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True).stdout.strip()
+            # a baseline recorded on another host, or one recorded at
+            # the CURRENT commit (A vs A), is not a valid like-for-like
+            # number — presenting it as one would be worse than having
+            # no A/B fields, so it is dropped with an explanatory flag
+            if ab.get("ab_host") != here:
+                out["ab_skipped"] = "baseline host mismatch"
+            elif head and head.startswith(str(ab.get("ab_prev_commit"))):
+                out["ab_skipped"] = "baseline commit == HEAD"
+            else:
+                for k in ("ab_prev_commit", "ab_prev_subtotal", "ab_host",
+                          "ab_recorded_at"):
+                    if k in ab:
+                        out[k] = ab[k]
         except (OSError, ValueError):
             pass  # a malformed A/B file must never fail the bench
     print(json.dumps(out))

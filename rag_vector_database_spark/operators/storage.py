@@ -165,6 +165,12 @@ def _isolated_session(spark):
     this module's own overrides on top."""
     s = spark.newSession()
     for row in spark.sql("SET").collect():
+        if "(redacted)" in str(row["value"]):
+            # SET redacts credential-like values (spark.redaction.regex);
+            # copying the literal '*********(redacted)' would CORRUPT
+            # the conf in the private session. Such confs keep their
+            # builder-time value, which newSession already inherits.
+            continue
         try:
             s.conf.set(row["key"], row["value"])
         except Exception:

@@ -278,7 +278,6 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_minhash_pairs",    # new in r04
     "ivf_delta_assign",           # new in r04
     "multimodal_audio_energy",    # new in r04
-    "multimodal_audio_energy",    # new in r04
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -2818,8 +2817,6 @@ def q_pandas_on_spark_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     is API breadth, not a new operator: the point is that the
     pandas-shaped front end lands on the same Catalyst plan the SQL
     twin (the oracle) describes."""
-    import pyspark.pandas as ps
-
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     psdf = li.pandas_api()
     g = psdf.groupby("l_returnflag").agg(

@@ -206,6 +206,12 @@ def run_cold(names: list[str]) -> dict:
     import re
     import subprocess
 
+    from rag_vector_database_spark.plans.registry import REGISTRY
+    known = {q.name for q in REGISTRY}
+    missing = [n for n in names if n not in known]
+    if missing:
+        raise SystemExit(f"unknown query name(s): {missing}")
+
     repo = os.path.dirname(os.path.abspath(__file__))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     out = {"metric": "cold single-shot wall-clock, fresh session per "
@@ -226,6 +232,13 @@ def run_cold(names: list[str]) -> dict:
 
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if cmd not in ("build", "run", "cold"):
+        # an unrecognized first arg is almost certainly a query name
+        # typed without the subcommand — failing loudly beats silently
+        # dropping it and probing the wrong suite
+        raise SystemExit(
+            f"unknown command {cmd!r}: usage scale_probe.py "
+            "{build | run [name ...] | cold <name> [name ...]}")
     if cmd == "build":
         print(build())
         return

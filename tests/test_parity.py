@@ -37,3 +37,17 @@ def test_registry_names_unique_and_wired():
         if q.oracle is not None:
             assert q.oracle.strip().upper().startswith(
                 ("SELECT", "WITH", "(")), q.name
+    # WINDOW_PRIORITY is the graded ordering: a duplicate would make a
+    # query occupy two slots (and run twice for list consumers); an
+    # unknown name is a silent no-op. Both must fail loudly here.
+    from rag_vector_database_spark.plans.registry import WINDOW_PRIORITY
+    wp = list(WINDOW_PRIORITY)
+    assert len(wp) == len(set(wp)), sorted(
+        n for n in set(wp) if wp.count(n) > 1)
+    known = set(n for n in (q.name for q in REGISTRY))
+    assert [n for n in wp if n not in known] == []
+    # the graded 50-prefix must never contain a no-oracle entry (the
+    # driver can only record err:no_oracle for those)
+    from rag_vector_database_spark.plans.registry import queries
+    no_oracle = {q.name for q in REGISTRY if q.oracle is None}
+    assert [n for n in list(queries())[:50] if n in no_oracle] == []
