@@ -263,6 +263,7 @@ WINDOW_PRIORITY: list[str] = [
     "csv_sink_roundtrip",
     "orc_sink_roundtrip",
     "xml_sink_roundtrip",     # new in r04
+    "compact_small_files",    # new in r04
     "variant_props_shred",    # new in r04
     "pandas_on_spark_summary",  # new in r04
     "bloom_prefilter_antijoin",
@@ -6081,6 +6082,41 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                            path=_scratch_path(spark, sf_dir, "b_emb"))
     return (spark.table(t_docs).join(spark.table(t_emb), "doc_id")
             .select("doc_id", "source", "n_chars", "dim0"))
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+FROM orders WHERE o_orderkey % 3 = 0
+GROUP BY o_orderpriority
+""")
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files maintenance job as a graded query: a slice of
+    orders is deliberately fragmented into 64 tiny files, compacted
+    back to the stat-derived file count (operators/storage.py:compact
+    — output count from PLAN STATISTICS, no data job; coalesce is a
+    narrow, shuffle-free re-grouping), and the aggregation runs over
+    the COMPACTED store. The oracle reads the original table, so the
+    rewrite is proven lossless; the file-count arithmetic itself is
+    pinned in tests/test_storage.py. At 100 TB this is the job that
+    keeps scan parallelism healthy — thousands of kilobyte files turn
+    a scan into a listing + task-overhead problem."""
+    from ..operators import storage
+
+    frag = _scratch_path(spark, sf_dir, "compact_frag")
+    dest = _scratch_path(spark, sf_dir, "compact_out")
+    (_t(spark, sf_dir, "orders")
+     .where(F.col("o_orderkey") % 3 == 0)
+     .select("o_orderkey", "o_custkey", "o_orderpriority")
+     .repartition(64).write.mode("overwrite").parquet(frag))
+    storage.compact(frag, spark, target_bytes=32 * 1024 * 1024,
+                    out_path=dest)
+    return (spark.read.parquet(dest)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("o_custkey").cast("long").alias("sum_cust")))
 
 
 @register(
