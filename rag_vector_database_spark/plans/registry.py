@@ -264,6 +264,7 @@ WINDOW_PRIORITY: list[str] = [
     "orc_sink_roundtrip",
     "xml_sink_roundtrip",     # new in r04
     "compact_small_files",    # new in r04
+    "knn_adaptive_dispatch",  # new in r04
     "variant_props_shred",    # new in r04
     "pandas_on_spark_summary",  # new in r04
     "bloom_prefilter_antijoin",
@@ -401,6 +402,51 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's cell — the partition-pruning scale path for #47."""
     qv = query_vector(spark, sf_dir)
     return retrieval.ivf_knn(_t(spark, sf_dir, "embeddings"), qv, k=10)
+
+
+@register(
+    "knn_adaptive_dispatch",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END) AS bucket, qv FROM q
+),
+exact AS (
+  SELECT 'exact' AS path, e.vec_id, round({dot}, 6) AS score
+  FROM embeddings e, qb
+  ORDER BY score DESC, e.vec_id LIMIT 10
+),
+approx AS (
+  SELECT 'approx' AS path, e.vec_id, round({dot}, 6) AS score
+  FROM embeddings e, qb
+  WHERE (CASE WHEN e.embedding[1] >= 0 THEN 1 ELSE 0 END
+       + CASE WHEN e.embedding[2] >= 0 THEN 2 ELSE 0 END
+       + CASE WHEN e.embedding[3] >= 0 THEN 4 ELSE 0 END) = qb.bucket
+  ORDER BY score DESC, e.vec_id LIMIT 10
+)
+SELECT * FROM exact UNION ALL SELECT * FROM approx
+""".format(dot=dd_dot("e.embedding", "qb.qv")))
+def q_knn_adaptive_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call retrieval API's ADAPTIVE physical dispatch
+    (retrieval.topk_by_similarity, SURVEY section 4): table size from
+    Catalyst plan statistics — never an eager count job — picks exact
+    brute force below the threshold and sign-bucket IVF pruning above
+    it. Both branches are exercised in one query by steering the same
+    corpus through each side of the threshold, tagged by path; the
+    oracle computes both contracts, so the dispatcher is proven to
+    return exactly its chosen strategy's answer (and the dispatch
+    itself is proven job-free in tests/test_perf_shapes.py)."""
+    qv = query_vector(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = retrieval.topk_by_similarity(
+        emb, qv, 10, approx_threshold_rows=10_000_000)
+    approx = retrieval.topk_by_similarity(
+        emb, qv, 10, approx_threshold_rows=0)
+    return (exact.select(F.lit("exact").alias("path"), "vec_id", "score")
+            .unionByName(approx.select(F.lit("approx").alias("path"),
+                                       "vec_id", "score")))
 
 
 @register(
