@@ -590,3 +590,36 @@ def test_ivf_delta_assignment_plan_is_scan_local(spark):
     plan = delta._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_prefix_filtered_jaccard_equals_brute_force(spark):
+    """ngram_jaccard_pairs' prefix filter is EXACT: on a random corpus
+    it returns precisely the cross-join result at every threshold (the
+    AllPairs prefix lemma, not a recall trade). Also rejects t<=0,
+    where pairs sharing no shingle would be in-contract."""
+    import random
+
+    import pytest
+
+    random.seed(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(random.choices(vocab, k=random.randint(0, 25))))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.1, 0.5):
+        got = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            df, shingle_n=2, threshold=t).collect()))
+        sh = df.select(F.col("doc_id").alias("k"),
+                       dedup.word_shingles(F.col("text"), 2).alias("sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        want = sorted(map(tuple, (
+            a.join(b, F.col("a.k") < F.col("b.k"))
+            .select(F.col("a.k").alias("id_a"),
+                    F.col("b.k").alias("id_b"),
+                    dedup.jaccard(F.col("a.sh"),
+                                  F.col("b.sh")).alias("jaccard"))
+            .where(F.col("jaccard") >= F.lit(t))).collect()))
+        assert got == want and len(got) > 0
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(df, threshold=0.0)
+    dedup.release_caches()
