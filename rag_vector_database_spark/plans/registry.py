@@ -929,8 +929,10 @@ WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
       ELSE 0.0 END >= 0.1
 """.format(shingles=dd_shingles("text", 2)))
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise n-gram Jaccard on a sampled slice — the
-    brute-force baseline that oracles the MinHash approximation."""
+    """Exact pairwise n-gram Jaccard on a sampled slice, computed via
+    the prefix-filtered set-similarity join (dedup.ngram_jaccard_pairs
+    — exact, never a recall trade); the ORACLE is the brute-force
+    cross join, so the pruned plan is proven pair-identical."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
     return dedup.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.1)
 
@@ -5187,8 +5189,10 @@ def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation: MinHash+LSH pair recall/precision
     against the exact-Jaccard ground truth at the same threshold —
     the measure-don't-guess gate run before trusting a banding config
-    at scale. The exact side is quadratic BY DESIGN (an eval on a
-    sampled slice in production; the full corpus here is the sample).
+    at scale. The exact side is the prefix-filtered set-similarity
+    join (dedup.ngram_jaccard_pairs — EXACT, no recall trade), so the
+    ground truth costs shared-rare-shingle candidates rather than
+    corpus²; production would additionally sample the slice.
     Precision is 1.0 by construction (LSH candidates are exact-
     verified); recall quantifies banding misses."""
     d = _t(spark, sf_dir, "documents")
