@@ -32,16 +32,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     of history; in production this is a directory receiving new files).
     The stream source needs a user-specified schema; probe the footer
     batch-side so it matches whichever ts encoding this dataset has."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    reader = (spark.readStream.schema(schema)
-              .format("parquet")
-              # the file stream source requires a directory; sf_dir holds
-              # one parquet per table, so glob down to the events file
-              .option("pathGlobFilter", "events.parquet"))
+    base = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(base).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(base):
+        # the production layout: events is a DIRECTORY of part files
+        # (each part file becomes a micro-batch input) — stream it
+        # directly
+        load_path = base
+    else:
+        # single-file layout (the driver's sf dirs): the file stream
+        # source requires a directory, so glob down to the one file
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        load_path = sf_dir
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(sf_dir)
+    raw = reader.load(load_path)
     if isinstance(schema["ts"].dataType, LongType):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -222,7 +222,11 @@ def run_cold(names: list[str]) -> dict:
         for key, d in (("base_s", SRC), ("scaled_s", DST)):
             code = _COLD_CHILD.format(repo=repo, cpus=cpus, name=name, sf=d)
             r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True, check=True)
+                               capture_output=True, text=True)
+            if r.returncode != 0:
+                raise SystemExit(
+                    f"cold child failed for {name} at {d}:\n"
+                    + r.stderr[-2000:])
             m = re.search(r"COLD_SECONDS ([0-9.]+)", r.stdout)
             out[key][name] = float(m.group(1))
         out["time_ratio_per_query"][name] = round(
