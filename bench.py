@@ -103,18 +103,35 @@ def main() -> None:
                 ab = json.load(f)
             import platform
             import subprocess
+
+            def _rev(ref: str) -> str | None:
+                # full-SHA normalization: short vs long forms must
+                # compare equal; None when git is unavailable or the
+                # ref is unknown (the check then passes open — a
+                # missing git binary must not silently drop the
+                # fields, and an unknown baseline ref is reported)
+                try:
+                    r = subprocess.run(
+                        ["git", "-C",
+                         os.path.dirname(os.path.abspath(__file__)),
+                         "rev-parse", "--verify", f"{ref}^{{commit}}"],
+                        capture_output=True, text=True)
+                    return r.stdout.strip() if r.returncode == 0 else None
+                except OSError:
+                    return None
+
             here = platform.node()
-            head = subprocess.run(
-                ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
-                 "rev-parse", "--short", "HEAD"],
-                capture_output=True, text=True).stdout.strip()
+            head = _rev("HEAD")
+            base = _rev(str(ab.get("ab_prev_commit", "")))
             # a baseline recorded on another host, or one recorded at
             # the CURRENT commit (A vs A), is not a valid like-for-like
             # number — presenting it as one would be worse than having
             # no A/B fields, so it is dropped with an explanatory flag
             if ab.get("ab_host") != here:
                 out["ab_skipped"] = "baseline host mismatch"
-            elif head and head.startswith(str(ab.get("ab_prev_commit"))):
+            elif head is not None and base is None:
+                out["ab_skipped"] = "baseline commit unknown to this repo"
+            elif head is not None and base == head:
                 out["ab_skipped"] = "baseline commit == HEAD"
             else:
                 for k in ("ab_prev_commit", "ab_prev_subtotal", "ab_host",

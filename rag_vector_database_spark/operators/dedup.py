@@ -37,10 +37,17 @@ from ..functions.text import distinct_tokens, tokens
 # call evicts the previous call's cache so repeated invocations in one
 # session don't accumulate blocks; call release_caches() to free the last.
 _PERSISTED: list[DataFrame] = []
+# cap 2, not release-all-on-insert: queries that COMPOSE two dedup ops
+# (minhash_recall_eval holds the exact side's shingle table while the
+# LSH side builds its own) need both alive until execution — releasing
+# all on each insert silently unpersisted the first op's table before
+# any job ran, recomputing it for every consumer.
+_PERSIST_CAP = 2
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
-    release_caches()
+    while len(_PERSISTED) >= _PERSIST_CAP:
+        _PERSISTED.pop(0).unpersist()
     _PERSISTED.append(df.persist())
     return df
 
@@ -427,12 +434,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     rare shingles, not corpus^2. Hot (high-df) shingles sort LAST, so
     they fall out of most prefixes — the selectivity is
     self-limiting. Requires threshold > 0."""
-    sh = df.select(F.col(key_col).alias("k"),
-                   word_shingles(F.col(text_col), shingle_n).alias("sh"))
     if threshold <= 0:
         raise ValueError(
             "prefix filtering requires threshold > 0 (J >= 0 would "
             "include pairs sharing no shingle at all)")
+    # same narrow-scan gate as the minhash path: a one-split parquet
+    # would otherwise tokenize+shingle the whole corpus in one task
+    # while materializing the persisted table
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if _estimated_scan_partitions(df) < par:
+        df = df.repartition(par)
+    sh = df.select(F.col(key_col).alias("k"),
+                   word_shingles(F.col(text_col), shingle_n).alias("sh"))
     sh = _persist_tracked(sh)  # three consumers: prefixes + both verify sides
     # Global RARE-FIRST shingle order (document frequency asc, shingle
     # asc as tie-break): the order only has to be total and identical

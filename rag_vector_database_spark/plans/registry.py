@@ -440,10 +440,15 @@ def q_knn_adaptive_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is proven job-free in tests/test_perf_shapes.py)."""
     qv = query_vector(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
+    # each branch is PINNED via the n_rows override (still exercising
+    # the dispatcher's comparison, never retrieval.knn directly): an
+    # estimate-driven branch choice would silently flip the 'exact'
+    # half to IVF on a corpus whose size estimate crosses the
+    # threshold — a correctness break that only appears at scale
     exact = retrieval.topk_by_similarity(
-        emb, qv, 10, approx_threshold_rows=10_000_000)
+        emb, qv, 10, approx_threshold_rows=10_000_000, n_rows=1)
     approx = retrieval.topk_by_similarity(
-        emb, qv, 10, approx_threshold_rows=0)
+        emb, qv, 10, approx_threshold_rows=0, n_rows=1)
     return (exact.select(F.lit("exact").alias("path"), "vec_id", "score")
             .unionByName(approx.select(F.lit("approx").alias("path"),
                                        "vec_id", "score")))
@@ -2840,9 +2845,13 @@ def q_variant_props_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the difference is parsing each JSON blob ONCE into a
     columnar-shreddable encoding vs re-tokenizing strings per
     expression. floor-div banding matches the oracle's // (both
-    floor toward -inf on non-negative k)."""
+    floor toward -inf on non-negative k). try_parse_json +
+    try_variant_get: a malformed props row yields null and drops out
+    (matching the null-tolerant events_props_json sibling) instead of
+    failing the query; the {"k": int} payload shape is the dataset's
+    contract (TESTDATA.md)."""
     e = _events(spark, sf_dir)
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return (e.select(k.alias("k")).where(F.col("k").isNotNull())
             .groupBy(F.floor(F.col("k") / 20).cast("int").alias("k_band"))
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
@@ -6173,24 +6182,29 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xml_sink_roundtrip",
     oracle="""
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-       trim(substring(text, 1, 60)) AS head
+       trim(substring(text, 1, 60), ' ' || chr(9) || chr(10) || chr(13))
+         AS head
 FROM documents
-WHERE doc_id % 9 = 0 AND length(trim(substring(text, 1, 60))) > 0
+WHERE doc_id % 9 = 0
+  AND length(trim(substring(text, 1, 60),
+                  ' ' || chr(9) || chr(10) || chr(13))) > 0
 """)
 def q_xml_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source/sink format breadth: XML round trip through Spark 4's
     NATIVE xml data source (the enterprise-feed format an ingest
-    layer still meets constantly). Values are trimmed and non-empty
-    on BOTH sides because XML readers strip surrounding whitespace
-    and read empty elements as null — the contract is made explicit
-    rather than depending on those defaults. The read passes an
-    explicit schema so a numeric-looking head can never flip the
-    column's inferred type. Overwrite keeps the query idempotent."""
+    layer still meets constantly). Values are btrim'ed of ALL xml
+    whitespace (space/tab/LF/CR — the reader strips every kind of
+    surrounding whitespace, not just spaces) and non-empty on BOTH
+    sides, since empty elements read back as null — the contract is
+    made explicit rather than depending on reader defaults. The read
+    passes an explicit schema so a numeric-looking head can never
+    flip the column's inferred type. Overwrite keeps the query
+    idempotent."""
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
     d = _t(spark, sf_dir, "documents")
-    head = F.trim(F.substring("text", 1, 60))
+    head = F.btrim(F.substring("text", 1, 60), F.lit(" \t\n\r"))
     out = (d.where((F.col("doc_id") % 9 == 0) & (F.length(head) > 0))
            .select("doc_id", "source",
                    F.col("n_chars").cast("long").alias("n_chars"),

@@ -32,13 +32,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     of history; in production this is a directory receiving new files).
     The stream source needs a user-specified schema; probe the footer
     batch-side so it matches whichever ts encoding this dataset has."""
-    import os
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(base).schema
     reader = spark.readStream.schema(schema).format("parquet")
-    if os.path.isdir(base):
+
+    def _is_dir(path: str) -> bool:
+        # probe through the Hadoop FileSystem, not os.path: a
+        # directory-of-parts table addressed via file://, hdfs:// or
+        # s3a:// must take the directory branch too — os.path.isdir
+        # would silently route it into the leaf-name glob, which
+        # matches zero part files
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.getFileStatus(p).isDirectory()
+
+    if _is_dir(base):
         # the production layout: events is a DIRECTORY of part files
         # (each part file becomes a micro-batch input) — stream it
         # directly

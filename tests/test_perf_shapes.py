@@ -63,13 +63,17 @@ def test_minhash_repartitions_narrow_input(spark):
 
 
 def test_minhash_cache_released_between_calls(spark):
+    """The tracked persist list is CAPPED (not unbounded, not
+    release-all-on-insert): repeated calls evict the oldest beyond
+    _PERSIST_CAP, while a two-op composition (minhash_recall_eval's
+    exact + LSH sides) keeps both tables alive until execution."""
     docs = spark.createDataFrame(
         [(i, f"one two three four five {i % 7}") for i in range(40)],
         "doc_id long, text string")
-    dedup.minhash_lsh_pairs(docs).collect()
-    assert len(dedup._PERSISTED) == 1
-    dedup.minhash_lsh_pairs(docs).collect()
-    assert len(dedup._PERSISTED) == 1  # previous cache evicted, not stacked
+    dedup.release_caches()
+    for _ in range(dedup._PERSIST_CAP + 2):
+        dedup.minhash_lsh_pairs(docs).collect()
+        assert len(dedup._PERSISTED) <= dedup._PERSIST_CAP
     dedup.release_caches()
     assert not dedup._PERSISTED
 
