@@ -66,10 +66,28 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     return max(1, -(-size // max_split))
 
 
-def release_caches() -> None:
-    """Unpersist any shingle table cached by minhash_lsh_pairs. Safe to
-    call once the returned pair DataFrame has been fully consumed."""
-    while _PERSISTED:
+def cache_mark() -> int:
+    """Snapshot of the tracked-cache depth, taken BEFORE a composed
+    dedup call so ``release_caches(since=mark)`` frees only what that
+    call appended."""
+    return len(_PERSISTED)
+
+
+def release_caches(since: int = 0) -> None:
+    """Unpersist shingle tables cached by minhash_lsh_pairs. Safe to
+    call once the returned pair DataFrame has been fully consumed.
+
+    With no argument everything tracked is released. A long-lived
+    scope that runs dedup ops in a loop while OTHER compositions may
+    be alive in the same driver (the streaming near-dup foreachBatch)
+    must instead pass ``since`` = ``cache_mark()`` taken before its
+    own call, releasing only its own suffix — releasing all would
+    silently unpersist e.g. minhash_recall_eval's two live shingle
+    tables and recompute them for every later consumer. If the
+    ``_PERSIST_CAP`` eviction already rotated entries past the mark,
+    the scoped release frees nothing extra — the cap then bounds
+    total persisted tables, which is the invariant that matters."""
+    while len(_PERSISTED) > max(0, since):
         _PERSISTED.pop().unpersist()
 
 

@@ -153,6 +153,13 @@ def write_range_sorted(df: DataFrame, path: str, col: str,
 
 _V1_LIST_KEY = "spark.sql.sources.useV1SourceList"
 _AGG_PD_KEY = "spark.sql.parquet.aggregatePushdown"
+_INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+# One private session per SparkContext, reused across calls: creating
+# a newSession() per footer probe / GDPR delete accumulates JVM
+# session state in a long-lived driver. Value is (session, synced_keys)
+# where synced_keys is the set of conf keys copied on the last sync —
+# needed to UNSET confs the caller has since unset.
+_ISOLATED: dict = {}
 
 
 def _isolated_session(spark):
@@ -162,8 +169,25 @@ def _isolated_session(spark):
     runtime (session.read_events does) would lose it — the private
     session's reads would fail where the caller's succeed. Copy every
     explicitly-set conf (``SET`` lists exactly those) before applying
-    this module's own overrides on top."""
-    s = spark.newSession()
+    this module's own overrides on top.
+
+    The session is CACHED per SparkContext (keyed on applicationId,
+    mirroring registry._TRI_CACHE) and re-synced on every acquisition:
+    (a) this module's own overrides and any conf copied on a previous
+    sync but no longer set on the caller are unset back to their
+    builder-time values, then (b) the caller's currently-set runtime
+    confs are copied. Repeated footer probes / partitioned deletes in
+    a long-lived driver therefore reuse ONE private session instead of
+    leaking one per call."""
+    app_id = spark.sparkContext.applicationId
+    cached = _ISOLATED.get(app_id)
+    if cached is None:
+        # a new context means any prior one is dead; drop its entry
+        for stale in [k for k in _ISOLATED if k != app_id]:
+            del _ISOLATED[stale]
+        cached = (spark.newSession(), set())
+    s, prev_keys = cached
+    live = {}
     for row in spark.sql("SET").collect():
         if "(redacted)" in str(row["value"]):
             # SET redacts credential-like values (spark.redaction.regex);
@@ -171,10 +195,19 @@ def _isolated_session(spark):
             # the conf in the private session. Such confs keep their
             # builder-time value, which newSession already inherits.
             continue
+        live[row["key"]] = row["value"]
+    for key in (prev_keys | {_V1_LIST_KEY, _AGG_PD_KEY, _INFER_KEY}) \
+            - set(live):
         try:
-            s.conf.set(row["key"], row["value"])
+            s.conf.unset(key)
+        except Exception:
+            pass  # static/read-only entries can't be unset
+    for key, value in live.items():
+        try:
+            s.conf.set(key, value)
         except Exception:
             pass  # static/read-only entries can't be re-set
+    _ISOLATED[app_id] = (s, set(live))
     return s
 
 
@@ -275,20 +308,28 @@ def delete_keys_partitioned(spark, store_path: str, keys: DataFrame,
     # string partition like '001' reads back as int 1, whose str()
     # matches the wrong directory (or none) — silent misses. The
     # toggle lives in a private session so it can never leak.
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    import uuid
+
     s = _isolated_session(spark)
-    s.conf.set(infer_key, "false")
+    s.conf.set(_INFER_KEY, "false")
     store = s.read.parquet(store_path)
-    # the keys DataFrame belongs to the caller's session; rebuild it
-    # in the private one (delete sets are small by contract)
-    keys_local = s.createDataFrame(keys.select(key).collect(),
-                                   keys.select(key).schema)
-    # one job yields both the affected partition VALUES and the
-    # doomed row count per partition (= rows_deleted, single-writer
-    # store), so the rewrite loop below never runs count jobs
-    doomed = (store.join(F.broadcast(keys_local), key, "left_semi")
-              .groupBy(partition_col).count())
-    doomed_counts = {r[0]: r[1] for r in doomed.collect()}
+    # the keys DataFrame belongs to the caller's session; a GLOBAL
+    # temp view is visible to every session of the SparkContext, so
+    # the private session can read the delete set without ever
+    # materializing it on the driver — the set stays distributed no
+    # matter how large it grows
+    view = f"gdpr_delete_keys_{uuid.uuid4().hex}"
+    keys.select(key).createOrReplaceGlobalTempView(view)
+    try:
+        keys_shared = s.table(f"global_temp.{view}")
+        # one job yields both the affected partition VALUES and the
+        # doomed row count per partition (= rows_deleted, single-writer
+        # store), so the rewrite loop below never runs count jobs
+        doomed = (store.join(F.broadcast(keys_shared), key, "left_semi")
+                  .groupBy(partition_col).count())
+        doomed_counts = {r[0]: r[1] for r in doomed.collect()}
+    finally:
+        spark.catalog.dropGlobalTempView(view)
     affected = list(doomed_counts)
     missing = [v for v in affected
                if (None if v is None else str(v)) not in dirs_by_value]

@@ -145,62 +145,26 @@ def register(name: str, oracle: str | None, headline: bool = False):
 # order; everything else follows in registration order. Registration
 # order (REGISTRY) is untouched — tests and bench use it.
 WINDOW_PRIORITY: list[str] = [
-    # -- canaries (driver-green r01-r03; regression sentinels) -------
+    # -- canaries (driver-green r01-r04; regression sentinels) -------
     "knn_bruteforce",
     "retrieval_funnel",
     "chunk_documents",
     "exact_dedup",
     "minhash_neardup",
     "pricing_summary",
-    # -- r04 window: round-3 flagship operators, never driver-graded -
-    "merkle_reconcile",
-    "trajectory_knn",
-    "gdpr_delete_partitioned",
-    "range_sorted_scan",
-    "footer_agg_stats",
-    "observed_ingest",
-    "streaming_idle_timeouts",
-    "streaming_upsert_partitioned",
-    "minhash_delta_clusters",
-    "cuped_adjusted_metric",
-    "triangle_count",
-    "postings_delta_merge",
-    "seasonal_decompose_daily",
-    "k_anonymity_audit",
-    "funnel_step_latency",
-    "forecast_backtest_eval",
-    "manifest_time_travel",
-    "cdc_apply_changelog",
-    "salted_join_skewed",
-    "event_transition_matrix",
-    # -- r04 window: round-3 long tail ------------------------------
-    "hash_reservoir_sample",
-    "ngram_novelty",
-    "vocab_prune_coverage",
-    "dedup_tokens_keep_first",
-    "attribution_first_touch",
-    "normalized_text_dedup",
-    "time_weighted_avg",
-    "ttl_dedup_events",
-    "quarantine_split",
-    "largest_remainder_alloc",
-    "time_decayed_sum",
-    "curriculum_interleave",
-    "adaptive_quality_threshold",
-    # -- r04 window: drift/similarity/quality analytics --------------
-    "psi_value_drift",
-    "centroid_similarity_matrix",
-    "rolling_anomaly_days",
-    "lang_jsd_matrix",
-    "map_literal_enrich",
-    "snapshot_diff",
-    "data_quality_checks",
-    "freshness_by_type",
-    "maxsim_doc_knn",
-    "mmr_rerank",
-    "zorder_topk",
-    # ----- end of the 50-slot graded prefix (6 canaries + 44 new) ---
-    # -- queued for r05: remaining never-graded, oracle-backed -------
+    # -- r05 window: the nine r04-new operators, promoted out of the
+    #    r06 queue per the round-4 verdict (newest, least-proven code
+    #    meets the driver soonest) -----------------------------------
+    "bucketed_join_colocated",
+    "streaming_minhash_pairs",
+    "ivf_delta_assign",
+    "multimodal_audio_energy",
+    "xml_sink_roundtrip",
+    "variant_props_shred",
+    "pandas_on_spark_summary",
+    "compact_small_files",
+    "knn_adaptive_dispatch",
+    # -- r05 window: 35 from the never-graded oracle-backed queue ----
     "top_supplier_revenue",
     "large_orders",
     "cheapest_line_per_part",
@@ -236,6 +200,9 @@ WINDOW_PRIORITY: list[str] = [
     "repetition_stats",
     "pack_sequences",
     "key_skew_profile",
+    # ----- end of the 50-slot graded prefix (6 canaries + 44 new) ---
+    # -- queued for r06: remaining never-graded, oracle-backed -------
+    "daily_drop_pipeline",        # new in r05 (composed incremental flagship)
     "customer_distribution",
     "knn_batch",
     "label_centroid_spread",
@@ -245,7 +212,6 @@ WINDOW_PRIORITY: list[str] = [
     "domain_mixture_weights",
     "ivf_kmeans_knn",
     "weighted_domain_sample",
-    # -- queued for r06: rest of the never-graded set ----------------
     "unigram_quality",
     "embedding_dim_stats",
     "bpe_merges",
@@ -262,11 +228,6 @@ WINDOW_PRIORITY: list[str] = [
     "alpha_mixture_weights",
     "csv_sink_roundtrip",
     "orc_sink_roundtrip",
-    "xml_sink_roundtrip",     # new in r04
-    "compact_small_files",    # new in r04
-    "knn_adaptive_dispatch",  # new in r04
-    "variant_props_shred",    # new in r04
-    "pandas_on_spark_summary",  # new in r04
     "bloom_prefilter_antijoin",
     "incremental_agg_merge",
     "pagerank_nations",
@@ -276,10 +237,6 @@ WINDOW_PRIORITY: list[str] = [
     "sql_api_shipping_priority",
     "token_entropy",
     "token_collocations",
-    "bucketed_join_colocated",    # new in r04
-    "streaming_minhash_pairs",    # new in r04
-    "ivf_delta_assign",           # new in r04
-    "multimodal_audio_energy",    # new in r04
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -6181,13 +6138,16 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "xml_sink_roundtrip",
     oracle="""
-SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-       trim(substring(text, 1, 60), ' ' || chr(9) || chr(10) || chr(13))
-         AS head
-FROM documents
-WHERE doc_id % 9 = 0
-  AND length(trim(substring(text, 1, 60),
-                  ' ' || chr(9) || chr(10) || chr(13))) > 0
+SELECT * FROM (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         trim(substring(text, 1, 60),
+              ' ' || chr(9) || chr(10) || chr(13)) AS head
+  FROM documents
+  WHERE doc_id % 9 = 0
+)
+WHERE length(head) > 0
+  AND NOT regexp_matches(head,
+        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x{FFFE}-\\x{FFFF}]')
 """)
 def q_xml_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source/sink format breadth: XML round trip through Spark 4's
@@ -6196,16 +6156,24 @@ def q_xml_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace (space/tab/LF/CR — the reader strips every kind of
     surrounding whitespace, not just spaces) and non-empty on BOTH
     sides, since empty elements read back as null — the contract is
-    made explicit rather than depending on reader defaults. The read
-    passes an explicit schema so a numeric-looking head can never
-    flip the column's inferred type. Overwrite keeps the query
-    idempotent."""
+    made explicit rather than depending on reader defaults. Rows
+    whose head contains an XML-1.0-UNREPRESENTABLE character (C0
+    controls other than tab/LF/CR, or the \\uFFFE/\\uFFFF
+    non-characters) are excluded on BOTH sides: the native sink
+    writes them but the document cannot legally exist in XML 1.0, so
+    the read side would fail or mangle the row while a non-XML oracle
+    kept it — a data-dependent parity break. The read passes an
+    explicit schema so a numeric-looking head can never flip the
+    column's inferred type. Overwrite keeps the query idempotent."""
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
     d = _t(spark, sf_dir, "documents")
     head = F.btrim(F.substring("text", 1, 60), F.lit(" \t\n\r"))
-    out = (d.where((F.col("doc_id") % 9 == 0) & (F.length(head) > 0))
+    xml_invalid = head.rlike(
+        r"[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFE}-\x{FFFF}]")
+    out = (d.where((F.col("doc_id") % 9 == 0) & (F.length(head) > 0)
+                   & ~xml_invalid)
            .select("doc_id", "source",
                    F.col("n_chars").cast("long").alias("n_chars"),
                    head.alias("head")))

@@ -53,7 +53,13 @@ def write_doc_slices(spark: SparkSession, sf_dir: str, in_dir: str,
     materialized" (rerun in one application: skip, the checkpoint
     must not see the corpus twice) from "a previous materialization
     died mid-write" (rebuild from scratch — silently streaming a
-    partial corpus would drop every cross-slice pair)."""
+    partial corpus would drop every cross-slice pair).
+
+    The ``.coalesce(1)`` per slice is part of the SIMULATION, not a
+    production write pattern: one file = one trigger is the point
+    here. A real drop directory is written by the upstream producer
+    at its own parallelism; the stream source batches on files/bytes
+    per trigger regardless of how many files each drop comprises."""
     import shutil
 
     marker = os.path.join(in_dir, "_SLICES_COMPLETE")
@@ -117,6 +123,10 @@ def minhash_index_merge(index_path: str, cand_path: str, *,
         from ..operators.ingest import read_store_or_none
 
         spark = batch.sparkSession
+        # scoped release: free only the caches THIS batch appends —
+        # a blanket release_caches() would drop shingle tables a
+        # concurrently-alive dedup composition still holds
+        mark = dedup.cache_mark()
         sh, bands = dedup._minhash_shingle_bands(
             batch, text_col, key_col, shingle_n, n_hashes, n_bands)
         try:
@@ -130,7 +140,7 @@ def minhash_index_merge(index_path: str, cand_path: str, *,
             sh.select("k", "sh").write.mode("append") \
                 .parquet(f"{index_path}/sh")
         finally:
-            dedup.release_caches()
+            dedup.release_caches(since=mark)
 
     return merge
 
