@@ -4610,6 +4610,165 @@ def q_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("vec_id") % 7 == 3).alias("is_delta")))
 
 
+# The composed daily-drop oracle needs the frozen-quantizer k-means
+# trained on BASE SURVIVORS (canonical docs of the base-only cluster
+# pass) — splice the shared Lloyd's CTE chain after the dedup CTEs by
+# stripping its leading WITH.
+_DD_DROP_TRAIN = ("vec_id <= (SELECT th FROM tp) "
+                  "AND vec_id NOT IN (SELECT id FROM blosers)")
+_DD_DROP_ORACLE = (
+    "WITH RECURSIVE " + _DD_MH_CTES + ",\n"
+    + "pairs AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+    + """tp AS (SELECT (max(doc_id) * 2) // 3 AS th FROM documents),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+losers AS (
+  SELECT id FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+  WHERE id <> cluster_id
+),
+bedges AS (
+  SELECT src, dst FROM edges
+  WHERE src <= (SELECT th FROM tp) AND dst <= (SELECT th FROM tp)
+),
+bnodes AS (SELECT DISTINCT src AS id FROM bedges),
+breach(id, r) AS (
+  SELECT id, id FROM bnodes
+  UNION
+  SELECT e.dst, breach.r FROM breach JOIN bedges e ON e.src = breach.id
+),
+blosers AS (
+  SELECT id FROM (SELECT id, min(r) AS cluster_id FROM breach GROUP BY id)
+  WHERE id <> cluster_id
+),"""
+    + _dd_kmeans_cte_split(k=5, train_pred=_DD_DROP_TRAIN)
+    .replace("WITH u AS", "u AS", 1)
+    + """
+SELECT vec_id, cl AS cluster,
+       (vec_id > (SELECT th FROM tp)) AS is_delta
+FROM f
+WHERE vec_id NOT IN (SELECT id FROM losers)
+""")
+
+
+@register("daily_drop_pipeline", oracle=_DD_DROP_ORACLE)
+def q_daily_drop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COMPOSED INCREMENTAL FLAGSHIP — one "daily drop" pass
+    through the full training-data maintenance loop, every leg the
+    incremental (delta-sized) variant that was proven separately:
+
+    1. **Incremental near-dup pairs** (streaming/neardup.py): the
+       base corpus (doc_id <= 2/3·max) builds the persistent LSH band
+       index; the drop (doc_id > 2/3·max) probes ONLY the buckets it
+       touches via the same ``minhash_index_merge`` body the file
+       stream runs — per-batch cost is |batch bands| x bucket width,
+       never corpus². The skew cap is re-applied on FINAL bucket
+       sizes at read time (``final_pairs``), so incremental
+       generation equals the batch answer exactly.
+    2. **Incremental clustering** (operators/dedup.py
+       ``incremental_components``): yesterday's assignments = CC over
+       base-base pairs; today's delta pairs (any pair touching a drop
+       doc) fold in — untouched clusters never enter the propagation.
+    3. **Incremental IVF maintenance**: the coarse quantizer is
+       trained ONCE on base survivors and FROZEN; new canonical docs'
+       vectors are assigned against the literal centroids and
+       APPENDED into their cluster partitions — stored vectors are
+       never read or moved.
+    4. **Targeted retraction** (operators/storage.py
+       ``delete_keys_partitioned``): a drop doc can BRIDGE two base
+       clusters, demoting the higher-id base canonical — those
+       now-duplicate stored vectors are removed by rewriting only the
+       partitions they live in (the GDPR-delete machinery).
+
+    The oracle is the FROM-SCRATCH batch build over the full corpus
+    (full-pair transitive closure -> canonical set -> Lloyd's on base
+    survivors -> assignment of all survivors), so maintained-store ==
+    rebuilt-store is checked value-exact. This mirrors the
+    reference's incremental discipline (chunk_cisa_kev.py:40-66 skip
+    logic; ingest_chunks_to_chromadb.py:175-186 upsert-by-id) at
+    corpus scale. The one driver scalar is max(doc_id) (a 1-row agg);
+    loser/dead-key sets are broadcast-sized by nature of a daily
+    drop."""
+    import shutil
+
+    from ..operators import clustering as CL
+    from ..operators import storage
+    from ..streaming import neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    th = docs.agg(F.max("doc_id").alias("m")).first()["m"] * 2 // 3
+    base_docs = docs.where(F.col("doc_id") <= th)
+    drop_docs = docs.where(F.col("doc_id") > th)
+
+    index = _scratch_path(spark, sf_dir, "dd_pipe_idx")
+    cands = _scratch_path(spark, sf_dir, "dd_pipe_cand")
+    store = _scratch_path(spark, sf_dir, "dd_pipe_ivf")
+    # the index/candidate stores are append-only; a re-run must start
+    # from yesterday's-build state, not double-append
+    for p in (index, cands):
+        shutil.rmtree(p, ignore_errors=True)
+
+    merge = neardup.minhash_index_merge(
+        index, cands,
+        shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], max_bucket=_MH["max_bucket"])
+    merge(base_docs, 0)   # yesterday: build the band index
+    merge(drop_docs, 1)   # today: delta probe of touched buckets only
+    # one pair table feeds three consumers (old CC, delta split, the
+    # incremental work graph) — checkpoint so the jaccard join runs
+    # once, and the cap binds identically on every path
+    pairs = (neardup.final_pairs(
+        spark, index, cands,
+        jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+        .select("id_a", "id_b").localCheckpoint(eager=False))
+
+    old_pairs = pairs.where((F.col("id_a") <= th) & (F.col("id_b") <= th))
+    delta_pairs = pairs.where((F.col("id_a") > th) | (F.col("id_b") > th))
+    assignments = dedup.connected_components(old_pairs)
+    updated = dedup.incremental_components(assignments, delta_pairs)
+
+    loser = lambda a: (a.where(F.col("id") != F.col("cluster_id"))  # noqa: E731
+                       .select("id"))
+    base_losers = loser(assignments)
+    final_losers = loser(updated)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base_surv = (emb.where(F.col("vec_id") <= th)
+                 .join(F.broadcast(base_losers),
+                       emb.vec_id == base_losers.id, "left_anti"))
+    cents = CL.kmeans_centroids(base_surv, k=5, iters=2)  # FROZEN
+    best = CL._argmin_centroid(cents, "embedding", 6)
+    assigned = lambda df: df.select(  # noqa: E731
+        "vec_id", best.getField("cl").alias("cluster"))
+
+    assigned(base_surv).write.mode("overwrite") \
+        .partitionBy("cluster").parquet(store)
+    new_surv = (emb.where(F.col("vec_id") > th)
+                .join(F.broadcast(final_losers),
+                      emb.vec_id == final_losers.id, "left_anti"))
+    assigned(new_surv).write.mode("append") \
+        .partitionBy("cluster").parquet(store)
+    # retraction: base canonicals demoted by a bridge merge
+    dead = (final_losers.where(F.col("id") <= th)
+            .join(base_losers, "id", "left_anti")
+            .select(F.col("id").alias("vec_id")))
+    storage.delete_keys_partitioned(spark, store, dead,
+                                    key="vec_id", partition_col="cluster")
+    return (spark.read.parquet(store)
+            .select("vec_id",
+                    F.col("cluster").cast("long").alias("cluster"),
+                    (F.col("vec_id") > th).alias("is_delta")))
+
+
 @register(
     "semantic_dedup",
     oracle=_dd_kmeans_cte() + """

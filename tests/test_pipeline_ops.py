@@ -351,3 +351,61 @@ def test_cdc_apply_changelog_tombstones(spark, tmp_path):
     assert 10 not in got
     assert got[20]["last_op"] == "purchase" and got[20]["value"] == 5.0
     assert got[30]["last_op"] == "signup"
+
+
+def test_daily_drop_retraction_bridge(spark, tmp_path):
+    """The retraction leg of daily_drop_pipeline: a drop doc BRIDGES
+    two base clusters, so the higher-id base canonical (3) is demoted
+    and its stored vector must be removed by the partition-targeted
+    delete — while the untouched partition's files are never touched.
+    Exercised at the operator level with explicit pairs (the registry
+    query runs the same composition behind LSH pair generation, whose
+    end-to-end value parity the oracle checks)."""
+    import os
+
+    from rag_vector_database_spark.operators import clustering as CL
+    from rag_vector_database_spark.operators import storage
+
+    # yesterday: clusters {1,2} and {3,4}; singletons 0, 5; drop doc 7
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long")
+    delta = spark.createDataFrame(
+        [(1, 7), (3, 7)], "id_a long, id_b long")
+    assignments = dedup.connected_components(old_pairs)
+    updated = dedup.incremental_components(assignments, delta)
+    got = {r["id"]: r["cluster_id"] for r in updated.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 1}
+
+    loser = lambda a: (a.where(F.col("id") != F.col("cluster_id"))  # noqa: E731
+                       .select("id"))
+    base_losers = {r["id"] for r in loser(assignments).collect()}
+    final_losers = {r["id"] for r in loser(updated).collect()}
+    assert base_losers == {2, 4}
+    assert final_losers == {2, 3, 4, 7}
+    dead_ids = sorted((final_losers - base_losers) - {7})
+    assert dead_ids == [3]  # the demoted base canonical
+
+    # frozen-quantizer store over base survivors {0, 1, 3, 5}
+    emb = spark.createDataFrame(
+        [(i, [float(i % 2), float(i >= 3)]) for i in (0, 1, 3, 5)],
+        "vec_id long, embedding array<float>")
+    cents = CL.kmeans_centroids(emb, k=2, iters=1)
+    best = CL._argmin_centroid(cents, "embedding", 6)
+    store = str(tmp_path / "ivf")
+    emb.select("vec_id", best.getField("cl").alias("cluster")) \
+        .write.mode("overwrite").partitionBy("cluster").parquet(store)
+    clusters = {r["vec_id"]: r["cluster"] for r in
+                spark.read.parquet(store).collect()}
+    untouched = [c for c in set(clusters.values()) if c != clusters[3]]
+    mtimes_before = {
+        c: os.path.getmtime(os.path.join(store, f"cluster={c}"))
+        for c in untouched}
+
+    dead = spark.createDataFrame([(3,)], "vec_id long")
+    res = storage.delete_keys_partitioned(
+        spark, store, dead, key="vec_id", partition_col="cluster")
+    assert res == {"partitions_rewritten": 1, "rows_deleted": 1}
+    left = sorted(r["vec_id"] for r in spark.read.parquet(store).collect())
+    assert left == [0, 1, 5]
+    for c, t in mtimes_before.items():
+        assert os.path.getmtime(os.path.join(store, f"cluster={c}")) == t
