@@ -203,6 +203,7 @@ WINDOW_PRIORITY: list[str] = [
     # ----- end of the 50-slot graded prefix (6 canaries + 44 new) ---
     # -- queued for r06: remaining never-graded, oracle-backed -------
     "daily_drop_pipeline",        # new in r05 (composed incremental flagship)
+    "minhash_keep_best",          # new in r05 (quality-aware canonical)
     "customer_distribution",
     "knn_batch",
     "label_centroid_spread",
@@ -754,6 +755,69 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
         max_bucket=_MH["max_bucket"])
     return dedup.connected_components(pairs)
+
+
+@register(
+    "minhash_keep_best",
+    oracle=("WITH RECURSIVE " + _DD_MH_CTES + ",\n"
+            + "pairs AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+            + """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+scored AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         CAST(len(list_distinct({tok})) AS BIGINT) AS n_uniq_tokens
+  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+)
+SELECT doc_id, cluster_id, n_uniq_tokens,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_uniq_tokens DESC, doc_id) = 1)
+         AS kept
+FROM scored
+""".format(tok=DD_TOKENS.format(c="text"))))
+def q_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE canonical selection — the dedup decision a real
+    curation pipeline makes: inside each near-dup cluster keep the
+    doc with the RICHEST content (distinct-token count, doc_id
+    tie-break), not blindly the lowest id. min-id keep
+    (minhash_dedup_clusters) discards a full page when its stub
+    arrived first; argmax-by-quality keeps the page. Singletons are
+    their own cluster and always kept.
+
+    Scale shape: pairs are the sub-quadratic LSH set; CC touches only
+    paired docs; the corpus-wide work is one left join against the
+    (small) cluster map plus ONE shuffle by cluster_id for the
+    per-cluster argmax window — partitions are near-dup clusters,
+    bounded by the LSH bucket cap, so no window partition can
+    explode."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import distinct_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    clusters = dedup.connected_components(pairs)
+    scored = (docs.join(clusters, docs.doc_id == clusters.id, "left")
+              .select(docs.doc_id,
+                      F.coalesce(clusters.cluster_id, docs.doc_id)
+                      .alias("cluster_id"),
+                      F.size(distinct_tokens("text")).cast("long")
+                      .alias("n_uniq_tokens")))
+    w = Window.partitionBy("cluster_id") \
+        .orderBy(F.col("n_uniq_tokens").desc(), F.col("doc_id"))
+    return scored.withColumn("kept", F.row_number().over(w) == 1)
 
 
 @register(

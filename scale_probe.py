@@ -47,8 +47,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = "/tmp/rvdb_scale_sf1.0"
-COPIES = 10
+# RVDB_PROBE_COPIES widens the growth factor (e.g. 30 for the trend-line
+# spot probe of the worst 10x ratios); the dataset dir is keyed on the
+# factor so different factors never clobber each other.
+COPIES = int(os.environ.get("RVDB_PROBE_COPIES", "10"))
+DST = os.environ.get(
+    "RVDB_PROBE_DST",
+    "/tmp/rvdb_scale_sf1.0" if COPIES == 10
+    else f"/tmp/rvdb_scale_{COPIES}x")
 # One stride for every key space: larger than any sf0.1 key, so shifted
 # copies can never collide with each other or the originals.
 STRIDE = 10_000_000
@@ -63,9 +69,20 @@ DIMS = ("region", "nation")  # fixed: dims don't scale with fact data
 
 
 def _rotated(i: int) -> tuple[str, str]:
+    """Injective per-copy letter map with (near-)zero cross-copy
+    shingle overlap. Copies 0-25 rotate the alphabet (unchanged from
+    the original 10x scheme, so the cached 10x dataset stays valid);
+    copies 26-51 use REFLECTED rotations (x -> -x + k), a disjoint
+    family from the pure rotations, so a >26-copy build (the 30x
+    trend-line probe) never repeats a map and near-dup clusters stay
+    per-copy."""
     lo, up = string.ascii_lowercase, string.ascii_uppercase
     k = i % 26
-    return lo + up, lo[k:] + lo[:k] + up[k:] + up[:k]
+    if i < 26:
+        return lo + up, lo[k:] + lo[:k] + up[k:] + up[:k]
+    rlo = (lo[k::-1] + lo[:k:-1])
+    rup = (up[k::-1] + up[:k:-1])
+    return lo + up, rlo + rup
 
 
 def build(spark=None) -> str:
