@@ -663,3 +663,45 @@ def duplicated_ngram_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
             .withColumn("dup_frac",
                         F.round(F.col("dup_covered_tokens")
                                 / F.col("n_tokens"), 6)))
+
+
+def blob_ahash_pairs(hashes: DataFrame, key_col: str = "id",
+                     hash_col: str = "ahash", n_bands: int = 4,
+                     band_bits: int = 8,
+                     max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs over a 32-bit perceptual hash column (see
+    sources.multimodal.ahash32) by banded Hamming blocking — the image
+    near-dup analogue of ``simhash_pairs``: split the hash into
+    ``n_bands`` bit groups, docs sharing any band's value are
+    candidates, survivors verified by exact Hamming distance.
+
+    Pigeonhole recall: a pair at Hamming distance d < n_bands has at
+    least one untouched band, so blocking has FULL recall for
+    ``max_hamming < n_bands`` (the default 3 < 4) — which is what lets
+    the oracle be a plain all-pairs ``hamming <= 3`` with no band
+    condition. Scale: the hash table is (id, int64); each row emits
+    ``n_bands`` narrow band keys; only same-band buckets are joined,
+    so cost follows bucket occupancy (~|pairs with an 8-bit band
+    collision| ≈ n_bands/2^band_bits of all pairs), never the
+    quadratic corpus. Hamming itself is JVM ``bit_count(xor)`` —
+    no Python in the join."""
+    mask = (1 << band_bits) - 1
+    blocks = hashes.select(
+        F.col(key_col).alias("k"), F.col(hash_col).alias("h"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.shiftright(F.col(hash_col), band_bits * j)
+                 .bitwiseAND(F.lit(mask)).alias("bk"))
+            for j in range(n_bands)])).alias("b")
+    ).select("k", "h", "b.j", "b.bk")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (a.join(b, (F.col("a.j") == F.col("b.j"))
+                   & (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.k") < F.col("b.k")))
+            .select(F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b"),
+                    F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+                     .cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            # a pair can collide in several bands
+            .distinct())

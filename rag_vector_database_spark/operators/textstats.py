@@ -596,3 +596,44 @@ def cms_heavy_hitters(docs: DataFrame, depth: int = 3, width: int = 32,
                        (F.col("cms_est") - F.col("exact_cnt")).cast("long")
                        .alias("overestimate"))
             .orderBy(F.desc("exact_cnt"), "token"))
+
+
+def rank_normalize(df: DataFrame, signal_cols: list[str],
+                   ndigits: int = 6) -> DataFrame:
+    """Percent-rank-normalize each signal column onto [0, 1] —
+    ``pr = (rank - 1) / (N - 1)`` with min-rank ties, exactly SQL's
+    ``percent_rank()`` — WITHOUT the empty-window trap: a bare
+    ``percent_rank() OVER (ORDER BY s)`` collapses the whole corpus
+    into one task. Instead each signal is reduced to its VALUE
+    HISTOGRAM (groupBy value -> count), ranks are prefix-summed over
+    that tiny distinct-value table, and the (value -> pr) map is
+    broadcast-joined back to the rows. Cost per signal: one partial
+    agg shuffle over the value domain + one broadcast — the domain
+    stays bounded because continuous signals are quantized (round to
+    ``ndigits``) before ranking, which both engines do identically.
+
+    Adds ``pr_<col>`` per input column, each rounded to ``ndigits``.
+    N comes from the histogram's own count sum (no eager driver
+    count; the plan stays lazy end-to-end)."""
+    out = df
+    for c in signal_cols:
+        hist = df.groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
+        w = Window.orderBy(F.col(c).asc())  # distinct values only: tiny
+        ranks = (hist
+                 .withColumn("__below",
+                             F.coalesce(
+                                 F.sum("__cnt").over(
+                                     w.rowsBetween(Window.unboundedPreceding,
+                                                   -1)),
+                                 F.lit(0)))
+                 .withColumn("__n", F.sum("__cnt").over(
+                     Window.rowsBetween(Window.unboundedPreceding,
+                                        Window.unboundedFollowing)))
+                 .select(F.col(c).alias("__v"),
+                         F.round(F.col("__below")
+                                 / F.greatest(F.col("__n") - 1, F.lit(1))
+                                   .cast("double"), ndigits)
+                          .alias(f"pr_{c}")))
+        out = out.join(F.broadcast(ranks), out[c] == ranks["__v"]) \
+                 .drop("__v")
+    return out

@@ -238,6 +238,10 @@ WINDOW_PRIORITY: list[str] = [
     "sql_api_shipping_priority",
     "token_entropy",
     "token_collocations",
+    "phash_blob_neardup",         # new in r05 (multimodal aHash near-dup)
+    "retrieval_ndcg_eval",        # new in r05 (nDCG/MRR scorecard)
+    "quality_blend_rank",         # new in r05 (rank-normalized blending)
+    "domain_cap_sample",          # new in r05 (salted per-domain budget)
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -9387,3 +9391,237 @@ def q_streaming_upsert_partitioned(spark: SparkSession,
             .select("user_id", "event_type",
                     F.unix_micros("ts").alias("ts_us"),
                     F.round("value", 6).alias("value")))
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: multimodal near-dup, retrieval eval metrics,
+# rank-normalized quality blending, per-domain crawl budgets
+
+@register(
+    "phash_blob_neardup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
+),
+pos AS (
+  SELECT doc_id, L, CAST(((g.i - 1) * 32) // L AS INT) AS blk,
+         ascii(substring(text, g.i, 1)) AS v
+  FROM d, unnest(generate_series(1, L)) g(i)
+),
+blocks AS (
+  SELECT doc_id, any_value(L) AS L, blk,
+         sum(v) AS s, count(*) AS n
+  FROM pos GROUP BY doc_id, blk
+),
+tot AS (SELECT doc_id, sum(s) AS tot FROM blocks GROUP BY doc_id),
+h AS (
+  SELECT b.doc_id,
+         CAST(sum(CASE WHEN b.s * b.L > t.tot * b.n
+                  THEN (CAST(1 AS BIGINT) << b.blk) ELSE 0 END)
+              AS BIGINT) AS ahash
+  FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+""")
+def q_phash_blob_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style perceptual-hash near-dup over the multimodal blob
+    column: the aHash kernel (sources/multimodal.py:ahash32 — resize
+    to 32 blocks, threshold each against the blob mean, pack bits)
+    runs as an Arrow/mapInPandas numpy loop over the blobs, then the
+    banded Hamming join (operators/dedup.py:blob_ahash_pairs — 4x8-bit
+    bands, JVM bit_count(xor) verify) finds pairs at distance <= 3
+    with FULL pigeonhole recall, so the oracle is a plain all-pairs
+    Hamming filter. The shape of an image near-dup pipeline end to
+    end: blobs touched exactly once, the 12-byte/blob hash table is
+    all the join ever shuffles. Pure-ASCII docs only on BOTH sides
+    (the kernel hashes UTF-8 BYTES, the SQL oracle characters)."""
+    d = (_t(spark, sf_dir, "documents")
+         .where((F.length("text") > 0)
+                & (F.octet_length(F.encode("text", "UTF-8"))
+                   == F.length("text"))))
+    blobs = multimodal.attach_blob(d)
+    hashes = multimodal.ahash32(blobs, id_col="doc_id")
+    pairs = dedup.blob_ahash_pairs(hashes, key_col="id")
+    return pairs.select(F.col("id_a").alias("doc_a"),
+                        F.col("id_b").alias("doc_b"), "hamming")
+
+
+_NDCG_DISC = retrieval.dcg_discounts(10)
+_NDCG_CUM = retrieval.dcg_cum_discounts(10)
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 8),
+scored AS (
+  SELECT q.qid, q.qlabel, c.vec_id, c.label, round({dot}, 6) AS score
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT qid, qlabel, vec_id, label, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+),
+topk AS (
+  SELECT qid, rn, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE rn <= 10
+),
+cnt AS (
+  SELECT q.qid, count(*) AS n_rel
+  FROM c JOIN q ON c.label = q.qlabel GROUP BY q.qid
+),
+disc AS (SELECT * FROM (VALUES {disc_rows}) AS t(rn, d)),
+cum AS (SELECT * FROM (VALUES {cum_rows}) AS t(m, cd)),
+perq AS (
+  SELECT t.qid, sum(t.rel * disc.d) AS dcg,
+         min(CASE WHEN t.rel = 1 THEN t.rn END) AS best,
+         sum(t.rel) AS hits
+  FROM topk t JOIN disc ON t.rn = disc.rn GROUP BY t.qid
+)
+SELECT p.qid, CAST(c2.n_rel AS BIGINT) AS n_rel,
+       round(p.dcg / cum.cd, 6) AS ndcg_at_k,
+       round(CASE WHEN p.best IS NOT NULL
+             THEN 1.0 / p.best ELSE 0.0 END, 6) AS mrr,
+       round(p.hits / 10.0, 6) AS p_at_k,
+       round(p.hits / CAST(c2.n_rel AS DOUBLE), 6) AS recall_at_k
+FROM perq p
+JOIN cnt c2 ON p.qid = c2.qid
+JOIN cum ON cum.m = least(c2.n_rel, 10)
+""".format(dot=dd_dot("c.embedding", "q.qv"),
+           disc_rows=", ".join(f"({r + 1}, {d!r})"
+                               for r, d in enumerate(_NDCG_DISC)),
+           cum_rows=", ".join(f"({m + 1}, {c!r})"
+                              for m, c in enumerate(_NDCG_CUM))))
+def q_retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval scorecard: nDCG@10 / MRR / precision@10 /
+    recall@10 per query over a batched kNN run, with label-match as
+    graded relevance (operators/retrieval.py:ranking_metrics). The
+    reference eyeballs per-query similarity scores; this is that
+    check as a measurable metric layer — the gate every embedding or
+    index change must pass before a corpus re-embed. All
+    transcendental constants (1/log2(r+1) discounts, their prefix
+    sums for ideal DCG) enter BOTH engines as shared 12dp literals —
+    libm log2 is not correctly rounded, and a 1-ulp disagreement
+    could sit exactly on a 6dp rounding boundary. Scale: one corpus
+    pass scores all queries (broadcast query set, salted top-k fold);
+    relevance counts are a label histogram broadcast back; the metric
+    math touches q*k rows only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv"),
+                       F.col("label").alias("qlabel")))
+    corpus = emb.where(F.col("vec_id") >= 8)
+    topk = retrieval.knn_batch_topk(corpus, queries.select("qid", "qv"), 10)
+    qlab = queries.select("qid", "qlabel")
+    relevant = (corpus.join(F.broadcast(qlab),
+                            corpus["label"] == qlab["qlabel"])
+                .select("qid", "vec_id"))
+    rel_counts = (corpus.groupBy("label")
+                  .agg(F.count(F.lit(1)).alias("n_rel"))
+                  .join(F.broadcast(qlab),
+                        F.col("label") == F.col("qlabel"))
+                  .select("qid", "n_rel"))
+    return retrieval.ranking_metrics(topk, relevant, rel_counts, k=10)
+
+
+@register(
+    "quality_blend_rank",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         n_chars AS s_len,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS s_div,
+         round(list_reduce(list_transform(toks, t -> len(t)),
+                           (a, b) -> a + b) * 1.0 / len(toks), 6) AS s_wlen
+  FROM (SELECT doc_id, n_chars, {tok} AS toks FROM documents)
+),
+pr AS (
+  SELECT doc_id,
+         round(percent_rank() OVER (ORDER BY s_len), 6) AS pr_len,
+         round(percent_rank() OVER (ORDER BY s_div), 6) AS pr_div,
+         round(percent_rank() OVER (ORDER BY s_wlen), 6) AS pr_wlen
+  FROM s
+)
+SELECT doc_id, pr_len, pr_div, pr_wlen,
+       round((pr_len + pr_div + pr_wlen) / 3, 6) AS quality_blend
+FROM pr
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_quality_blend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalized quality blending: three heuristic signals
+    (length, distinct-token diversity, mean token length) are each
+    percent-rank-normalized onto [0,1] and averaged — the standard way
+    to combine incommensurable quality scores before quota sampling
+    (raw z-scores drown one signal in another's scale). The oracle
+    uses SQL percent_rank(); the Spark side computes the IDENTICAL
+    min-rank statistic via operators/textstats.py:rank_normalize —
+    value histogram + prefix sum over the tiny distinct-value domain,
+    broadcast back — because a bare unpartitioned window would drag
+    the whole corpus into one task. Signals are quantized (round 6)
+    before ranking on both sides, which is also what bounds the value
+    domain at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text_fns.tokens(F.col("text"))
+    s = d.select(
+        "doc_id",
+        F.col("n_chars").alias("s_len"),
+        F.round(F.size(F.array_distinct(toks))
+                / F.size(toks).cast("double"), 6).alias("s_div"),
+        F.round(F.aggregate(toks, F.lit(0),
+                            lambda acc, t: acc + F.length(t))
+                / F.size(toks).cast("double"), 6).alias("s_wlen"))
+    pr = textstats.rank_normalize(s, ["s_len", "s_div", "s_wlen"])
+    return pr.select(
+        "doc_id",
+        F.col("pr_s_len").alias("pr_len"),
+        F.col("pr_s_div").alias("pr_div"),
+        F.col("pr_s_wlen").alias("pr_wlen"),
+        F.round((F.col("pr_s_len") + F.col("pr_s_div")
+                 + F.col("pr_s_wlen")) / 3, 6).alias("quality_blend"))
+
+
+@register(
+    "domain_cap_sample",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+),
+t AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+k AS (
+  SELECT source, count(*) AS n_kept, min(n_chars) AS cutoff_quality,
+         sum(n_chars) AS kept_quality
+  FROM r WHERE rn <= 15 GROUP BY source
+)
+SELECT t.source, CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(k.n_kept AS BIGINT) AS n_kept,
+       CAST(k.cutoff_quality AS BIGINT) AS cutoff_quality,
+       CAST(k.kept_quality AS BIGINT) AS kept_quality
+FROM t JOIN k USING (source)
+""")
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl budget: keep at most 15 docs per source,
+    best-quality-first (n_chars desc, doc_id tiebreak), and emit each
+    domain's budget ledger — total seen, kept, effective quality
+    cutoff, kept byte mass. The selection runs through
+    operators/sampling.py:salted_top_per_group — a two-phase salted
+    top-cap fold (partial top-15 per salt, final over the survivors)
+    instead of the row_number window the oracle uses, because a
+    PARTITION BY domain window ships a hot domain's every page to one
+    reducer; the fold's biggest group costs cap*n_salts shuffled rows
+    regardless of domain size."""
+    d = _t(spark, sf_dir, "documents")
+    from ..operators import sampling
+    return sampling.domain_cap(d, cap=15)

@@ -1,0 +1,116 @@
+"""Round-5 operators: salted top-cap fold, aHash near-dup blocking,
+rank normalization, ranking metrics — behavioral gates beyond the
+DuckDB parity rows in test_parity.py."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from rag_vector_database_spark.operators import dedup, sampling
+from rag_vector_database_spark.operators.retrieval import (dcg_cum_discounts,
+                                                           dcg_discounts)
+from rag_vector_database_spark.sources import multimodal as mm
+
+
+# ---------------------------------------------------------------------------
+# salted_top_per_group == the window top-N it replaces
+
+def test_salted_top_matches_window(spark):
+    random.seed(7)
+    rows = [(i, f"g{i % 5}", random.randrange(100)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "grp", "q"])
+    order = F.struct(F.col("q").cast("long").alias("q"),
+                     (-F.col("id")).alias("nid"))
+    got = sampling.salted_top_per_group(df, "grp", order, cap=7, id_col="id")
+    w = Window.partitionBy("grp").orderBy(F.col("q").desc(),
+                                          F.col("id").asc())
+    want = (df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 7).drop("rn"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_salted_top_small_group_kept_whole(spark):
+    df = spark.createDataFrame([(1, "g", 5), (2, "g", 3)],
+                               ["id", "grp", "q"])
+    order = F.struct(F.col("q").cast("long").alias("q"),
+                     (-F.col("id")).alias("nid"))
+    got = sampling.salted_top_per_group(df, "grp", order, cap=10,
+                                        id_col="id")
+    assert got.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# ahash32 kernel == the pure-Python reference; banding has full recall
+
+def _ref_ahash(data: bytes, n_blocks: int = 32) -> int:
+    length = len(data)
+    if not length:
+        return 0
+    sums = [0] * n_blocks
+    lens = [0] * n_blocks
+    for p, v in enumerate(data):
+        i = (p * n_blocks) // length
+        sums[i] += v
+        lens[i] += 1
+    tot = sum(sums)
+    h = 0
+    for i in range(n_blocks):
+        if sums[i] * length > tot * lens[i]:
+            h |= 1 << i
+    return h
+
+
+def test_ahash_kernel_matches_reference(spark):
+    texts = ["hello world " * 9, "a", "z" * 48,
+             "the quick brown fox jumps over the lazy dog " * 4]
+    df = mm.attach_blob(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]))
+    got = {r["id"]: r["ahash"] for r in mm.ahash32(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_ahash(t.encode()), t[:20]
+
+
+def test_blob_ahash_pairs_full_recall_vs_allpairs(spark):
+    random.seed(11)
+    base = bytes(random.randrange(256) for _ in range(200))
+    texts = []
+    for i in range(40):
+        b = bytearray(base)
+        for _ in range(i % 5):  # growing perturbation
+            b[random.randrange(200)] = random.randrange(256)
+        texts.append((i, bytes(b).hex()))  # hex keeps it ascii
+    df = mm.attach_blob(spark.createDataFrame(texts, ["id", "text"]))
+    hashes = mm.ahash32(df)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.blob_ahash_pairs(hashes).collect()}
+    hs = {r["id"]: r["ahash"] for r in hashes.collect()}
+    want = {}
+    ids = sorted(hs)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                d = bin(hs[x] ^ hs[y]).count("1")
+                if d <= 3:
+                    want[(x, y)] = d
+    # pigeonhole: max_hamming=3 < 4 bands => banding misses NOTHING
+    assert got == want
+    assert want, "perturbed copies should produce at least one pair"
+
+
+# ---------------------------------------------------------------------------
+# dcg discount literals
+
+def test_dcg_discount_literals():
+    d = dcg_discounts(10)
+    assert d[0] == 1.0
+    assert abs(d[1] - 1 / math.log2(3)) < 1e-9
+    cum = dcg_cum_discounts(10)
+    assert cum[0] == 1.0
+    assert cum[-1] == pytest.approx(sum(d), abs=1e-9)
+    assert all(b > a for a, b in zip(cum, cum[1:]))
