@@ -42,8 +42,12 @@ def salted_top_per_group(df: DataFrame, group_col: str, order_struct,
 
     packed = tagged.withColumn(
         "__row", F.struct(*[F.col(c) for c in df.columns]))
+    # salt on a hash of the id (type-generic; works for string keys).
+    # WHICH salt a row lands on never affects the result — the final
+    # fold re-ranks the union of every salt's partial top-cap.
     partial = fold(
-        packed.withColumn("__salt", F.pmod(F.col(id_col), F.lit(n_salts))),
+        packed.withColumn("__salt",
+                          F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))),
         [group_col, "__salt"]).drop("__salt")
     final = fold(partial, [group_col])
     return final.select([F.col(f"__row.{c}").alias(c) for c in df.columns])
