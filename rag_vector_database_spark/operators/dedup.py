@@ -726,3 +726,33 @@ def blob_ahash_pairs(hashes: DataFrame, key_col: str = "id",
             .where(F.col("hamming") <= max_hamming)
             # a pair can collide in several bands
             .distinct())
+
+
+def frame_dup_stats(frames: DataFrame, id_col: str = "id",
+                    frame_col: str = "frame") -> DataFrame:
+    """Cross-item exact frame dedup: which sampled frames (see
+    sources.multimodal.sample_frames) appear in 2+ distinct parent
+    items, and how redundant each item is — the keyframe-level dedup
+    that slashes video corpora (near-identical clips share most
+    frames byte-for-byte after keyframe extraction).
+
+    Plan: frames are hashed IN PLACE (md5 before any exchange — the
+    shuffle carries 16-byte digests, never frame bytes), the digest
+    table is persisted because two passes consume it (the
+    distinct-parent count and the join back), and the per-item
+    rollup is one narrow agg. Returns (id, n_frames, n_dup_frames,
+    redundancy)."""
+    fh = _persist_tracked(
+        frames.select(F.col(id_col).alias("k"),
+                      F.md5(F.col(frame_col)).alias("h")))
+    per_hash = (fh.groupBy("h")
+                .agg(F.count_distinct("k").alias("nd")))
+    return (fh.join(per_hash, "h")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_frames"),
+                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                  .cast("long").alias("n_dup_frames"))
+            .select(F.col("k").alias(id_col), "n_frames", "n_dup_frames",
+                    F.round(F.col("n_dup_frames")
+                            / F.col("n_frames").cast("double"), 6)
+                     .alias("redundancy")))

@@ -242,6 +242,8 @@ WINDOW_PRIORITY: list[str] = [
     "retrieval_ndcg_eval",        # new in r05 (nDCG/MRR scorecard)
     "quality_blend_rank",         # new in r05 (rank-normalized blending)
     "domain_cap_sample",          # new in r05 (salted per-domain budget)
+    "video_frame_dedup",          # new in r05 (keyframe cross-video dedup)
+    "embedding_outlier_topk",     # new in r05 (per-label farthest members)
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -9625,3 +9627,111 @@ def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     from ..operators import sampling
     return sampling.domain_cap(d, cap=15)
+
+
+@register(
+    "video_frame_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
+),
+f AS (
+  SELECT doc_id, md5(substring(text, g.i * 256 + 1, 256)) AS h
+  FROM d, unnest(generate_series(
+         0, greatest(CAST(ceil(L / 256.0) AS BIGINT), 1) - 1)) g(i)
+  WHERE g.i % 2 = 0
+),
+ph AS (SELECT h, count(DISTINCT doc_id) AS nd FROM f GROUP BY h)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN ph.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_frames,
+       round(sum(CASE WHEN ph.nd >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS redundancy
+FROM f JOIN ph USING (h)
+GROUP BY f.doc_id
+""")
+def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-level cross-video dedup: sampled frames (the
+    mapInPandas 1-blob->N-frames path, sources/multimodal.py:
+    sample_frames — every 2nd 256-byte frame) are hashed in place and
+    frames appearing in 2+ distinct parent videos mark redundancy —
+    the frame-level dedup that shrinks video corpora, since
+    near-identical clips share most keyframes byte-for-byte
+    (operators/dedup.py:frame_dup_stats). The shuffle carries 16-byte
+    digests, never frame bytes; the digest table is persisted for its
+    two consumers. Pure-ASCII docs on BOTH sides (the kernel slices
+    UTF-8 bytes, the oracle characters)."""
+    d = (_t(spark, sf_dir, "documents")
+         .where((F.length("text") > 0)
+                & (F.octet_length(F.encode("text", "UTF-8"))
+                   == F.length("text"))))
+    blobs = multimodal.attach_blob(d)
+    frames = multimodal.sample_frames(blobs, id_col="doc_id",
+                                      frame_bytes=256, stride=2)
+    return (dedup.frame_dup_stats(frames)
+            .select(F.col("id").alias("doc_id"), "n_frames",
+                    "n_dup_frames", "redundancy"))
+
+
+@register(
+    "embedding_outlier_topk",
+    oracle="""
+WITH d AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(cx ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(x) AS cx FROM d GROUP BY label, pos)
+  GROUP BY label
+),
+dist AS (
+  SELECT e.label, e.vec_id,
+         round(sqrt(list_reduce(
+             list_transform(generate_series(1, len(e.embedding)),
+               i -> pow(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i], 2)),
+             (acc, v) -> acc + v)), 6) AS dist
+  FROM embeddings e JOIN cent c ON e.label = c.label
+),
+r AS (
+  SELECT label, vec_id, dist,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id) AS rn
+  FROM dist
+)
+SELECT label, vec_id, dist FROM r WHERE rn <= 3
+""")
+def q_embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anomaly candidates: the 3 members FARTHEST from their
+    label's centroid, per label — the mislabel/junk-vector triage list
+    a curation run reviews before training (a fixed threshold is
+    useless here: this corpus' distance spread is so tight that even
+    1.1x the label mean flags nothing — top-k always surfaces the
+    extremes). Same element-wise-mean centroid + broadcast-back +
+    scan-local zip_with distance as label_centroid_spread; the per-
+    label arg-top-k then runs through the two-phase salted fold
+    (operators/sampling.py:salted_top_per_group), so a million-member
+    label never sorts in one task — the oracle's PARTITION BY window
+    is exactly the plan that fold exists to avoid."""
+    from ..operators import sampling
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (d.groupBy("label", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("cx")))
+    centv = (cent.groupBy("label")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                 lambda t: t.cx).alias("centroid")))
+    j = emb.join(F.broadcast(centv), "label")
+    dd = F.round(F.sqrt(F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("centroid"),
+                   lambda a, b: F.pow(a.cast("double") - b, F.lit(2))),
+        F.lit(0.0), lambda acc, v: acc + v)), 6)
+    dist = j.select("label", "vec_id", dd.alias("dist"))
+    order = F.struct(F.col("dist").alias("d"),
+                     (-F.col("vec_id")).alias("nid"))
+    return sampling.salted_top_per_group(dist, "label", order, cap=3,
+                                         id_col="vec_id")
