@@ -9428,7 +9428,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
-""")
+""",
+    headline=True)  # the multimodal family's bench representative
 def q_phash_blob_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-style perceptual-hash near-dup over the multimodal blob
     column: the aHash kernel (sources/multimodal.py:ahash32 — resize

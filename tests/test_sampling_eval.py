@@ -114,3 +114,52 @@ def test_dcg_discount_literals():
     assert cum[0] == 1.0
     assert cum[-1] == pytest.approx(sum(d), abs=1e-9)
     assert all(b > a for a, b in zip(cum, cum[1:]))
+
+
+# ---------------------------------------------------------------------------
+# empty inputs degrade to empty outputs (no crashes, no NaNs)
+
+def test_empty_inputs_r05_ops(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string, "
+                                     "source string, n_chars long")
+    blobs = mm.attach_blob(docs)
+    hashes = mm.ahash32(blobs, id_col="doc_id")
+    assert dedup.blob_ahash_pairs(hashes).count() == 0
+    dedup.release_caches()
+    frames = mm.sample_frames(blobs, id_col="doc_id")
+    assert dedup.frame_dup_stats(frames).count() == 0
+    dedup.release_caches()
+    order = F.struct(F.col("n_chars").alias("q"),
+                     (-F.col("doc_id")).alias("nid"))
+    assert sampling.salted_top_per_group(
+        docs, "source", order, cap=3, id_col="doc_id").count() == 0
+    assert sampling.domain_cap(docs, cap=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# plan-shape pins
+
+def test_phash_hash_table_cached_and_join_jvm_side(spark):
+    """The banded self-join must consume the PERSISTED hash table on
+    both sides (InMemoryTableScan) so the Python kernel never becomes
+    a per-branch subplan again; past the kernel the plan is pure JVM."""
+    docs = spark.createDataFrame([(1, "a" * 64), (2, "b" * 64)],
+                                 ["doc_id", "text"])
+    hashes = mm.ahash32(mm.attach_blob(docs), id_col="doc_id")
+    pairs = dedup.blob_ahash_pairs(hashes)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    dedup.release_caches()
+
+
+def test_salted_top_per_group_plan_has_no_window(spark):
+    """The whole point of the fold: no PARTITION BY group window, so
+    no single task ever holds a whole group."""
+    df = spark.createDataFrame([(1, "g", 5)], ["id", "grp", "q"])
+    order = F.struct(F.col("q").cast("long").alias("q"),
+                     (-F.col("id")).alias("nid"))
+    out = sampling.salted_top_per_group(df, "grp", order, cap=2,
+                                        id_col="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
