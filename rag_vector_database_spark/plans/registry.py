@@ -9407,7 +9407,7 @@ WITH d AS (
   WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
 ),
 pos AS (
-  SELECT doc_id, L, CAST(((g.i - 1) * 32) // L AS INT) AS blk,
+  SELECT doc_id, L, CAST(((g.i - 1) * 64) // L AS INT) AS blk,
          ascii(substring(text, g.i, 1)) AS v
   FROM d, unnest(generate_series(1, L)) g(i)
 ),
@@ -9419,36 +9419,50 @@ blocks AS (
 tot AS (SELECT doc_id, sum(s) AS tot FROM blocks GROUP BY doc_id),
 h AS (
   SELECT b.doc_id,
-         CAST(sum(CASE WHEN b.s * b.L > t.tot * b.n
+         CAST(sum(CASE WHEN b.blk < 32 AND b.s * b.L > t.tot * b.n
                   THEN (CAST(1 AS BIGINT) << b.blk) ELSE 0 END)
-              AS BIGINT) AS ahash
+              AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN b.blk >= 32 AND b.s * b.L > t.tot * b.n
+                  THEN (CAST(1 AS BIGINT) << (b.blk - 32)) ELSE 0 END)
+              AS BIGINT) AS hi
   FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+       CAST(bit_count(xor(a.lo, b.lo))
+            + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+WHERE ((a.lo % 65536) = (b.lo % 65536)
+    OR (a.lo // 65536) = (b.lo // 65536)
+    OR (a.hi % 65536) = (b.hi % 65536)
+    OR (a.hi // 65536) = (b.hi // 65536))
+  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 16
 """,
     headline=True)  # the multimodal family's bench representative
 def q_phash_blob_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-style perceptual-hash near-dup over the multimodal blob
-    column: the aHash kernel (sources/multimodal.py:ahash32 — resize
-    to 32 blocks, threshold each against the blob mean, pack bits)
-    runs as an Arrow/mapInPandas numpy loop over the blobs, then the
-    banded Hamming join (operators/dedup.py:blob_ahash_pairs — 4x8-bit
-    bands, JVM bit_count(xor) verify) finds pairs at distance <= 3
-    with FULL pigeonhole recall, so the oracle is a plain all-pairs
-    Hamming filter. The shape of an image near-dup pipeline end to
-    end: blobs touched exactly once, the 12-byte/blob hash table is
-    all the join ever shuffles. Pure-ASCII docs only on BOTH sides
-    (the kernel hashes UTF-8 BYTES, the SQL oracle characters)."""
+    column, at PRODUCTION band width: the 64-block aHash kernel
+    (sources/multimodal.py:ahash64 — resize to 64 blocks, threshold
+    each against the blob mean in integer cross-multiplied form, pack
+    into two sign-safe 32-bit halves) runs as an Arrow/mapInPandas
+    numpy loop, then 4x16-bit banded Hamming blocking
+    (operators/dedup.py:phash_band_pairs) finds pairs sharing >= 1
+    band at distance <= 16. Wide bands are the capacity knob —
+    candidate volume n^2*n_bands/2^band_bits is 256x lower than
+    8-bit banding, which is what holds the 30x trend line — and the
+    oracle mirrors the band-sharing condition exactly, because at
+    this threshold blocking is approximate-by-design (production
+    pHash recall), not pigeonhole-complete (blob_ahash_pairs is the
+    full-recall narrow-band demo of the same operator). The persisted
+    16-byte/blob hash table is all the join ever shuffles; blobs are
+    touched once. Pure-ASCII docs only on BOTH sides (the kernel
+    hashes UTF-8 BYTES, the SQL oracle characters)."""
     d = (_t(spark, sf_dir, "documents")
          .where((F.length("text") > 0)
                 & (F.octet_length(F.encode("text", "UTF-8"))
                    == F.length("text"))))
     blobs = multimodal.attach_blob(d)
-    hashes = multimodal.ahash32(blobs, id_col="doc_id")
-    pairs = dedup.blob_ahash_pairs(hashes, key_col="id")
+    hashes = multimodal.ahash64(blobs, id_col="doc_id")
+    pairs = dedup.phash_band_pairs(hashes, key_col="id")
     return pairs.select(F.col("id_a").alias("doc_a"),
                         F.col("id_b").alias("doc_b"), "hamming")
 

@@ -305,3 +305,50 @@ def ahash32(df: DataFrame, id_col: str = "id",
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(kern, AHASH_SCHEMA)
+
+
+AHASH64_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("ahash_lo", LongType()),
+    StructField("ahash_hi", LongType()),
+])
+
+
+def ahash64(df: DataFrame, id_col: str = "id",
+            blob_col: str = "blob") -> DataFrame:
+    """64-block aHash (the production pHash width) as TWO non-negative
+    32-bit halves — bit 63 of a single BIGINT would collide with the
+    sign on one engine or the other, and two int columns keep every
+    shift/xor/popcount in safely-positive territory on both. Same
+    resize-threshold-pack definition as ahash32 (see there for the
+    integer-exactness argument); the wider hash exists for CAPACITY:
+    16-bit bands over 64 bits collide 256x less often than 8-bit
+    bands over 32, which is what keeps banded near-dup blocking
+    linear at corpus scale (dedup.phash_band_pairs)."""
+    n_blocks = 64
+
+    def kern(batches: Iterator) -> Iterator:
+        import numpy as np
+        for pdf in batches:
+            out = {"id": [], "ahash_lo": [], "ahash_hi": []}
+            for _, row in pdf.iterrows():
+                b = np.frombuffer(bytes(row[blob_col]), dtype=np.uint8) \
+                    .astype(np.int64)
+                length = int(b.size)
+                h = 0
+                if length:
+                    blk = (np.arange(length) * n_blocks) // length
+                    sums = np.bincount(blk, weights=b,
+                                       minlength=n_blocks).astype(np.int64)
+                    lens = np.bincount(blk,
+                                       minlength=n_blocks).astype(np.int64)
+                    tot = int(sums.sum())
+                    for i in range(n_blocks):
+                        if int(sums[i]) * length > tot * int(lens[i]):
+                            h |= 1 << i
+                out["id"].append(row[id_col])
+                out["ahash_lo"].append(h & 0xFFFFFFFF)
+                out["ahash_hi"].append(h >> 32)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(kern, AHASH64_SCHEMA)

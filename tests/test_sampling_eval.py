@@ -163,3 +163,48 @@ def test_salted_top_per_group_plan_has_no_window(spark):
                                         id_col="id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_phash_band_pairs_matches_band_condition_semantics(spark):
+    """The 64-bit operator's contract is exact blocking semantics:
+    pairs sharing >= 1 of the 4 16-bit bands AND hamming <= T —
+    verified against a pure-Python enumeration of that definition."""
+    random.seed(23)
+    base = bytes(random.randrange(256) for _ in range(300))
+    texts = []
+    for i in range(40):
+        b = bytearray(base)
+        for _ in range(i % 6):
+            b[random.randrange(300)] = random.randrange(256)
+        texts.append((i, bytes(b).hex()))
+    df = mm.attach_blob(spark.createDataFrame(texts, ["id", "text"]))
+    hashes = mm.ahash64(df)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.phash_band_pairs(hashes).collect()}
+    hs = {r["id"]: (r["ahash_lo"], r["ahash_hi"])
+          for r in hashes.collect()}
+    def bands(lo, hi):
+        return [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
+    want = {}
+    ids = sorted(hs)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            (lx, hx), (ly, hy) = hs[x], hs[y]
+            share = any(a == b for a, b in
+                        zip(bands(lx, hx), bands(ly, hy)))
+            d = bin(lx ^ ly).count("1") + bin(hx ^ hy).count("1")
+            if share and d <= 16:
+                want[(x, y)] = d
+    assert got == want
+    assert want, "perturbed copies should produce at least one pair"
+    dedup.release_caches()
+
+
+def test_ahash64_halves_are_sign_safe(spark):
+    df = mm.attach_blob(spark.createDataFrame(
+        [(1, "q" * 500), (2, "hello world " * 40)], ["id", "text"]))
+    for r in mm.ahash64(df).collect():
+        assert 0 <= r["ahash_lo"] < 1 << 32
+        assert 0 <= r["ahash_hi"] < 1 << 32
