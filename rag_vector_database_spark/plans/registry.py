@@ -244,6 +244,7 @@ WINDOW_PRIORITY: list[str] = [
     "domain_cap_sample",          # new in r05 (salted per-domain budget)
     "video_frame_dedup",          # new in r05 (keyframe cross-video dedup)
     "embedding_outlier_topk",     # new in r05 (per-label farthest members)
+    "multimodal_resize_stats",    # new in r05 (block-mean thumbnail)
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -9750,3 +9751,52 @@ def q_embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (-F.col("vec_id")).alias("nid"))
     return sampling.salted_top_per_group(dist, "label", order, cap=3,
                                          id_col="vec_id")
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
+),
+pos AS (
+  SELECT doc_id, L, CAST(((g.i - 1) * 64) // L AS INT) AS cell,
+         ascii(substring(text, g.i, 1)) AS v
+  FROM d, unnest(generate_series(1, L)) g(i)
+),
+cells AS (
+  SELECT doc_id, any_value(L) AS L, cell,
+         CAST(sum(v) // count(*) AS BIGINT) AS cv
+  FROM pos GROUP BY doc_id, cell
+)
+SELECT doc_id, CAST(any_value(L) AS INT) AS in_len,
+       CAST(sum(cv) AS BIGINT) AS out_sum,
+       CAST(coalesce(max(CASE WHEN cell = 0 THEN cv END), 0) AS INT) AS head0,
+       CAST(coalesce(max(CASE WHEN cell = 1 THEN cv END), 0) AS INT) AS head1,
+       CAST(coalesce(max(CASE WHEN cell = 2 THEN cv END), 0) AS INT) AS head2,
+       CAST(coalesce(max(CASE WHEN cell = 3 THEN cv END), 0) AS INT) AS head3
+FROM cells GROUP BY doc_id
+""")
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize through the Arrow/mapInPandas plumbing: each blob
+    block-mean-resampled to a 64-byte thumbnail (sources/multimodal.py:
+    resize_blob — integer floor-division cells, so the resized bytes
+    are bit-reproducible and the whole path sits inside the value-hash
+    oracle gate). Emits per-doc thumbnail invariants (byte sum + first
+    4 cells) that the oracle recomputes from the same block partition.
+    The resize is the corpus-shrinking map step before any shuffled
+    media analysis — 1 blob -> 1 row, partition-local, zero shuffle.
+    Pure-ASCII docs on BOTH sides (bytes vs characters). A doc
+    shorter than 64 bytes leaves some cells with no source byte: the
+    kernel zero-fills those, and the oracle mirrors that with
+    coalesce(..., 0) on each absent cell (out_sum needs no guard —
+    empty cells contribute 0 to both engines' sums)."""
+    d = (_t(spark, sf_dir, "documents")
+         .where((F.length("text") > 0)
+                & (F.octet_length(F.encode("text", "UTF-8"))
+                   == F.length("text"))))
+    blobs = multimodal.attach_blob(d)
+    rs = multimodal.resize_blob(blobs, id_col="doc_id", out_len=64)
+    return rs.select(F.col("id").alias("doc_id"), "in_len",
+                     "out_sum", "head0", "head1", "head2", "head3")

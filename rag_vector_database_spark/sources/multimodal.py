@@ -352,3 +352,61 @@ def ahash64(df: DataFrame, id_col: str = "id",
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(kern, AHASH64_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("in_len", IntegerType()),
+    StructField("resized", BinaryType()),
+    StructField("out_sum", LongType()),
+    StructField("head0", IntegerType()),
+    StructField("head1", IntegerType()),
+    StructField("head2", IntegerType()),
+    StructField("head3", IntegerType()),
+])
+
+
+def resize_blob(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
+                out_len: int = 64) -> DataFrame:
+    """Media resize via block-mean resampling: byte ``p`` of an
+    ``L``-byte blob lands in output cell ``(p * out_len) // L`` and
+    each cell becomes the FLOOR of its block mean — the thumbnail/
+    downsample step that precedes perceptual hashing or feature
+    extraction (a real image decode would average pixels the same
+    way; the byte stream stands in, see the module docstring). All
+    arithmetic is integer (block_sum // block_len), so the resized
+    bytes are reproducible bit-for-bit by any engine. 1 blob row ->
+    1 (id, in_len, out_len-byte blob) row, partition-local, zero
+    shuffle; at scale this is the map step that shrinks a media
+    corpus ~L/out_len-fold before any shuffled analysis touches it.
+    Cells with no source byte (L < out_len) are 0."""
+    def kern(batches: Iterator) -> Iterator:
+        import numpy as np
+        for pdf in batches:
+            out = {"id": [], "in_len": [], "resized": [],
+                   "out_sum": [], "head0": [], "head1": [],
+                   "head2": [], "head3": []}
+            for _, row in pdf.iterrows():
+                b = np.frombuffer(bytes(row[blob_col]), dtype=np.uint8) \
+                    .astype(np.int64)
+                length = int(b.size)
+                cells = np.zeros(out_len, dtype=np.int64)
+                if length:
+                    blk = (np.arange(length) * out_len) // length
+                    sums = np.bincount(blk, weights=b,
+                                       minlength=out_len).astype(np.int64)
+                    lens = np.bincount(blk, minlength=out_len)
+                    nz = lens > 0
+                    cells[nz] = sums[nz] // lens[nz]
+                out["id"].append(row[id_col])
+                out["in_len"].append(length)
+                out["resized"].append(bytes(cells.astype(np.uint8)))
+                # integer invariants emitted alongside the blob: the
+                # oracle-checkable face of the thumbnail (a binary
+                # column itself can't cross the value-hash gate)
+                out["out_sum"].append(int(cells.sum()))
+                for j in range(4):
+                    out[f"head{j}"].append(int(cells[j]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(kern, RESIZE_SCHEMA)

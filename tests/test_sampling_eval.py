@@ -208,3 +208,32 @@ def test_ahash64_halves_are_sign_safe(spark):
     for r in mm.ahash64(df).collect():
         assert 0 <= r["ahash_lo"] < 1 << 32
         assert 0 <= r["ahash_hi"] < 1 << 32
+
+
+def test_resize_blob_matches_reference_and_zero_fills(spark):
+    texts = [(1, "hello world " * 20), (2, "tiny"), (3, "q" * 64)]
+    df = mm.attach_blob(spark.createDataFrame(texts, ["id", "text"]))
+    got = {r["id"]: r for r in mm.resize_blob(df, out_len=8).collect()}
+
+    def ref(data: bytes, out_len: int = 8) -> list[int]:
+        length = len(data)
+        cells = [0] * out_len
+        sums = [0] * out_len
+        lens = [0] * out_len
+        for p, v in enumerate(data):
+            i = (p * out_len) // length
+            sums[i] += v
+            lens[i] += 1
+        for i in range(out_len):
+            if lens[i]:
+                cells[i] = sums[i] // lens[i]
+        return cells
+
+    for i, t in texts:
+        want = ref(t.encode())
+        r = got[i]
+        assert list(bytes(r["resized"])) == want, t[:12]
+        assert r["out_sum"] == sum(want)
+        assert [r[f"head{j}"] for j in range(4)] == want[:4]
+    # "tiny" (4 bytes -> 8 cells): cells 1,3,5,7 have no source byte
+    assert list(bytes(got[2]["resized"])).count(0) >= 4
