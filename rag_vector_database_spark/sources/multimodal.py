@@ -354,7 +354,7 @@ def ahash64(df: DataFrame, id_col: str = "id",
     return df.select(id_col, blob_col).mapInPandas(kern, AHASH64_SCHEMA)
 
 
-RESIZE_SCHEMA = StructType([
+THUMB_SCHEMA = StructType([
     StructField("id", LongType()),
     StructField("in_len", IntegerType()),
     StructField("resized", BinaryType()),
@@ -409,4 +409,4 @@ def resize_blob(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
                     out[f"head{j}"].append(int(cells[j]))
             yield pd.DataFrame(out)
 
-    return df.select(id_col, blob_col).mapInPandas(kern, RESIZE_SCHEMA)
+    return df.select(id_col, blob_col).mapInPandas(kern, THUMB_SCHEMA)
