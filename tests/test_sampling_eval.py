@@ -237,3 +237,42 @@ def test_resize_blob_matches_reference_and_zero_fills(spark):
         assert [r[f"head{j}"] for j in range(4)] == want[:4]
     # "tiny" (4 bytes -> 8 cells): cells 1,3,5,7 have no source byte
     assert list(bytes(got[2]["resized"])).count(0) >= 4
+
+
+# ---------------------------------------------------------------------------
+# property tests: the two hand-rolled rank equivalences hold under
+# arbitrary tie structure (hypothesis drives; small domains force ties)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from rag_vector_database_spark.operators import textstats  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 8), min_size=2, max_size=60))
+def test_rank_normalize_matches_percent_rank(spark, vals):
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, s long")
+    got = {r["id"]: r["pr_s"]
+           for r in textstats.rank_normalize(df, ["s"]).collect()}
+    w = Window.orderBy(F.col("s").asc())
+    want = {r["id"]: r["pr"] for r in
+            df.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+            .collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5)),
+                min_size=1, max_size=50))
+def test_salted_top_matches_window_under_ties(spark, rows):
+    data = [(i, f"g{g}", q) for i, (g, q) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, grp string, q long")
+    order = F.struct(F.col("q").alias("q"), (-F.col("id")).alias("nid"))
+    got = sampling.salted_top_per_group(df, "grp", order, cap=3,
+                                        id_col="id")
+    w = Window.partitionBy("grp").orderBy(F.col("q").desc(),
+                                          F.col("id").asc())
+    want = (df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).drop("rn"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
