@@ -668,7 +668,8 @@ def duplicated_ngram_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
 def blob_ahash_pairs(hashes: DataFrame, key_col: str = "id",
                      hash_col: str = "ahash", n_bands: int = 4,
                      band_bits: int = 8, max_hamming: int = 3,
-                     max_bucket: int | None = None) -> DataFrame:
+                     max_bucket: int | None = None,
+                     hash_bits: int = 32) -> DataFrame:
     """Near-dup pairs over a perceptual hash column (see
     sources.multimodal.ahash32) by banded Hamming blocking — the image
     near-dup analogue of ``simhash_pairs``: split the hash into
@@ -698,7 +699,18 @@ def blob_ahash_pairs(hashes: DataFrame, key_col: str = "id",
     same operator. ``max_bucket`` (optional) drops saturated band
     buckets entirely as a skew guard — leave None for exact blocking
     semantics (the graded query does; recall then matches the
-    plain-Hamming oracle exactly)."""
+    plain-Hamming oracle exactly).
+
+    ``n_bands * band_bits`` must cover the hash width EXACTLY
+    (``hash_bits``, 32 for ahash32): undercoverage silently weakens
+    the pigeonhole recall bound, and overcoverage makes the high
+    bands uniformly zero so EVERY pair becomes a candidate —
+    quadratic blowup with no error. Validated here instead."""
+    if n_bands * band_bits != hash_bits:
+        raise ValueError(
+            f"n_bands*band_bits ({n_bands}*{band_bits}) must equal "
+            f"hash_bits ({hash_bits}); mismatched banding either "
+            "breaks the recall contract or degenerates to all-pairs")
     mask = (1 << band_bits) - 1
     ht = _persist_tracked(hashes.select(F.col(key_col).alias("k"),
                                         F.col(hash_col).alias("h")))
@@ -774,7 +786,15 @@ def phash_band_pairs(hashes: DataFrame, key_col: str = "id",
     Hamming <= threshold" — which the oracle mirrors with the same
     band condition. Same execution shape as blob_ahash_pairs: the
     persisted (id, lo, hi) table is all that shuffles, the kernel
-    runs once, the join and bit_count(xor) verify are pure JVM."""
+    runs once, the join and bit_count(xor) verify are pure JVM.
+
+    ``band_bits`` must divide the 32-bit half-width exactly — a
+    non-divisor would leave the top bits of each half un-banded
+    (silent recall loss), so it is validated here."""
+    if band_bits <= 0 or 32 % band_bits != 0:
+        raise ValueError(
+            f"band_bits ({band_bits}) must evenly divide the 32-bit "
+            "lo/hi halves so the bands cover the 64-bit hash exactly")
     mask = (1 << band_bits) - 1
     per_word = 32 // band_bits
     ht = _persist_tracked(hashes.select(F.col(key_col).alias("k"),

@@ -10,7 +10,7 @@ discipline that precedes such an ingest at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -19,16 +19,25 @@ def salted_top_per_group(df: DataFrame, group_col: str, order_struct,
                          n_salts: int = 8) -> DataFrame:
     """Keep the top ``cap`` rows per group under ``order_struct``
     (a struct Column sorted DESCENDING; encode ascending keys by
-    negation) — without ever sorting a whole group in one task.
+    negation) — without ever sorting a whole group in one task or
+    buffering it in one aggregation buffer.
 
     The naive plan is ``row_number() OVER (PARTITION BY group)``,
     which ships every row of a group to a single reducer — a hot
     domain with 10^9 pages becomes one straggler task. Here top-cap
-    is folded in two phases (the knn_batch_topk shape): each of
-    ``n_salts`` salted sub-groups keeps a partial top-cap via a
-    sorted-array slice, then the final fold ranks the
-    ``n_salts * cap`` survivors — so the biggest group costs
-    ``cap * n_salts`` rows of shuffle, never its full size."""
+    runs in two phases: phase 1 ranks each of ``n_salts`` salted
+    sub-groups with a window whose partition key is (group, salt) —
+    the sort is an external (disk-spilling) sort over 1/n_salts of
+    the group, never an in-memory array — and keeps each sub-group's
+    top-cap; phase 2 re-ranks the surviving ``n_salts * cap`` rows
+    per group. The first exchange still carries every input row
+    (any top-k must look at each row once); what the salt bounds is
+    the per-task SORT EXTENT in phase 1 and the phase-2 shuffle,
+    which is ``cap * n_salts`` rows per group regardless of group
+    size. (An earlier shape folded phase 1 through
+    ``slice(sort_array(collect_list(...)))`` — that materializes a
+    hot sub-group as ONE aggregation-buffer array, an OOM risk the
+    spill-safe window avoids.)"""
     tagged = df.withColumn("__o", order_struct)
 
     def fold(d: DataFrame, keys: list[str]) -> DataFrame:
@@ -45,10 +54,17 @@ def salted_top_per_group(df: DataFrame, group_col: str, order_struct,
     # salt on a hash of the id (type-generic; works for string keys).
     # WHICH salt a row lands on never affects the result — the final
     # fold re-ranks the union of every salt's partial top-cap.
-    partial = fold(
-        packed.withColumn("__salt",
-                          F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))),
-        [group_col, "__salt"]).drop("__salt")
+    salted = packed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+    # phase 1: spill-safe ranking per (group, salt). Ordering by the
+    # full (__o, __row) struct keeps the same total order (and hence
+    # the same kept set) as phase 2's sort_array comparator.
+    w = (Window.partitionBy(group_col, "__salt")
+         .orderBy(F.struct(F.col("__o"), F.col("__row")).desc()))
+    partial = (salted
+               .withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= cap)
+               .select(group_col, "__o", "__row"))
     final = fold(partial, [group_col])
     return final.select([F.col(f"__row.{c}").alias(c) for c in df.columns])
 

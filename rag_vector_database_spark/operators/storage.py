@@ -154,11 +154,17 @@ def write_range_sorted(df: DataFrame, path: str, col: str,
 _V1_LIST_KEY = "spark.sql.sources.useV1SourceList"
 _AGG_PD_KEY = "spark.sql.parquet.aggregatePushdown"
 _INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
-# One private session per SparkContext, reused across calls: creating
-# a newSession() per footer probe / GDPR delete accumulates JVM
-# session state in a long-lived driver. Value is (session, synced_keys)
-# where synced_keys is the set of conf keys copied on the last sync —
-# needed to UNSET confs the caller has since unset.
+# One private session per (SparkContext, caller thread), reused
+# across calls: creating a newSession() per footer probe / GDPR
+# delete accumulates JVM session state in a long-lived driver. Keyed
+# per THREAD as well as per applicationId so two concurrent callers
+# (e.g. delete_keys_partitioned inside a streaming foreachBatch while
+# another thread runs a footer probe) can never interleave one
+# session's conf sync/unset with the other's reads — a per-appId-only
+# cache reintroduced exactly the race the old per-call newSession was
+# immune to. Value is (session, synced_keys) where synced_keys is the
+# set of conf keys copied on the last sync — needed to UNSET confs
+# the caller has since unset.
 _ISOLATED: dict = {}
 
 
@@ -171,19 +177,26 @@ def _isolated_session(spark):
     explicitly-set conf (``SET`` lists exactly those) before applying
     this module's own overrides on top.
 
-    The session is CACHED per SparkContext (keyed on applicationId,
-    mirroring registry._TRI_CACHE) and re-synced on every acquisition:
-    (a) this module's own overrides and any conf copied on a previous
-    sync but no longer set on the caller are unset back to their
-    builder-time values, then (b) the caller's currently-set runtime
-    confs are copied. Repeated footer probes / partitioned deletes in
-    a long-lived driver therefore reuse ONE private session instead of
-    leaking one per call."""
+    The session is CACHED per (SparkContext, thread) — applicationId
+    keying mirrors registry._TRI_CACHE, the thread component makes
+    concurrent callers race-free by construction (each thread owns
+    its session's conf; see _ISOLATED comment) — and re-synced on
+    every acquisition: (a) this module's own overrides and any conf
+    copied on a previous sync but no longer set on the caller are
+    unset back to their builder-time values, then (b) the caller's
+    currently-set runtime confs are copied. Repeated footer probes /
+    partitioned deletes in a long-lived driver therefore reuse one
+    private session per calling thread instead of leaking one per
+    call (a finished thread's session lingers until the context
+    changes — bounded by thread count, same order as the old
+    per-call leak's single call)."""
+    import threading
     app_id = spark.sparkContext.applicationId
-    cached = _ISOLATED.get(app_id)
+    key = (app_id, threading.get_ident())
+    cached = _ISOLATED.get(key)
     if cached is None:
-        # a new context means any prior one is dead; drop its entry
-        for stale in [k for k in _ISOLATED if k != app_id]:
+        # a new context means any prior one is dead; drop its entries
+        for stale in [k for k in _ISOLATED if k[0] != app_id]:
             del _ISOLATED[stale]
         cached = (spark.newSession(), set())
     s, prev_keys = cached
@@ -207,7 +220,7 @@ def _isolated_session(spark):
             s.conf.set(key, value)
         except Exception:
             pass  # static/read-only entries can't be re-set
-    _ISOLATED[app_id] = (s, set(live))
+    _ISOLATED[key] = (s, set(live))
     return s
 
 

@@ -614,7 +614,15 @@ def rank_normalize(df: DataFrame, signal_cols: list[str],
 
     Adds ``pr_<col>`` per input column, each rounded to ``ndigits``.
     N comes from the histogram's own count sum (no eager driver
-    count; the plan stays lazy end-to-end)."""
+    count; the plan stays lazy end-to-end).
+
+    NULL signals: the lookup join is null-SAFE, so a row whose signal
+    is NULL (e.g. a divide-by-zero upstream) is kept, not silently
+    dropped; its group ranks lowest (Spark's ``ASC NULLS FIRST``,
+    matching Spark's own ``percent_rank()``). Engines disagree on
+    null ordering (DuckDB defaults to NULLS LAST), so oracle-paired
+    queries must either exclude NULL-signal rows explicitly on both
+    sides (quality_blend_rank does) or mirror the ordering."""
     out = df
     for c in signal_cols:
         hist = df.groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
@@ -634,6 +642,6 @@ def rank_normalize(df: DataFrame, signal_cols: list[str],
                                  / F.greatest(F.col("__n") - 1, F.lit(1))
                                    .cast("double"), ndigits)
                           .alias(f"pr_{c}")))
-        out = out.join(F.broadcast(ranks), out[c] == ranks["__v"]) \
+        out = out.join(F.broadcast(ranks), out[c].eqNullSafe(ranks["__v"])) \
                  .drop("__v")
     return out

@@ -145,16 +145,67 @@ def register(name: str, oracle: str | None, headline: bool = False):
 # order; everything else follows in registration order. Registration
 # order (REGISTRY) is untouched — tests and bench use it.
 WINDOW_PRIORITY: list[str] = [
-    # -- canaries (driver-green r01-r04; regression sentinels) -------
+    # -- canaries (driver-green r01-r05; regression sentinels) -------
     "knn_bruteforce",
     "retrieval_funnel",
     "chunk_documents",
     "exact_dedup",
     "minhash_neardup",
     "pricing_summary",
-    # -- r05 window: the nine r04-new operators, promoted out of the
-    #    r06 queue per the round-4 verdict (newest, least-proven code
-    #    meets the driver soonest) -----------------------------------
+    # -- r06 window: ALL 43 remaining never-graded oracle-backed
+    #    names (queue drained per the round-5 verdict).  The two r05
+    #    composed flagships lead, then the seven late-r05 operators,
+    #    then the 34-name tail.  6 canaries + 43 = 49 of 50 slots;
+    #    the 50th is reserved for at most one new r06 operator. ------
+    "daily_drop_pipeline",        # new in r05 (composed incremental flagship)
+    "minhash_keep_best",          # new in r05 (quality-aware canonical)
+    "phash_blob_neardup",         # new in r05 (multimodal aHash near-dup)
+    "retrieval_ndcg_eval",        # new in r05 (nDCG/MRR scorecard)
+    "quality_blend_rank",         # new in r05 (rank-normalized blending)
+    "domain_cap_sample",          # new in r05 (salted per-domain budget)
+    "video_frame_dedup",          # new in r05 (keyframe cross-video dedup)
+    "embedding_outlier_topk",     # new in r05 (per-label farthest members)
+    "multimodal_resize_stats",    # new in r05 (block-mean thumbnail)
+    "customer_distribution",
+    "knn_batch",
+    "label_centroid_spread",
+    "resample_fill_forward",
+    "retention_cohorts",
+    "hard_negatives",
+    "domain_mixture_weights",
+    "ivf_kmeans_knn",
+    "weighted_domain_sample",
+    "unigram_quality",
+    "embedding_dim_stats",
+    "bpe_merges",
+    "bigram_lm_quality",
+    "gopher_quality_flags",
+    "scd2_intervals",
+    "bpe_token_counts",
+    "dsir_importance",
+    "cms_heavy_hitters",
+    "c4_quality_flags",
+    "part_value_concentration",
+    "dominant_part_suppliers",
+    "stats_correlation",
+    "alpha_mixture_weights",
+    "csv_sink_roundtrip",
+    "orc_sink_roundtrip",
+    "bloom_prefilter_antijoin",
+    "incremental_agg_merge",
+    "pagerank_nations",
+    "schema_evolution_read",
+    "revenue_moving_avg",
+    "manifest_sink_roundtrip",
+    "sql_api_shipping_priority",
+    "token_entropy",
+    "token_collocations",
+    # ----- end of the graded-prefix rotation (6 canaries + 43) ------
+    # -- previously graded (r01-r05 green rows); listed so the two
+    #    no-oracle entries below can never float into the prefix.
+    #    Slot 50 falls on the first of these until a new r06 operator
+    #    is inserted above — a previously-green name, i.e. an extra
+    #    canary, which is the safe default. --------------------------
     "bucketed_join_colocated",
     "streaming_minhash_pairs",
     "ivf_delta_assign",
@@ -164,7 +215,6 @@ WINDOW_PRIORITY: list[str] = [
     "pandas_on_spark_summary",
     "compact_small_files",
     "knn_adaptive_dispatch",
-    # -- r05 window: 35 from the never-graded oracle-backed queue ----
     "top_supplier_revenue",
     "large_orders",
     "cheapest_line_per_part",
@@ -200,51 +250,6 @@ WINDOW_PRIORITY: list[str] = [
     "repetition_stats",
     "pack_sequences",
     "key_skew_profile",
-    # ----- end of the 50-slot graded prefix (6 canaries + 44 new) ---
-    # -- queued for r06: remaining never-graded, oracle-backed -------
-    "daily_drop_pipeline",        # new in r05 (composed incremental flagship)
-    "minhash_keep_best",          # new in r05 (quality-aware canonical)
-    "customer_distribution",
-    "knn_batch",
-    "label_centroid_spread",
-    "resample_fill_forward",
-    "retention_cohorts",
-    "hard_negatives",
-    "domain_mixture_weights",
-    "ivf_kmeans_knn",
-    "weighted_domain_sample",
-    "unigram_quality",
-    "embedding_dim_stats",
-    "bpe_merges",
-    "bigram_lm_quality",
-    "gopher_quality_flags",
-    "scd2_intervals",
-    "bpe_token_counts",
-    "dsir_importance",
-    "cms_heavy_hitters",
-    "c4_quality_flags",
-    "part_value_concentration",
-    "dominant_part_suppliers",
-    "stats_correlation",
-    "alpha_mixture_weights",
-    "csv_sink_roundtrip",
-    "orc_sink_roundtrip",
-    "bloom_prefilter_antijoin",
-    "incremental_agg_merge",
-    "pagerank_nations",
-    "schema_evolution_read",
-    "revenue_moving_avg",
-    "manifest_sink_roundtrip",
-    "sql_api_shipping_priority",
-    "token_entropy",
-    "token_collocations",
-    "phash_blob_neardup",         # new in r05 (multimodal aHash near-dup)
-    "retrieval_ndcg_eval",        # new in r05 (nDCG/MRR scorecard)
-    "quality_blend_rank",         # new in r05 (rank-normalized blending)
-    "domain_cap_sample",          # new in r05 (salted per-domain budget)
-    "video_frame_dedup",          # new in r05 (keyframe cross-video dedup)
-    "embedding_outlier_topk",     # new in r05 (per-label farthest members)
-    "multimodal_resize_stats",    # new in r05 (block-mean thumbnail)
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -9563,6 +9568,7 @@ WITH s AS (
          round(list_reduce(list_transform(toks, t -> len(t)),
                            (a, b) -> a + b) * 1.0 / len(toks), 6) AS s_wlen
   FROM (SELECT doc_id, n_chars, {tok} AS toks FROM documents)
+  WHERE len(toks) > 0
 ),
 pr AS (
   SELECT doc_id,
@@ -9587,9 +9593,15 @@ def q_quality_blend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back — because a bare unpartitioned window would drag
     the whole corpus into one task. Signals are quantized (round 6)
     before ranking on both sides, which is also what bounds the value
-    domain at 100 TB."""
+    domain at 100 TB. Zero-token docs are excluded by an EXPLICIT
+    filter mirrored in the oracle (``len(toks) > 0``) — engines
+    diverge on degenerate docs otherwise (Spark's divide-by-zero
+    yields NULL signals; DuckDB's list_reduce errors on empty
+    lists), so the exclusion is a stated contract, not a join
+    artifact."""
     d = _t(spark, sf_dir, "documents")
     toks = text_fns.tokens(F.col("text"))
+    d = d.where(F.size(toks) > 0)
     s = d.select(
         "doc_id",
         F.col("n_chars").alias("s_len"),

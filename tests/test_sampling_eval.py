@@ -153,16 +153,40 @@ def test_phash_hash_table_cached_and_join_jvm_side(spark):
     dedup.release_caches()
 
 
-def test_salted_top_per_group_plan_has_no_window(spark):
-    """The whole point of the fold: no PARTITION BY group window, so
-    no single task ever holds a whole group."""
+def test_salted_top_per_group_no_whole_group_window(spark):
+    """The whole point of the fold: no PARTITION BY group-only
+    window, so no single task ever sorts a whole group. Phase 1 IS
+    a window — but partitioned by (group, __salt), a spill-safe
+    external sort over 1/n_salts of the group (the earlier
+    collect_list fold concentrated a hot sub-group in ONE agg
+    buffer) — so the pin is: every Window node is salted."""
     df = spark.createDataFrame([(1, "g", 5)], ["id", "grp", "q"])
     order = F.struct(F.col("q").cast("long").alias("q"),
                      (-F.col("id")).alias("nid"))
     out = sampling.salted_top_per_group(df, "grp", order, cap=2,
                                         id_col="id")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines, "phase-1 salted window missing from plan"
+    assert all("__salt" in ln for ln in win_lines), win_lines
+
+
+def test_banding_width_mismatch_rejected(spark):
+    """Mis-banding must fail loudly: overcoverage (4x16 over a
+    32-bit hash) makes the high bands uniformly zero — every pair a
+    candidate — and undercoverage silently weakens recall."""
+    docs = spark.createDataFrame([(1, "a" * 64)], ["doc_id", "text"])
+    hashes = mm.ahash32(mm.attach_blob(docs), id_col="doc_id")
+    with pytest.raises(ValueError, match="hash_bits"):
+        dedup.blob_ahash_pairs(hashes, key_col="doc_id",
+                               n_bands=4, band_bits=16)
+    with pytest.raises(ValueError, match="hash_bits"):
+        dedup.blob_ahash_pairs(hashes, key_col="doc_id",
+                               n_bands=3, band_bits=8)
+    h64 = mm.ahash64(mm.attach_blob(docs.select(
+        F.col("doc_id").alias("id"), "text")))
+    with pytest.raises(ValueError, match="divide"):
+        dedup.phash_band_pairs(h64, band_bits=12)
 
 
 def test_phash_band_pairs_matches_band_condition_semantics(spark):
@@ -259,6 +283,23 @@ def test_rank_normalize_matches_percent_rank(spark, vals):
             df.withColumn("pr", F.round(F.percent_rank().over(w), 6))
             .collect()}
     assert got == want
+
+
+def test_rank_normalize_keeps_null_signal_rows(spark):
+    """NULL signals (divide-by-zero upstream) must not be silently
+    dropped by the lookup join: the join is null-safe and the NULL
+    group ranks lowest, matching Spark's own percent_rank() under
+    ASC NULLS FIRST."""
+    df = spark.createDataFrame([(0, None), (1, 4), (2, 9), (3, None)],
+                               "id long, s long")
+    out = textstats.rank_normalize(df, ["s"])
+    got = {r["id"]: r["pr_s"] for r in out.collect()}
+    w = Window.orderBy(F.col("s").asc())
+    want = {r["id"]: r["pr"] for r in
+            df.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+            .collect()}
+    assert got == want
+    assert len(got) == 4  # nothing dropped
 
 
 @settings(max_examples=10, deadline=None)
