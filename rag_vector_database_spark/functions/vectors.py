@@ -51,6 +51,20 @@ def l2_normalize(a: Column | str) -> Column:
     return F.when(n > 0, F.transform(a, lambda x: (x.cast("double") / n).cast("float")))
 
 
+def unit_double(a: Column | str) -> Column:
+    """Scale to unit L2 norm KEEPING float64 components (l2_normalize
+    casts back to float32, which is right for storage but wrong for a
+    hash-oracle-checkable scorer: the oracle would have to replicate
+    the float32 rounding). With integer or float64 inputs, each
+    component is one IEEE-exact division by a correctly-rounded sqrt
+    of the left-fold sum of squares — bit-reproducible by DuckDB's
+    list_reduce formulation. Null for zero vectors (callers filter or
+    contract them away)."""
+    a = F.col(a) if isinstance(a, str) else a
+    n = norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n))
+
+
 def query_vec_lit(vec) -> Column:
     """A literal query vector column (broadcast as part of the plan)."""
     return F.array(*[F.lit(float(x)) for x in vec])

@@ -257,12 +257,16 @@ def knn_batch_topk(corpus: DataFrame, queries: DataFrame, k: int,
 
     Scale design: the query set is broadcast against the corpus scan,
     so scoring is shuffle-free. A naive per-query window would then
-    shuffle EVERY scored row to one partition per query (k partitions
-    for the whole job); instead top-k is folded in two phases — per
-    (query, salt) partial top-k, then a final top-k over n_salts * k
-    survivor rows per query. Both folds sort tiny arrays; no full sort,
-    no skew, and the shuffle carries k rows per salt instead of the
-    corpus.
+    concentrate EVERY scored row in one partition per query (q
+    partitions for the whole job); instead top-k runs in two phases —
+    phase 1 ranks each (query, salt) sub-group with a row_number
+    window, an external (disk-spilling) sort over 1/n_salts of the
+    scored rows per query, and keeps its top-k; phase 2 re-ranks the
+    ``n_salts * k`` survivors per query with a tiny array fold. (An
+    earlier phase 1 folded through collect_list, which materializes a
+    (query, salt) sub-group — corpus/n_salts scored rows — as ONE
+    aggregation-buffer array; the window spills instead.) The
+    phase-2 shuffle carries k rows per salt, never the corpus.
 
     Ties break to the lower corpus id (scores are rounded BEFORE
     ranking so both engines rank the same values).
@@ -290,9 +294,17 @@ def knn_batch_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 .select(*keys, (-F.col("t.nid")).alias(id_col),
                         F.col("t.score").alias("score")))
 
-    partial = fold(
-        scored.withColumn("__salt", F.pmod(F.col(id_col), F.lit(n_salts))),
-        [query_id_col, "__salt"]).drop("__salt")
+    # phase 1: spill-safe per-(query, salt) ranking; (score desc,
+    # id asc) is exactly the fold's struct(score, -id) comparator,
+    # so the kept set — and hence the result — is unchanged.
+    w = (Window.partitionBy(query_id_col, "__salt")
+         .orderBy(F.desc("score"), F.asc(id_col)))
+    partial = (scored
+               .withColumn("__salt",
+                           F.pmod(F.col(id_col), F.lit(n_salts)))
+               .withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k)
+               .select(query_id_col, id_col, "score"))
     return fold(partial, [query_id_col])
 
 

@@ -200,7 +200,9 @@ WINDOW_PRIORITY: list[str] = [
     "sql_api_shipping_priority",
     "token_entropy",
     "token_collocations",
-    # ----- end of the graded-prefix rotation (6 canaries + 43) ------
+    "cross_modal_retrieval",      # new in r06 (CLIP-style text<->image funnel)
+    # ----- end of the 50-slot graded prefix (6 canaries + 43 queue
+    #       names + the one new r06 operator) -----------------------
     # -- previously graded (r01-r05 green rows); listed so the two
     #    no-oracle entries below can never float into the prefix.
     #    Slot 50 falls on the first of these until a new r06 operator
@@ -9812,3 +9814,122 @@ def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = multimodal.resize_blob(blobs, id_col="doc_id", out_len=64)
     return rs.select(F.col("id").alias("doc_id"), "in_len",
                      "out_sum", "head0", "head1", "head2", "head3")
+
+
+@register(
+    "cross_modal_retrieval",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
+),
+pos AS (
+  SELECT doc_id, L, CAST(((g.i - 1) * 64) // L AS INT) AS cell,
+         ascii(substring(text, g.i, 1)) AS v
+  FROM d, unnest(generate_series(1, L)) g(i)
+),
+cells AS (
+  SELECT doc_id, cell, CAST(sum(v) // count(*) AS BIGINT) AS cv
+  FROM pos GROUP BY doc_id, cell
+),
+icell AS (
+  SELECT ids.doc_id, gs.c, CAST(coalesce(cells.cv, 0) AS DOUBLE) AS cv
+  FROM (SELECT DISTINCT doc_id FROM d) ids
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS c) gs
+  LEFT JOIN cells ON cells.doc_id = ids.doc_id AND cells.cell = gs.c
+),
+ivec AS (SELECT doc_id, list(cv ORDER BY c) AS v FROM icell GROUP BY doc_id),
+inorm AS (
+  SELECT doc_id AS cid, list_transform(v, x -> x / sqrt({ss_i})) AS nv
+  FROM ivec
+),
+qpos AS (
+  SELECT doc_id, ascii(substring(text, g.i, 1)) % 64 AS bin
+  FROM d, unnest(generate_series(1, L)) g(i)
+  WHERE doc_id < 4
+),
+qhist AS (SELECT doc_id, bin, count(*) AS cnt
+          FROM qpos GROUP BY doc_id, bin),
+qcell AS (
+  SELECT ids.doc_id, gs.b, CAST(coalesce(qhist.cnt, 0) AS DOUBLE) AS cnt
+  FROM (SELECT DISTINCT doc_id FROM d WHERE doc_id < 4) ids
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs
+  LEFT JOIN qhist ON qhist.doc_id = ids.doc_id AND qhist.bin = gs.b
+),
+qvec AS (SELECT doc_id, list(cnt ORDER BY b) AS v
+         FROM qcell GROUP BY doc_id),
+qnorm AS (
+  SELECT doc_id AS qid, list_transform(v, x -> x / sqrt({ss_q})) AS nv
+  FROM qvec
+),
+scored AS (
+  SELECT q.qid, c.cid AS doc_id, round({dot}, 6) AS score
+  FROM inorm c, qnorm q
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT qid, doc_id, score FROM ranked WHERE rn <= 5
+""".format(
+        ss_i=("list_reduce(list_transform(v, x -> x * x), "
+              "(acc, x) -> acc + x)"),
+        ss_q=("list_reduce(list_transform(v, x -> x * x), "
+              "(acc, x) -> acc + x)"),
+        dot=dd_dot("c.nv", "q.nv")))
+def q_cross_modal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style cross-modal retrieval: a TEXT-encoder query vector
+    searches an IMAGE-encoder corpus — the reference's two-stage
+    retrieval funnel (query_rag_database.py:358-376) lifted across
+    modalities, composed entirely from existing operators with no
+    new kernel class: the image side is the Arrow/mapInPandas
+    block-mean thumbnail emitted as an integer vector
+    (sources/multimodal.py:thumb_vector, the same cells
+    multimodal_resize_stats grades), the text side is a 64-bin
+    character histogram built JVM-side (explode + partial-agg
+    groupBy, then a bounded <=64-entry map pivot per doc), and the
+    match is cosine top-5 through retrieval.knn_batch_topk (broadcast
+    queries, salted spill-safe top-k fold).
+
+    Determinism contract: both encoders emit INTEGER vectors, and
+    cosine is computed as IEEE-exact divisions by correctly-rounded
+    sqrt norms over a left-fold sum (functions/vectors.py:
+    unit_double) — bit-reproducible by DuckDB's list_reduce
+    formulation, which is what lets an untrained cross-modal scorer
+    sit inside the value-hash oracle gate. Scale: thumbnails shrink
+    the media corpus ~L/64-fold inside a zero-shuffle map before the
+    kNN touches it; queries broadcast; no whole-corpus sort
+    anywhere. Pure-ASCII docs on BOTH sides (bytes vs chars)."""
+    from ..functions import vectors as V
+    d = (_t(spark, sf_dir, "documents")
+         .where((F.length("text") > 0)
+                & (F.octet_length(F.encode("text", "UTF-8"))
+                   == F.length("text"))))
+    # image side: integer thumbnail cells from the Arrow kernel
+    blobs = multimodal.attach_blob(d)
+    corpus = (multimodal.thumb_vector(blobs, id_col="doc_id", out_len=64)
+              .select(F.col("id").alias("cid"),
+                      V.unit_double("cells").alias("iv")))
+    # text side: 64-bin char histogram for the query docs (the
+    # "captions"), pivoted to a fixed-width integer vector
+    qd = d.where(F.col("doc_id") < 4)
+    hist = (qd.select("doc_id",
+                      F.explode(F.split("text", "")).alias("ch"))
+            .select("doc_id", (F.ascii("ch") % 64).alias("bin"))
+            .groupBy("doc_id", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    qvec = (hist.groupBy("doc_id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("bin", "cnt"))).alias("m"))
+            .select(F.col("doc_id").alias("qid"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(63)),
+                        lambda b: F.coalesce(
+                            F.element_at("m", b.cast("int")),
+                            F.lit(0).cast("long"))).alias("hv")))
+    queries = qvec.select("qid", V.unit_double("hv").alias("qv"))
+    topk = retrieval.knn_batch_topk(corpus, queries, k=5,
+                                    vec_col="iv", id_col="cid")
+    return topk.select("qid", F.col("cid").alias("doc_id"), "score")

@@ -354,6 +354,36 @@ def ahash64(df: DataFrame, id_col: str = "id",
     return df.select(id_col, blob_col).mapInPandas(kern, AHASH64_SCHEMA)
 
 
+def _block_mean_cells_fn():
+    """Shared block-mean resample math (resize_blob + thumb_vector),
+    returned as a CLOSURE rather than exposed as a module-level
+    helper: a mapInPandas kernel that referenced a module global
+    would be cloudpickled BY REFERENCE (module + qualname), and an
+    external driver's Python workers can't import this package — the
+    same serialization gotcha sources/api_listing solves with
+    register_pickle_by_value. A `<locals>` function pickles by value
+    inside each kernel that captures it.
+
+    The math: byte ``p`` of an ``L``-byte blob lands in cell
+    ``(p*out_len)//L`` and each cell is the FLOOR of its block mean —
+    all integer, so the cells are reproducible bit-for-bit by any
+    engine. Returns ``(L, int64 cell array)``; cells with no source
+    byte are 0."""
+    def block_mean_cells(np, blob: bytes, out_len: int):
+        b = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+        length = int(b.size)
+        cells = np.zeros(out_len, dtype=np.int64)
+        if length:
+            blk = (np.arange(length) * out_len) // length
+            sums = np.bincount(blk, weights=b,
+                               minlength=out_len).astype(np.int64)
+            lens = np.bincount(blk, minlength=out_len)
+            nz = lens > 0
+            cells[nz] = sums[nz] // lens[nz]
+        return length, cells
+    return block_mean_cells
+
+
 THUMB_SCHEMA = StructType([
     StructField("id", LongType()),
     StructField("in_len", IntegerType()),
@@ -380,6 +410,8 @@ def resize_blob(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
     shuffle; at scale this is the map step that shrinks a media
     corpus ~L/out_len-fold before any shuffled analysis touches it.
     Cells with no source byte (L < out_len) are 0."""
+    bmc = _block_mean_cells_fn()
+
     def kern(batches: Iterator) -> Iterator:
         import numpy as np
         for pdf in batches:
@@ -387,17 +419,7 @@ def resize_blob(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
                    "out_sum": [], "head0": [], "head1": [],
                    "head2": [], "head3": []}
             for _, row in pdf.iterrows():
-                b = np.frombuffer(bytes(row[blob_col]), dtype=np.uint8) \
-                    .astype(np.int64)
-                length = int(b.size)
-                cells = np.zeros(out_len, dtype=np.int64)
-                if length:
-                    blk = (np.arange(length) * out_len) // length
-                    sums = np.bincount(blk, weights=b,
-                                       minlength=out_len).astype(np.int64)
-                    lens = np.bincount(blk, minlength=out_len)
-                    nz = lens > 0
-                    cells[nz] = sums[nz] // lens[nz]
+                length, cells = bmc(np, bytes(row[blob_col]), out_len)
                 out["id"].append(row[id_col])
                 out["in_len"].append(length)
                 out["resized"].append(bytes(cells.astype(np.uint8)))
@@ -410,3 +432,36 @@ def resize_blob(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(kern, THUMB_SCHEMA)
+
+
+THUMB_VEC_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("cells", ArrayType(LongType())),
+])
+
+
+def thumb_vector(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
+                 out_len: int = 64) -> DataFrame:
+    """The thumbnail as a VECTOR: the same integer block-mean cells
+    as ``resize_blob`` (shared ``_block_mean_cells`` math) emitted as
+    an ``array<long>`` instead of packed bytes — the "image encoder"
+    half of cross-modal retrieval. Because the cells are
+    integer-exact, any similarity computed over them (after an
+    agreed normalization) is reproducible across engines, which is
+    what lets a CLIP-style text<->image funnel sit inside the
+    value-hash oracle gate. 1 blob -> 1 row, partition-local, zero
+    shuffle; at scale this is the map step that shrinks a media
+    corpus ~L/out_len-fold before the kNN ever shuffles anything."""
+    bmc = _block_mean_cells_fn()
+
+    def kern(batches: Iterator) -> Iterator:
+        import numpy as np
+        for pdf in batches:
+            out = {"id": [], "cells": []}
+            for _, row in pdf.iterrows():
+                _, cells = bmc(np, bytes(row[blob_col]), out_len)
+                out["id"].append(row[id_col])
+                out["cells"].append([int(c) for c in cells])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(kern, THUMB_VEC_SCHEMA)

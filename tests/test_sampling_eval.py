@@ -285,6 +285,40 @@ def test_rank_normalize_matches_percent_rank(spark, vals):
     assert got == want
 
 
+def test_thumb_vector_matches_resize_blob_cells(spark):
+    """thumb_vector's array<long> cells are the SAME block-mean math
+    as resize_blob's packed bytes (shared closure): sum and first
+    four cells must agree with the THUMB invariants for every doc."""
+    texts = ["hello world " * 9, "a", "z" * 200,
+             "the quick brown fox " * 11]
+    df = mm.attach_blob(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]))
+    vec = {r["id"]: r["cells"]
+           for r in mm.thumb_vector(df, out_len=64).collect()}
+    thumb = {r["id"]: r for r in mm.resize_blob(df, out_len=64).collect()}
+    for i in vec:
+        assert len(vec[i]) == 64
+        assert sum(vec[i]) == thumb[i]["out_sum"]
+        assert [vec[i][j] for j in range(4)] == \
+            [thumb[i][f"head{j}"] for j in range(4)]
+        assert list(bytes(thumb[i]["resized"])) == list(vec[i])
+
+
+def test_unit_double_is_unit_norm_float64(spark):
+    """unit_double keeps float64 components (no float32 round-trip —
+    the scorer's oracle reproducibility depends on it) and yields an
+    exactly-renormalizable unit vector; zero vectors go null."""
+    from pyspark.sql.types import ArrayType, DoubleType
+    from rag_vector_database_spark.functions import vectors as V
+    df = spark.createDataFrame([(1, [3, 4, 0]), (2, [0, 0, 0])],
+                               "id long, v array<long>")
+    out = df.select("id", V.unit_double("v").alias("nv"))
+    assert out.schema["nv"].dataType == ArrayType(DoubleType())
+    rows = {r["id"]: r["nv"] for r in out.collect()}
+    assert rows[1] == [0.6, 0.8, 0.0]
+    assert rows[2] is None
+
+
 def test_rank_normalize_keeps_null_signal_rows(spark):
     """NULL signals (divide-by-zero upstream) must not be silently
     dropped by the lookup join: the join is null-safe and the NULL
