@@ -9649,11 +9649,12 @@ def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain's budget ledger — total seen, kept, effective quality
     cutoff, kept byte mass. The selection runs through
     operators/sampling.py:salted_top_per_group — a two-phase salted
-    top-cap fold (partial top-15 per salt, final over the survivors)
-    instead of the row_number window the oracle uses, because a
-    PARTITION BY domain window ships a hot domain's every page to one
-    reducer; the fold's biggest group costs cap*n_salts shuffled rows
-    regardless of domain size."""
+    top-cap (spill-safe per-(domain, salt) ranking, then a final
+    fold over the cap*n_salts survivors) instead of the bare
+    PARTITION BY domain window the oracle uses, because that window
+    ships a hot domain's every page to ONE reducer; salting bounds
+    each task's sort to 1/n_salts of the domain and the second-phase
+    shuffle to cap*n_salts rows regardless of domain size."""
     d = _t(spark, sf_dir, "documents")
     from ..operators import sampling
     return sampling.domain_cap(d, cap=15)
@@ -9878,7 +9879,8 @@ SELECT qid, doc_id, score FROM ranked WHERE rn <= 5
               "(acc, x) -> acc + x)"),
         ss_q=("list_reduce(list_transform(v, x -> x * x), "
               "(acc, x) -> acc + x)"),
-        dot=dd_dot("c.nv", "q.nv")))
+        dot=dd_dot("c.nv", "q.nv")),
+    headline=True)
 def q_cross_modal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLIP-style cross-modal retrieval: a TEXT-encoder query vector
     searches an IMAGE-encoder corpus — the reference's two-stage
