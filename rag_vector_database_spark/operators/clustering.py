@@ -68,12 +68,19 @@ def kmeans_centroids(emb: DataFrame, k: int = 5, iters: int = 2,
     iteration count. Returns [(cluster_id, [double, ...]), ...] —
     the learned coarse quantizer, k x dim doubles, safe to embed as
     plan literals. Empty clusters drop out of the recompute in both
-    engines identically (GROUP BY emits no row)."""
+    engines identically (GROUP BY emits no row). Assumes fixed-length
+    null-free vectors (the same contract the zip_with distance fold
+    against a dim-length centroid literal already imposes)."""
     # Iterative-ML discipline: the loop scans the corpus once per
     # iteration, so persist it for the loop's lifetime (exactly what
     # MLlib's KMeans does) instead of re-reading parquet each round.
     # StorageLevel default (MEMORY_AND_DISK) degrades gracefully when
-    # the corpus outgrows executor memory.
+    # the corpus outgrows executor memory. Deliberately NOT widened
+    # through the narrow-scan gate: A/B at sf0.1 measured the
+    # round-robin exchange plus 32-task scheduling costing ~+1 s per
+    # query against a per-pass JVM compute of tens of ms — the gate
+    # pays only where per-row work dwarfs exchange overhead (the
+    # Python mapInPandas kernels in sources.multimodal).
     cached = emb.select(F.col(id_col), F.col(vec_col)).persist()
     try:
         init = (cached.where(F.col(id_col) < k)
@@ -84,14 +91,29 @@ def kmeans_centroids(emb: DataFrame, k: int = 5, iters: int = 2,
         dim = len(cents[0][1])
         for _ in range(iters):
             best = _argmin_centroid(cents, vec_col, ndigits)
-            means = [F.round(F.sum(F.col(vec_col)[i].cast("double"))
-                             / F.count(F.lit(1)), ndigits).alias(f"c{i}")
-                     for i in range(dim)]
-            newc = (cached.select(F.col(vec_col),
-                                  best.getField("cl").alias("cl"))
-                    .groupBy("cl").agg(*means))
-            cents = sorted((int(r["cl"]), [r[f"c{i}"] for i in range(dim)])
-                           for r in newc.collect())
+            # Recompute means via posexplode + groupBy(cl, pos) — TWO
+            # aggregate expressions instead of ``dim`` per-component
+            # ones. The centroid literals change every iteration, so
+            # Catalyst re-plans and re-codegens each pass; a dim-wide
+            # agg list costs ~3x the whole iteration in planning alone
+            # (measured at dim=64). The explode is pipelined into the
+            # scan and map-side combine still reduces each partition
+            # to k x dim partial rows before the shuffle — the same
+            # bytes the wide-agg plan moved. Same 6dp rounding, same
+            # drop-empty-clusters GROUP BY semantics.
+            assigned = cached.select(best.getField("cl").alias("cl"),
+                                     F.col(vec_col))
+            newc = (assigned
+                    .select("cl", F.posexplode(F.col(vec_col))
+                            .alias("pos", "v"))
+                    .groupBy("cl", "pos")
+                    .agg(F.round(F.sum(F.col("v").cast("double"))
+                                 / F.count(F.lit(1)), ndigits).alias("m")))
+            by: dict = {}
+            for r in newc.collect():
+                by.setdefault(int(r["cl"]), [None] * dim)[int(r["pos"])] \
+                    = r["m"]
+            cents = sorted(by.items())
     finally:
         cached.unpersist(blocking=False)
     return cents
@@ -229,15 +251,26 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 4, iters: int = 1,
                 F.when(F.col("s") == s, arg).otherwise(best)
             if s == 0:
                 best = F.when(F.col("s") == 0, arg)
-        means = [F.round(F.sum(F.col("sv")[i].cast("double"))
-                         / F.count(F.lit(1)), ndigits).alias(f"c{i}")
-                 for i in range(subdim)]
-        newc = (sub.select("s", "sv", best.getField("cl").alias("cl"))
-                .groupBy("s", "cl").agg(*means))
-        books = {s: [] for s in range(m)}
+        # posexplode + groupBy(s, cl, pos) for the same planning-cost
+        # reason as kmeans_centroids (codebook literals change per
+        # iteration -> fresh plan each pass; two agg expressions plan
+        # ~3x faster than a subdim-wide list). Same rounding, same
+        # GROUP BY drop-empty semantics.
+        assigned = sub.select("s", best.getField("cl").alias("cl"),
+                              F.col("sv"))
+        newc = (assigned
+                .select("s", "cl", F.posexplode(F.col("sv"))
+                        .alias("pos", "v"))
+                .groupBy("s", "cl", "pos")
+                .agg(F.round(F.sum(F.col("v").cast("double"))
+                             / F.count(F.lit(1)), ndigits).alias("m")))
+        accum: dict = {}
         for r in newc.collect():
-            books[r["s"]].append((int(r["cl"]),
-                                  [r[f"c{i}"] for i in range(subdim)]))
+            accum.setdefault((int(r["s"]), int(r["cl"])),
+                             [None] * subdim)[int(r["pos"])] = r["m"]
+        books = {s: [] for s in range(m)}
+        for (s, cl), cv in accum.items():
+            books[s].append((cl, cv))
         books = {s: sorted(v) for s, v in books.items()}
     return books
 

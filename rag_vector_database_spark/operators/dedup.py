@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions.text import distinct_tokens, tokens
+from .scan import estimated_scan_partitions
 
 
 # Persisted shingle tables from minhash_lsh_pairs, newest last. Each new
@@ -52,18 +53,10 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
-def _estimated_scan_partitions(df: DataFrame) -> int:
-    """Scan width from Catalyst plan statistics — a few ms, NO job and
-    no RDD materialization (df.rdd costs ~1 s of plan conversion just
-    to read a partition count). sizeInBytes / maxPartitionBytes is how
-    the file source itself sizes splits, so the estimate matches what
-    the scan would actually do."""
-    spark = df.sparkSession
-    size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
-                   .sizeInBytes()))
-    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                   str(128 * 1024 * 1024)).rstrip("b"))
-    return max(1, -(-size // max_split))
+# promoted to operators.scan (clustering and the multimodal kernels
+# need the same gate); the private alias keeps existing call sites
+# (including plans.registry's) working unchanged
+_estimated_scan_partitions = estimated_scan_partitions
 
 
 def cache_mark() -> int:

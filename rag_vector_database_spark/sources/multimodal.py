@@ -26,6 +26,33 @@ from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, FloatType,
                                IntegerType, LongType, StringType, StructField,
                                StructType)
 
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Scan width from Catalyst plan statistics — a few ms, NO job and
+    no RDD materialization (twin of operators.dedup's gate; kept local
+    so the sources layer never imports an operator module)."""
+    spark = df.sparkSession
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes()))
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                   str(128 * 1024 * 1024)).rstrip("b"))
+    return max(1, -(-size // max_split))
+
+
+def _widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan before a Python kernel touches it: a
+    one-split parquet (anything under maxPartitionBytes) would
+    otherwise push the WHOLE corpus through a single ``mapInPandas``
+    task — one Python worker, zero parallelism — no matter how many
+    cores the cluster has. Same gate discipline as the tokenize paths
+    in operators.dedup: the repartition fires only when the scan is
+    narrower than the core count, so a genuinely large blob corpus
+    (already many splits) is never shuffled."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if _estimated_scan_partitions(df) < par:
+        return df.repartition(par)
+    return df
+
+
 def image_decode_kernel(image_mod, blob: bytes) -> tuple[int, int, str | None]:
     """Real image decode against a PIL.Image-shaped module: open the byte
     stream, read (width, height, format). Module passed as a parameter so
@@ -95,7 +122,8 @@ def decode_images(df: DataFrame, id_col: str = "id",
                 "format": [r[2] for r in rows],
             })
 
-    return df.select(*cols).mapInPandas(decode, DECODE_SCHEMA)
+    return (_widen_narrow_scan(df.select(*cols))
+            .mapInPandas(decode, DECODE_SCHEMA))
 
 
 def image_resize_kernel(image_mod, blob: bytes,
@@ -154,7 +182,8 @@ def resize_images(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
                 "out_h": pd.Series([height] * len(pdf), dtype="int32"),
             })
 
-    return df.select(id_col, blob_col).mapInPandas(resize, RESIZE_SCHEMA)
+    return (_widen_narrow_scan(df.select(id_col, blob_col))
+            .mapInPandas(resize, RESIZE_SCHEMA))
 
 
 FEATURE_DIM = 8
@@ -206,7 +235,8 @@ def sample_frames(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
                     out["frame"].append(b[i * frame_bytes:(i + 1) * frame_bytes])
             yield pd.DataFrame(out)
 
-    return df.select(id_col, blob_col).mapInPandas(frames, FRAME_SCHEMA)
+    return (_widen_narrow_scan(df.select(id_col, blob_col))
+            .mapInPandas(frames, FRAME_SCHEMA))
 
 
 WINDOW_RMS_SCHEMA = StructType([
@@ -251,7 +281,8 @@ def window_rms(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
                         round(math.sqrt(ss / n), 6) if n else 0.0)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, blob_col).mapInPandas(rms, WINDOW_RMS_SCHEMA)
+    return (_widen_narrow_scan(df.select(id_col, blob_col))
+            .mapInPandas(rms, WINDOW_RMS_SCHEMA))
 
 
 AHASH_SCHEMA = StructType([
@@ -304,7 +335,8 @@ def ahash32(df: DataFrame, id_col: str = "id",
                 out["ahash"].append(h)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, blob_col).mapInPandas(kern, AHASH_SCHEMA)
+    return (_widen_narrow_scan(df.select(id_col, blob_col))
+            .mapInPandas(kern, AHASH_SCHEMA))
 
 
 AHASH64_SCHEMA = StructType([
@@ -351,7 +383,8 @@ def ahash64(df: DataFrame, id_col: str = "id",
                 out["ahash_hi"].append(h >> 32)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, blob_col).mapInPandas(kern, AHASH64_SCHEMA)
+    return (_widen_narrow_scan(df.select(id_col, blob_col))
+            .mapInPandas(kern, AHASH64_SCHEMA))
 
 
 def _block_mean_cells_fn():
@@ -431,7 +464,8 @@ def resize_blob(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
                     out[f"head{j}"].append(int(cells[j]))
             yield pd.DataFrame(out)
 
-    return df.select(id_col, blob_col).mapInPandas(kern, THUMB_SCHEMA)
+    return (_widen_narrow_scan(df.select(id_col, blob_col))
+            .mapInPandas(kern, THUMB_SCHEMA))
 
 
 THUMB_VEC_SCHEMA = StructType([
@@ -464,4 +498,5 @@ def thumb_vector(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
                 out["cells"].append([int(c) for c in cells])
             yield pd.DataFrame(out)
 
-    return df.select(id_col, blob_col).mapInPandas(kern, THUMB_VEC_SCHEMA)
+    return (_widen_narrow_scan(df.select(id_col, blob_col))
+            .mapInPandas(kern, THUMB_VEC_SCHEMA))
