@@ -25,34 +25,6 @@ actions each re-pay exchange + task overhead against tens of ms of
 actual compute). Re-measure before adding a new call site.
 """
 
-from pyspark.sql import DataFrame
-
-
-def estimated_scan_partitions(df: DataFrame) -> int:
-    """Scan width from Catalyst plan statistics — a few ms, NO job and
-    no RDD materialization (``df.rdd`` costs ~1 s of plan conversion
-    just to read a partition count). sizeInBytes / maxPartitionBytes is
-    how the file source itself sizes splits, so the estimate matches
-    what the scan would actually do."""
-    spark = df.sparkSession
-    size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
-                   .sizeInBytes()))
-    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                   str(128 * 1024 * 1024)).rstrip("b"))
-    return max(1, -(-size // max_split))
-
-
-def widen_narrow_scan(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` to the core count IFF its scan is narrower —
-    the round-robin exchange costs one pass over a by-definition-small
-    input and buys full parallelism for every downstream per-row
-    kernel. Values are unchanged (per-row transforms are partition-
-    independent); callers whose downstream aggregates DOUBLES must
-    note that partial-sum order shifts with partitioning — every such
-    caller in this repo rounds aggregate results to a fixed number of
-    digits, the same contract that already lets the DuckDB oracle (its
-    own summation order) hash-match."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if estimated_scan_partitions(df) < par:
-        return df.repartition(par)
-    return df
+from ..functions.scanwidth import (estimated_scan_partitions,  # noqa: F401
+                                   parse_byte_string,
+                                   widen_narrow_scan)

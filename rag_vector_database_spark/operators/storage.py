@@ -16,6 +16,8 @@ scale the corpus lives as:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -166,6 +168,12 @@ _INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
 # set of conf keys copied on the last sync — needed to UNSET confs
 # the caller has since unset.
 _ISOLATED: dict = {}
+# Guards _ISOLATED's lookup/purge/store: each thread owns its OWN
+# cached session (the key includes the thread id), but the dict itself
+# is shared — an unguarded first-call purge racing another thread's
+# insert raises "dictionary changed size during iteration". The lock
+# covers only dict bookkeeping, never the SET collect or conf sync.
+_ISOLATED_LOCK = threading.Lock()
 
 
 def _isolated_session(spark):
@@ -190,14 +198,15 @@ def _isolated_session(spark):
     call (a finished thread's session lingers until the context
     changes — bounded by thread count, same order as the old
     per-call leak's single call)."""
-    import threading
     app_id = spark.sparkContext.applicationId
-    key = (app_id, threading.get_ident())
-    cached = _ISOLATED.get(key)
+    cache_key = (app_id, threading.get_ident())
+    with _ISOLATED_LOCK:
+        cached = _ISOLATED.get(cache_key)
+        if cached is None:
+            # a new context means any prior one is dead; drop its entries
+            for stale in [k for k in _ISOLATED if k[0] != app_id]:
+                del _ISOLATED[stale]
     if cached is None:
-        # a new context means any prior one is dead; drop its entries
-        for stale in [k for k in _ISOLATED if k[0] != app_id]:
-            del _ISOLATED[stale]
         cached = (spark.newSession(), set())
     s, prev_keys = cached
     live = {}
@@ -209,18 +218,19 @@ def _isolated_session(spark):
             # builder-time value, which newSession already inherits.
             continue
         live[row["key"]] = row["value"]
-    for key in (prev_keys | {_V1_LIST_KEY, _AGG_PD_KEY, _INFER_KEY}) \
+    for conf_key in (prev_keys | {_V1_LIST_KEY, _AGG_PD_KEY, _INFER_KEY}) \
             - set(live):
         try:
-            s.conf.unset(key)
+            s.conf.unset(conf_key)
         except Exception:
             pass  # static/read-only entries can't be unset
-    for key, value in live.items():
+    for conf_key, value in live.items():
         try:
-            s.conf.set(key, value)
+            s.conf.set(conf_key, value)
         except Exception:
             pass  # static/read-only entries can't be re-set
-    _ISOLATED[key] = (s, set(live))
+    with _ISOLATED_LOCK:
+        _ISOLATED[cache_key] = (s, set(live))
     return s
 
 

@@ -26,31 +26,14 @@ from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, FloatType,
                                IntegerType, LongType, StringType, StructField,
                                StructType)
 
-def _estimated_scan_partitions(df: DataFrame) -> int:
-    """Scan width from Catalyst plan statistics — a few ms, NO job and
-    no RDD materialization (twin of operators.dedup's gate; kept local
-    so the sources layer never imports an operator module)."""
-    spark = df.sparkSession
-    size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
-                   .sizeInBytes()))
-    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                   str(128 * 1024 * 1024)).rstrip("b"))
-    return max(1, -(-size // max_split))
-
-
-def _widen_narrow_scan(df: DataFrame) -> DataFrame:
-    """Spread a narrow scan before a Python kernel touches it: a
-    one-split parquet (anything under maxPartitionBytes) would
-    otherwise push the WHOLE corpus through a single ``mapInPandas``
-    task — one Python worker, zero parallelism — no matter how many
-    cores the cluster has. Same gate discipline as the tokenize paths
-    in operators.dedup: the repartition fires only when the scan is
-    narrower than the core count, so a genuinely large blob corpus
-    (already many splits) is never shuffled."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if _estimated_scan_partitions(df) < par:
-        return df.repartition(par)
-    return df
+# Shared narrow-scan gate: a one-split parquet would otherwise push
+# the WHOLE corpus through a single mapInPandas task (one Python
+# worker, zero parallelism). Definition lives in functions.scanwidth
+# (layer-neutral) so sources/ shares one implementation with
+# operators/ without importing an operator module.
+from ..functions.scanwidth import (
+    estimated_scan_partitions as _estimated_scan_partitions,
+    widen_narrow_scan as _widen_narrow_scan)
 
 
 def image_decode_kernel(image_mod, blob: bytes) -> tuple[int, int, str | None]:

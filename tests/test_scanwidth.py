@@ -1,0 +1,117 @@
+"""Regression tests for the shared scan-width gate and the isolated
+private session cache — the round-6 advisor/judge findings: (a) the
+``_jdf`` plan-stats probe must degrade, not raise, when Spark
+internals shift; (b) maxPartitionBytes values like '128m' must parse;
+(c) ``_isolated_session`` must actually REUSE its cached session
+under the (app_id, thread) key instead of leaking one per call."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from rag_vector_database_spark.functions import scanwidth
+from rag_vector_database_spark.operators import storage
+from rag_vector_database_spark.operators.scan import (
+    estimated_scan_partitions, widen_narrow_scan)
+
+
+@pytest.mark.parametrize("value,expected", [
+    ("134217728", 128 << 20),        # bare digits = bytes
+    ("134217728b", 128 << 20),       # Spark's own default spelling
+    ("128m", 128 << 20),
+    ("128MB", 128 << 20),
+    ("1g", 1 << 30),
+    ("512kb", 512 << 10),
+    ("2t", 2 << 40),
+])
+def test_parse_byte_string(value, expected):
+    assert scanwidth.parse_byte_string(value) == expected
+
+
+def test_parse_byte_string_rejects_garbage():
+    with pytest.raises(ValueError):
+        scanwidth.parse_byte_string("12q")
+
+
+def test_scan_gate_single_definition():
+    """operators.scan and sources.multimodal must share ONE gate —
+    the byte-twin copies are gone."""
+    from rag_vector_database_spark.sources import multimodal
+    assert multimodal._estimated_scan_partitions \
+        is scanwidth.estimated_scan_partitions
+    assert multimodal._widen_narrow_scan is scanwidth.widen_narrow_scan
+    assert estimated_scan_partitions is scanwidth.estimated_scan_partitions
+    assert widen_narrow_scan is scanwidth.widen_narrow_scan
+
+
+def test_estimate_survives_human_readable_conf(spark):
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "128m")
+    try:
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert estimated_scan_partitions(df) >= 1
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_estimate_falls_back_when_internals_raise(spark):
+    """A Spark upgrade that breaks the _jdf probe must degrade to
+    'narrow' (1) so the gate repartitions instead of raising."""
+    df = spark.range(10).toDF("id")
+    real_jdf = df._jdf
+
+    class Boom:
+        """Breaks exactly the internal probe the gate uses; everything
+        else (repartition itself goes through _jdf) stays real."""
+        def __getattr__(self, name):
+            if name == "queryExecution":
+                raise AttributeError(name)
+            return getattr(real_jdf, name)
+
+    object.__setattr__(df, "_jdf", Boom())
+    assert estimated_scan_partitions(df) == 1
+    out = widen_narrow_scan(df)
+    assert out.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+
+
+def test_isolated_session_is_cached(spark):
+    """Same thread + same context -> the SAME private session object,
+    cached under the (applicationId, thread_id) tuple (the round-6
+    shadowing bug stored it under a conf-name string and leaked a JVM
+    session per call)."""
+    s1 = storage._isolated_session(spark)
+    s2 = storage._isolated_session(spark)
+    assert s1 is s2
+    cache_key = (spark.sparkContext.applicationId,
+                 threading.get_ident())
+    assert cache_key in storage._ISOLATED
+    assert storage._ISOLATED[cache_key][0] is s1
+    # every cache key is an (app_id, thread_id) tuple — never a conf name
+    for k in storage._ISOLATED:
+        assert isinstance(k, tuple) and len(k) == 2
+        assert isinstance(k[1], int)
+
+
+def test_isolated_session_per_thread(spark):
+    """Concurrent callers each get their own session; the shared dict
+    survives racing first-call purges (lock-guarded)."""
+    got = {}
+
+    def grab():
+        got[threading.get_ident()] = storage._isolated_session(spark)
+
+    threads = [threading.Thread(target=grab) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(got) == 4
+    # per-thread isolation: 4 distinct sessions, all cached
+    assert len({id(s) for s in got.values()}) == 4
+    for tid, s in got.items():
+        key = (spark.sparkContext.applicationId, tid)
+        assert storage._ISOLATED[key][0] is s
