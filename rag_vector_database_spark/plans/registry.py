@@ -145,27 +145,82 @@ def register(name: str, oracle: str | None, headline: bool = False):
 # order; everything else follows in registration order. Registration
 # order (REGISTRY) is untouched — tests and bench use it.
 WINDOW_PRIORITY: list[str] = [
-    # -- canaries (driver-green r01-r05; regression sentinels) -------
+    # -- canaries (driver-green every round; regression sentinels) ---
     "knn_bruteforce",
     "retrieval_funnel",
     "chunk_documents",
     "exact_dedup",
     "minhash_neardup",
     "pricing_summary",
-    # -- r06 window: ALL 43 remaining never-graded oracle-backed
-    #    names (queue drained per the round-5 verdict).  The two r05
-    #    composed flagships lead, then the seven late-r05 operators,
-    #    then the 34-name tail.  6 canaries + 43 = 49 of 50 slots;
-    #    the 50th is reserved for at most one new r06 operator. ------
-    "daily_drop_pipeline",        # new in r05 (composed incremental flagship)
-    "minhash_keep_best",          # new in r05 (quality-aware canonical)
-    "phash_blob_neardup",         # new in r05 (multimodal aHash near-dup)
-    "retrieval_ndcg_eval",        # new in r05 (nDCG/MRR scorecard)
-    "quality_blend_rank",         # new in r05 (rank-normalized blending)
-    "domain_cap_sample",          # new in r05 (salted per-domain budget)
-    "video_frame_dedup",          # new in r05 (keyframe cross-video dedup)
-    "embedding_outlier_topk",     # new in r05 (per-label farthest members)
-    "multimodal_resize_stats",    # new in r05 (block-mean thumbnail)
+    # -- r07 window: STALENESS re-grades (round-6 verdict task 1).
+    #    The never-graded queue is empty, so the 43 slots after the
+    #    canaries re-grade the OLDEST green rows whose code paths
+    #    changed most since they were graded — converting ever-green
+    #    into green-at-HEAD. Slot 50 is reserved for the one new r07
+    #    operator (composed retrieval-side flagship). ----------------
+    # r01 relational/RAG spine -- oldest green rows in the ledger (r01)
+    "validation_filter",
+    "kev_text_assembly",
+    "direct_retrieval",
+    "pivot_status_by_month",
+    "shipping_priority",
+    "stats_moments",
+    # clustering.py posexplode rewrite consumers (graded r02-r03, kernel rewritten r06)
+    "ivf_knn",
+    "ivf_knn_multiprobe",
+    "ivfpq_knn",
+    "pq_adc_knn",
+    "kmeans_lloyd",
+    "kmeans_silhouette",
+    "retrieval_funnel_ivf",
+    "ivf_partitioned_knn",
+    "ivf_recall_eval",
+    "knn_quantized",
+    "binary_quant_knn",
+    "mrl_truncated_knn",
+    # mapInPandas queries behind the widen_narrow_scan gate (gate unified into functions.scanwidth this round)
+    "multimodal_blob_meta",
+    "multimodal_frame_stats",
+    "multimodal_audio_energy",
+    "arrow_vector_norms",
+    "arrow_grouped_centroid_norm",
+    # dedup.py consumers (banding guard + tokenize gate churn r05-r06, graded r02-r03)
+    "cosine_neardup",
+    "cosine_neardup_blocked",
+    "simhash_neardup",
+    "ngram_jaccard_pairs",
+    "minhash_dedup_clusters",
+    "doc_fingerprint",
+    "semantic_dedup",
+    "dedup_keep_best",
+    "boilerplate_tile_dedup",
+    "edit_distance_neardup",
+    "minhash_delta_pairs",
+    "minhash_recall_eval",
+    # textstats.py consumers (rank_normalize eqNullSafe churn r06, graded r02-r03)
+    "quality_score",
+    "lang_id",
+    "token_stats",
+    "langid_confusion",
+    "zscore_by_type",
+    # retrieval.py misc consumers (knn_batch_topk fold rewrite r06, graded r02-r03)
+    "knn_score_stats",
+    "knn_metadata_filtered",
+    "hybrid_rrf_fusion",
+    # ----- end of the graded 50-prefix (6 canaries + 43 re-grades +
+    #       the reserved flagship slot; until the flagship lands the
+    #       50th name below is a previously-green extra canary) ------
+    # -- previously graded (r01-r06 green rows); listed so the two
+    #    no-oracle entries below can never float into the prefix. ----
+    "daily_drop_pipeline",
+    "minhash_keep_best",
+    "phash_blob_neardup",
+    "retrieval_ndcg_eval",
+    "quality_blend_rank",
+    "domain_cap_sample",
+    "video_frame_dedup",
+    "embedding_outlier_topk",
+    "multimodal_resize_stats",
     "customer_distribution",
     "knn_batch",
     "label_centroid_spread",
@@ -200,18 +255,10 @@ WINDOW_PRIORITY: list[str] = [
     "sql_api_shipping_priority",
     "token_entropy",
     "token_collocations",
-    "cross_modal_retrieval",      # new in r06 (CLIP-style text<->image funnel)
-    # ----- end of the 50-slot graded prefix (6 canaries + 43 queue
-    #       names + the one new r06 operator) -----------------------
-    # -- previously graded (r01-r05 green rows); listed so the two
-    #    no-oracle entries below can never float into the prefix.
-    #    Slot 50 falls on the first of these until a new r06 operator
-    #    is inserted above — a previously-green name, i.e. an extra
-    #    canary, which is the safe default. --------------------------
+    "cross_modal_retrieval",
     "bucketed_join_colocated",
     "streaming_minhash_pairs",
     "ivf_delta_assign",
-    "multimodal_audio_energy",
     "xml_sink_roundtrip",
     "variant_props_shred",
     "pandas_on_spark_summary",
