@@ -207,9 +207,10 @@ WINDOW_PRIORITY: list[str] = [
     "knn_score_stats",
     "knn_metadata_filtered",
     "hybrid_rrf_fusion",
+    # the one new r07 operator (composed retrieval-side flagship)
+    "retrieval_lifecycle_pipeline",
     # ----- end of the graded 50-prefix (6 canaries + 43 re-grades +
-    #       the reserved flagship slot; until the flagship lands the
-    #       50th name below is a previously-green extra canary) ------
+    #       the new flagship in slot 50) -----------------------------
     # -- previously graded (r01-r06 green rows); listed so the two
     #    no-oracle entries below can never float into the prefix. ----
     "daily_drop_pipeline",
@@ -9982,3 +9983,181 @@ def q_cross_modal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = retrieval.knn_batch_topk(corpus, queries, k=5,
                                     vec_col="iv", id_col="cid")
     return topk.select("qid", F.col("cid").alias("doc_id"), "score")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 composed flagship: the full retrieval-side lifecycle against a
+# STORED index — the query-path twin of daily_drop_pipeline's dedup-side
+# composition.
+
+_RLP_ORACLE = _dd_kmeans_cte(k=5) + """
+, q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 8
+),
+store AS (
+  SELECT f.vec_id, f.cl, e.embedding, e.label
+  FROM f JOIN embeddings e USING (vec_id)
+  WHERE f.vec_id >= 8
+),
+qd AS (
+  SELECT q.qid, c.cl,
+         round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+               i -> pow(CAST(q.qv[i] AS DOUBLE) - c.cv[i], 2)),
+             (acc, v) -> acc + v), 6) AS d2
+  FROM c2 c CROSS JOIN q
+),
+probes AS (
+  SELECT qid, cl FROM (
+    SELECT qid, cl,
+           row_number() OVER (PARTITION BY qid ORDER BY d2, cl) AS rn
+    FROM qd)
+  WHERE rn <= 2
+),
+cand AS (
+  SELECT p.qid, s.vec_id, s.label, round({dot}, 6) AS score
+  FROM store s JOIN probes p ON s.cl = p.cl JOIN q ON q.qid = p.qid
+),
+ncand AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid),
+ranked AS (
+  SELECT qid, vec_id, label, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM cand
+),
+topk AS (
+  SELECT r.qid, r.rn,
+         CASE WHEN r.label = q.qlabel THEN 1 ELSE 0 END AS rel
+  FROM ranked r JOIN q ON q.qid = r.qid WHERE r.rn <= 10
+),
+cnt AS (
+  SELECT q.qid, count(*) AS n_rel
+  FROM (SELECT label FROM embeddings WHERE vec_id >= 8) c
+  JOIN q ON c.label = q.qlabel GROUP BY q.qid
+),
+disc AS (SELECT * FROM (VALUES {disc_rows}) AS t(rn, d)),
+cum AS (SELECT * FROM (VALUES {cum_rows}) AS t(m, cd)),
+perq AS (
+  SELECT t.qid, sum(t.rel * disc.d) AS dcg,
+         min(CASE WHEN t.rel = 1 THEN t.rn END) AS best,
+         sum(t.rel) AS hits
+  FROM topk t JOIN disc ON t.rn = disc.rn GROUP BY t.qid
+)
+SELECT p.qid, CAST(nc.n_cand AS BIGINT) AS n_cand,
+       CAST(ct.n_rel AS BIGINT) AS n_rel,
+       round(p.dcg / cum.cd, 6) AS ndcg_at_k,
+       round(CASE WHEN p.best IS NOT NULL
+             THEN 1.0 / p.best ELSE 0.0 END, 6) AS mrr,
+       round(p.hits / 10.0, 6) AS p_at_k,
+       round(p.hits / CAST(ct.n_rel AS DOUBLE), 6) AS recall_at_k
+FROM perq p
+JOIN cnt ct ON p.qid = ct.qid
+JOIN ncand nc ON p.qid = nc.qid
+JOIN cum ON cum.m = least(ct.n_rel, 10)
+""".format(dot=dd_dot("s.embedding", "q.qv"),
+           disc_rows=", ".join(f"({r + 1}, {d!r})"
+                               for r, d in enumerate(_NDCG_DISC)),
+           cum_rows=", ".join(f"({m + 1}, {c!r})"
+                              for m, c in enumerate(_NDCG_CUM)))
+
+
+@register("retrieval_lifecycle_pipeline", oracle=_RLP_ORACLE, headline=True)
+def q_retrieval_lifecycle_pipeline(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """THE COMPOSED RETRIEVAL-SIDE FLAGSHIP — the reference's full
+    query lifecycle (query_rag_database.py:358-376 retriever setup +
+    Auto_query_rag_database.py:296-348 per-turn retrieval) run as ONE
+    pipeline against a STORED index rather than ad-hoc tables, with
+    the eyeballed per-query score check replaced by the measurable
+    scorecard. Four legs, each proven separately, composed end-to-end:
+
+    1. **Ingest / index build** (ivf_delta_assign's build leg): a
+       k-means coarse quantizer is trained once on the ingested
+       vectors and FROZEN; corpus vectors are assigned against the
+       literal centroids and written PARTITIONED BY cluster — the
+       store layout where a cell filter is file pruning, not a scan.
+    2. **Coarse probe** (ivf_kmeans_knn's probe ranking): each query
+       ranks the frozen centroids scan-locally (array_sort over the
+       same struct(d2, cl) literals kmeans assignment uses) and keeps
+       its 2 nearest cells.
+    3. **Funnel over the store** (retrieval_funnel_ivf's shape,
+       batched): the store is re-read with the probed-cell union as a
+       broadcast join on the PARTITION column — the plan shape
+       dynamic partition pruning turns into file skipping at scale —
+       then exact cosine + the spill-safe salted top-10 fold
+       (knn_batch_topk) runs only inside each query's own probed
+       cells via a pre-scoring pair filter.
+    4. **Scorecard** (retrieval_ndcg_eval): nDCG@10 / MRR / P@10 /
+       recall@10 per query with label-match relevance; recall counts
+       every relevant corpus vector, so the funnel's approximation
+       cost is measured, not hidden — plus n_cand, the funnel width
+       the probe bought (vs a 1992-vector exhaustive scan).
+
+    The oracle replays the whole lifecycle from scratch in SQL (Lloyd
+    chain -> probe argsort -> cell-joined scoring -> windowed top-10
+    -> metric math with shared 12dp discount literals), so
+    stored-index retrieval == from-scratch retrieval is value-exact.
+    Scale shape: quantizer state is k x dim literals; the store write
+    shuffles each vector once into its cell; the probe/funnel reads
+    touch only probed cells; every post-fold stage is q x k rows.
+    The only driver-side values are the k x dim centroids (bounded by
+    k, the same collect kmeans_lloyd already makes)."""
+    from ..operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv"),
+                       F.col("label").alias("qlabel")))
+    corpus = emb.where(F.col("vec_id") >= 8)
+
+    # leg 1: frozen quantizer + partitioned store (idempotent rebuild)
+    cents = CL.kmeans_centroids(emb, k=5, iters=2)
+    best = CL._argmin_centroid(cents, "embedding", 6)
+    store = _scratch_path(spark, sf_dir, "rlp_ivf_store")
+    (corpus.select("vec_id", best.getField("cl").alias("cluster"),
+                   "embedding", "label")
+     .write.mode("overwrite").partitionBy("cluster").parquet(store))
+
+    # leg 2: scan-local per-query probe ranking over the centroid
+    # literals (array_sort of struct(d2, cl) = ORDER BY d2, cl)
+    probe_arr = F.slice(
+        F.array_sort(F.array(*CL._scored_structs(cents, "qv", 6))), 1, 2)
+    q2 = queries.withColumn(
+        "probe_cls", F.transform(probe_arr, lambda s: s.getField("cl")))
+
+    # leg 3: cell-restricted store read + batched exact scoring.
+    # The distinct probed cells join the store on its PARTITION
+    # column (broadcast -> DPP file skipping at scale); the per-query
+    # pair filter then prunes cross-cell pairs before any dot product.
+    stored = spark.read.parquet(store)
+    cells = q2.select(F.explode("probe_cls").alias("cl")).distinct()
+    cand_corpus = (stored.join(F.broadcast(cells),
+                               stored.cluster.cast("long") == F.col("cl"))
+                   .drop("cl"))
+    topk = retrieval.knn_batch_topk(
+        cand_corpus, q2.select("qid", "qv", "probe_cls"), 10,
+        pair_filter=F.array_contains(
+            F.col("probe_cls"), F.col("cluster").cast("long")))
+
+    # funnel-width ledger: store rows per probed cell, per query
+    pf = q2.select("qid", F.explode("probe_cls").alias("cl"))
+    ncand = (stored.groupBy("cluster")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .join(F.broadcast(pf), F.col("cluster").cast("long") == F.col("cl"))
+             .groupBy("qid").agg(F.sum("n").cast("long").alias("n_cand")))
+
+    # leg 4: scorecard vs full-corpus relevance
+    qlab = queries.select("qid", "qlabel")
+    relevant = (corpus.join(F.broadcast(qlab),
+                            corpus["label"] == qlab["qlabel"])
+                .select("qid", "vec_id"))
+    rel_counts = (corpus.groupBy("label")
+                  .agg(F.count(F.lit(1)).alias("n_rel"))
+                  .join(F.broadcast(qlab),
+                        F.col("label") == F.col("qlabel"))
+                  .select("qid", "n_rel"))
+    metrics = retrieval.ranking_metrics(topk, relevant, rel_counts, k=10)
+    return (metrics.join(F.broadcast(ncand), "qid")
+            .select("qid", "n_cand", "n_rel", "ndcg_at_k", "mrr",
+                    "p_at_k", "recall_at_k"))
