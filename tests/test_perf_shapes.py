@@ -627,3 +627,42 @@ def test_prefix_filtered_jaccard_equals_brute_force(spark):
     with pytest.raises(ValueError):
         dedup.ngram_jaccard_pairs(df, threshold=0.0)
     dedup.release_caches()
+
+
+def test_retrieval_lifecycle_plan_shapes(spark):
+    """The r07 composed flagship's scale claims on the real plan:
+    the funnel's cell restriction and probe sets join the stored
+    index via BROADCAST (never a sort-merge of the corpus against an
+    8-row query table), and the final scorecard plan contains the
+    spill-safe windowed phase-1 fold rather than a whole-corpus
+    collect_list."""
+    from rag_vector_database_spark.plans import registry
+
+    out = registry.q_retrieval_lifecycle_pipeline(
+        spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # probed-cell membership must prune BEFORE scoring: the filter on
+    # array_contains(probe_cls, cluster) sits in the plan, and no
+    # sort-merge join ships the store against the query side
+    assert "array_contains" in plan
+    # queries broadcast into the scoring pass (nested-loop over the
+    # broadcast query batch, never a shuffled join of the store)
+    assert "BroadcastNestedLoopJoin" in plan
+    # the ONLY sort-merge join allowed is ranking_metrics' judgments
+    # join, which carries q x k ranked rows (its __rq/__ri aliases) —
+    # never the store or the scored candidates
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "__rq" in line, line
+    # phase-1 top-k is the salted row_number window (external sort),
+    # not a collect_list fold of the scored candidates
+    assert "row_number" in plan
+    # result is the q x k scorecard
+    rows = out.collect()
+    assert len(rows) == 8
+    assert sorted(r["qid"] for r in rows) == list(range(8))
+    for r in rows:
+        assert 0 < r["n_cand"]
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0
+        assert 0.0 <= r["recall_at_k"] <= 1.0
