@@ -10161,3 +10161,135 @@ def q_retrieval_lifecycle_pipeline(spark: SparkSession,
     return (metrics.join(F.broadcast(ncand), "qid")
             .select("qid", "n_cand", "n_rel", "ndcg_at_k", "mrr",
                     "p_at_k", "recall_at_k"))
+
+
+@register(
+    "score_calibration_bins",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 8),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         round({dot}, 6) AS score,
+         CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel
+  FROM c CROSS JOIN q
+),
+ext AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+binned AS (
+  SELECT least(CAST(floor((s.score - e.mn)
+                          / ((e.mx - e.mn) / 10.0)) AS BIGINT), 9) AS bin,
+         s.score, s.rel
+  FROM scored s CROSS JOIN ext e
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(rel) AS BIGINT) AS n_matches,
+       round(sum(rel) / CAST(count(*) AS DOUBLE), 6) AS precision,
+       round(sum(CAST(round(score * 1000000) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS mean_score
+FROM binned GROUP BY bin
+""".format(dot=dd_dot("c.embedding", "q.qv")))
+def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-score calibration: every (query, corpus) pair is
+    scored, bucketed into 10 equal-width score bins, and each bin
+    reports its empirical precision (label-match rate) — the
+    reliability curve that turns the reference's hand-picked
+    similarity threshold (0.75 default, interactively overridden per
+    query, Auto_query_rag_database.py:330-336) into a measured
+    score->relevance mapping: pick the threshold whose bin precision
+    meets the product bar, instead of eyeballing score printouts.
+
+    Scale shape: scoring is the broadcast-query corpus pass every
+    batched kNN uses (shuffle-free); the bin edges come from ONE
+    global min/max aggregate cross-joined back as a 1-row broadcast
+    (never a sort or ntile window, which would total-order all
+    corpus x query pairs); binning + the per-bin aggregate are
+    scan-local with map-side combine — 10 result rows regardless of
+    corpus size. Both engines compute identical IEEE doubles for the
+    bin edges from identical 6dp-rounded scores, so bucket membership
+    matches exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv"),
+                       F.col("label").alias("qlabel")))
+    corpus = emb.where(F.col("vec_id") >= 8)
+    from ..functions import vectors as V
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .select(F.round(V.dot(F.col("embedding"), F.col("qv")), 6)
+                      .alias("score"),
+                      (F.col("label") == F.col("qlabel"))
+                      .cast("int").alias("rel")))
+    ext = scored.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    binned = (scored.crossJoin(F.broadcast(ext))
+              .select(F.least(F.floor((F.col("score") - F.col("mn"))
+                                      / ((F.col("mx") - F.col("mn"))
+                                         / F.lit(10.0))).cast("long"),
+                              F.lit(9).cast("long")).alias("bin"),
+                      "score", "rel"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum("rel").cast("long").alias("n_matches"),
+                 F.round(F.sum("rel") / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("precision"),
+                 # mean over an EXACT long sum of the 6dp-scaled scores:
+                 # a double avg() is summation-order-dependent and can
+                 # land either side of a 6dp rounding boundary between
+                 # engines; integer summation is order-free
+                 F.round(F.sum(F.round(F.col("score") * 1e6).cast("long"))
+                         / (F.count(F.lit(1)) * F.lit(1000000.0)), 6)
+                 .alias("mean_score")))
+
+
+@register(
+    "ivf_cell_stats",
+    oracle=_dd_kmeans_cte(k=5) + """
+, tot AS (SELECT count(*) AS n FROM f)
+SELECT f.cl AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(sum(CAST(round(f.d2 * 1000000) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS mean_d2,
+       round(max(f.d2), 6) AS max_d2,
+       round(count(*) / CAST(t.n AS DOUBLE), 6) AS share
+FROM f CROSS JOIN tot t
+GROUP BY f.cl, t.n
+""")
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer health ledger: per-cell population, share of the
+    corpus, and mean/max squared distance to the centroid — the
+    monitoring readout that decides WHEN the frozen coarse quantizer
+    (ivf_delta_assign, retrieval_lifecycle_pipeline) must be
+    retrained: a cell whose share balloons makes its probes scan-heavy
+    (imbalance -> tail latency), and rising mean_d2 means drift has
+    degraded the quantization (ivf_recall_eval then measures the
+    recall cost). The reference has no index introspection at all —
+    its store is a black box (ingest_chunks_to_chromadb.py upserts and
+    hopes); at 100 TB the cell histogram is what capacity planning
+    reads.
+
+    Scale shape: assignment against the k plan-literal centroids is
+    scan-local; the per-cell aggregate is a k-row map-side-combined
+    groupBy; the corpus total joins back as a 1-row broadcast. Output
+    is k rows regardless of corpus size."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = CL.kmeans_centroids(emb, k=5, iters=2)
+    best = CL._argmin_centroid(cents, "embedding", 6)
+    assigned = emb.select(best.getField("cl").alias("cluster"),
+                          best.getField("d2").alias("d2"))
+    tot = assigned.agg(F.count(F.lit(1)).alias("n"))
+    return (assigned.crossJoin(F.broadcast(tot))
+            .groupBy("cluster", "n")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 # exact scaled-long sum (see score_calibration_bins)
+                 F.round(F.sum(F.round(F.col("d2") * 1e6).cast("long"))
+                         / (F.count(F.lit(1)) * F.lit(1000000.0)), 6)
+                 .alias("mean_d2"),
+                 F.round(F.max("d2"), 6).alias("max_d2"),
+                 F.round(F.count(F.lit(1)) / F.col("n").cast("double"), 6)
+                 .alias("share"))
+            .drop("n")
+            .select("cluster", "n_vecs", "mean_d2", "max_d2", "share"))
