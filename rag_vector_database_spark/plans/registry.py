@@ -10293,3 +10293,109 @@ def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("share"))
             .drop("n")
             .select("cluster", "n_vecs", "mean_d2", "max_d2", "share"))
+
+
+@register(
+    "context_coverage",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, round({dot}, 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id LIMIT 50
+),
+qt AS (SELECT {qtok} AS qtok FROM documents WHERE doc_id = 0),
+reranked AS (
+  SELECT d.doc_id, c.score,
+         CASE WHEN len(list_distinct(list_concat({dtok}, qt.qtok))) > 0
+              THEN CAST(len(list_intersect({dtok}, qt.qtok)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat({dtok}, qt.qtok))) AS DOUBLE)
+              ELSE 0.0 END AS relevance_score,
+         list_intersect({dtok}, qt.qtok) AS matched
+  FROM documents d JOIN cand c ON d.doc_id = c.vec_id, qt
+),
+top AS (
+  SELECT doc_id, matched,
+         row_number() OVER (ORDER BY relevance_score DESC, score DESC,
+                            doc_id) AS rn
+  FROM reranked
+  ORDER BY relevance_score DESC, score DESC, doc_id LIMIT 5
+),
+firsts AS (
+  SELECT tok, min(rn) AS first_rn
+  FROM (SELECT rn, unnest(matched) AS tok FROM top) GROUP BY tok
+),
+news AS (SELECT first_rn AS rn, count(*) AS n_new FROM firsts GROUP BY 1)
+SELECT t.rn, t.doc_id,
+       round(len(t.matched) / CAST(qt.nq AS DOUBLE), 6) AS support,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_tokens,
+       round(sum(COALESCE(n.n_new, 0))
+             OVER (ORDER BY t.rn) / CAST(qt.nq AS DOUBLE), 6)
+         AS cum_coverage
+FROM top t
+LEFT JOIN news n ON n.rn = t.rn
+CROSS JOIN (SELECT len(qtok) AS nq FROM qt) qt
+""".format(dot=dd_dot("e.embedding", "q.qv"),
+           qtok=dd_distinct_tokens("text"),
+           dtok=dd_distinct_tokens("d.text")))
+def q_context_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context grounding ledger: for the funnel's assembled context
+    (the same knn-50 -> rerank -> top-5 block rag_answer_turn feeds
+    the prompt template, Auto_query_rag_database.py:289-294's chunk
+    formatter), report per RANK how much of the query's distinct
+    token set each chunk supports (``support``), how many query
+    tokens it is the FIRST chunk to cover (``n_new_tokens`` — the
+    greedy set-cover marginal, i.e. what rank r adds beyond ranks
+    < r), and the running covered fraction (``cum_coverage``). A
+    context whose cum_coverage plateaus early is paying prompt-window
+    budget for redundant chunks; a low final coverage means the
+    retrieval cannot ground an answer at all — the retrieval-
+    sufficiency check the reference's eyeballed chunk printout never
+    quantifies.
+
+    Scale shape: identical to the funnel it instruments up through
+    top-5 (broadcast candidate join, TakeOrderedAndProject); every
+    coverage stage after that is bounded by 5 x |query tokens| —
+    window and joins over single-digit row counts."""
+    qv = query_vector(spark, sf_dir)
+    qtext = query_text(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    cand = retrieval.knn(emb, qv, 50)
+    # the query token SET stays in-plan (a 1-row broadcast), never a
+    # per-token literal array — a long query would otherwise bloat
+    # the plan with thousands of literals
+    qtok = (docs.where(F.col("doc_id") == 0)
+            .select(F.array_distinct(T.tokens(F.col("text")))
+                    .alias("qtok")))
+    joined = (docs.join(F.broadcast(cand), docs.doc_id == cand.vec_id)
+              .crossJoin(F.broadcast(qtok)))
+    reranked = (retrieval.rerank(joined, qtext)
+                .select("doc_id", "score", "relevance_score",
+                        F.array_intersect(
+                            F.array_distinct(T.tokens(F.col("text"))),
+                            F.col("qtok")).alias("matched"),
+                        F.size("qtok").alias("nq")))
+    w = Window.orderBy(F.desc("relevance_score"), F.desc("score"),
+                       F.col("doc_id"))
+    # 5 rows feed two consumers (the marginal-coverage explode and the
+    # final ledger join); checkpoint so the knn+rerank funnel runs once
+    top = (reranked.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 5)
+           .select("rn", "doc_id", "matched", "nq")
+           .localCheckpoint(eager=False))
+    firsts = (top.select("rn", F.explode("matched").alias("tok"))
+              .groupBy("tok").agg(F.min("rn").alias("first_rn")))
+    news = (firsts.groupBy(F.col("first_rn").alias("rn"))
+            .agg(F.count(F.lit(1)).alias("n_new")))
+    cw = Window.orderBy("rn")
+    return (top.join(F.broadcast(news), "rn", "left")
+            .select("rn", "doc_id",
+                    F.round(F.size("matched")
+                            / F.col("nq").cast("double"), 6)
+                    .alias("support"),
+                    F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
+                    .alias("n_new_tokens"),
+                    F.round(F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+                            .over(cw) / F.col("nq").cast("double"), 6)
+                    .alias("cum_coverage")))
