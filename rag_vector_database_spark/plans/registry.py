@@ -10399,3 +10399,142 @@ def q_context_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
                             .over(cw) / F.col("nq").cast("double"), 6)
                     .alias("cum_coverage")))
+
+
+@register(
+    "sq8_calibration",
+    oracle="""
+WITH u AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cal AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx,
+         (max(x) - min(x)) / 255.0 AS scale
+  FROM u GROUP BY pos
+),
+rec AS (
+  SELECT u.pos,
+         round(CASE WHEN c.scale > 0
+               THEN abs(u.x - (c.mn + least(greatest(
+                    floor((u.x - c.mn) / c.scale + 0.5), 0), 255)
+                    * c.scale))
+               ELSE 0.0 END, 6) AS err
+  FROM u JOIN cal c USING (pos)
+)
+SELECT CAST(c.pos - 1 AS BIGINT) AS pos,
+       round(c.mn, 6) AS mn, round(c.mx, 6) AS mx,
+       round(c.scale, 6) AS scale,
+       round(sum(CAST(round(r.err * 1000000) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS mean_abs_err
+FROM cal c JOIN rec r USING (pos)
+GROUP BY c.pos, c.mn, c.mx, c.scale
+""")
+def q_sq8_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization calibration: per-DIMENSION min/max over the
+    corpus -> the affine uint8 code scale ((mx-mn)/255, the FAISS
+    SQ8 trainer), plus each dimension's measured mean absolute
+    reconstruction error — the artifact that decides whether 4x-at-
+    rest compression is safe for this embedding model (a dimension
+    whose error rivals its spread will corrupt scores) and that the
+    symmetric fixed-scale quantizer already shipped
+    (functions.vectors.quantize_int8) cannot provide for non-unit-norm
+    corpora. Codes use floor(v + 0.5) in BOTH engines — explicit
+    half-up in exact arithmetic, immune to round() mode differences.
+
+    Scale shape: one posexplode pass with map-side combine yields the
+    dim-row calibration table; it broadcasts back onto the same
+    exploded scan for the error pass — two corpus scans, shuffles
+    carry dim-bounded rows only, output is dim rows regardless of
+    corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    u = (emb.select(F.posexplode("embedding").alias("pos", "xr"))
+         .select("pos", F.col("xr").cast("double").alias("x")))
+    cal = (u.groupBy("pos")
+           .agg(F.min("x").alias("mn"), F.max("x").alias("mx"),
+                ((F.max("x") - F.min("x")) / F.lit(255.0)).alias("scale")))
+    code = F.least(F.greatest(
+        F.floor((F.col("x") - F.col("mn")) / F.col("scale") + F.lit(0.5)),
+        F.lit(0).cast("long")), F.lit(255).cast("long"))
+    err = F.round(F.when(F.col("scale") > 0,
+                         F.abs(F.col("x") - (F.col("mn")
+                                             + code * F.col("scale"))))
+                  .otherwise(F.lit(0.0)), 6)
+    rec = u.join(F.broadcast(cal), "pos").select("pos", "mn", "mx",
+                                                 "scale", err.alias("err"))
+    return (rec.groupBy("pos", "mn", "mx", "scale")
+            .agg(F.round(F.sum(F.round(F.col("err") * 1e6).cast("long"))
+                         / (F.count(F.lit(1)) * F.lit(1000000.0)), 6)
+                 .alias("mean_abs_err"))
+            .select(F.col("pos").cast("long").alias("pos"),
+                    F.round("mn", 6).alias("mn"),
+                    F.round("mx", 6).alias("mx"),
+                    F.round("scale", 6).alias("scale"),
+                    "mean_abs_err"))
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=("WITH RECURSIVE " + _DD_MH_CTES + ",\n"
+            + "pairs AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+            + """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+cc AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY id),
+asn AS (
+  SELECT d.doc_id,
+         COALESCE(cc.cluster_id, CAST(d.doc_id AS BIGINT)) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS sz FROM asn GROUP BY cluster_id
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz
+"""))
+def q_dedup_cluster_size_histogram(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many MinHash-connected
+    components exist at each size (singletons included as size-1) and
+    how many documents they hold — the power-law readout dedup
+    capacity planning reads before a run: the largest bucket sizes
+    the skew caps (max_bucket, salting), and n_docs - n_clusters is
+    exactly the document count a keep-one-per-cluster pass will
+    delete. Composes the proven pair generation + connected
+    components + the singleton coalesce of leakage_safe_split, ending
+    in a histogram whose row count is bounded by the largest cluster
+    size, never the corpus.
+
+    Scale shape: pairs/CC as in minhash_dedup_clusters (banded,
+    bucket-capped, delta-iterated CC); the assignment join broadcasts
+    the cluster map (only docs appearing in a pair); both aggregates
+    are map-side-combined groupBys with tiny outputs."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    cc = dedup.connected_components(pairs)
+    asn = (d.join(F.broadcast(cc), d.doc_id == cc.id, "left")
+           .select(F.coalesce(F.col("cluster_id"),
+                              F.col("doc_id").cast("long"))
+                   .alias("cluster_id")))
+    sizes = asn.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (sizes.groupBy("sz")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .select(F.col("sz").cast("long").alias("cluster_size"),
+                    "n_clusters",
+                    (F.col("sz") * F.col("n_clusters")).cast("long")
+                    .alias("n_docs")))
