@@ -666,3 +666,19 @@ def test_retrieval_lifecycle_plan_shapes(spark):
         assert 0 < r["n_cand"]
         assert 0.0 <= r["ndcg_at_k"] <= 1.0
         assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def test_retrieval_lifecycle_rerun_identical(spark):
+    """The flagship's store is an overwrite-mode scratch keyed by
+    applicationId: running the query twice in one session must
+    rebuild the store idempotently and return identical rows (the
+    property bench reps and driver re-runs rely on)."""
+    from rag_vector_database_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, registry.q_retrieval_lifecycle_pipeline(
+        spark, sf).collect()))
+    b = sorted(map(tuple, registry.q_retrieval_lifecycle_pipeline(
+        spark, sf).collect()))
+    assert a == b
+    assert len(a) == 8
