@@ -10538,3 +10538,48 @@ def q_dedup_cluster_size_histogram(spark: SparkSession,
                     "n_clusters",
                     (F.col("sz") * F.col("n_clusters")).cast("long")
                     .alias("n_docs")))
+
+
+@register(
+    "streaming_ivf_append",
+    oracle=_dd_kmeans_cte(k=5)
+    + "SELECT vec_id, cl AS cluster FROM f")
+def q_streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#59 for the VECTOR STORE: new embeddings arrive as a file
+    stream and each micro-batch is assigned against the FROZEN coarse
+    quantizer and appended into its cluster partitions — the
+    streaming twin of ivf_delta_assign's maintenance leg, under the
+    same Kappa-parity gate every streaming query here passes: the
+    drained, stream-maintained store must hash-equal the batch
+    from-scratch assignment (the oracle's Lloyd chain). Per batch the
+    work is |batch| x k plan-literal distance evaluations plus a
+    partition-scoped append; stored vectors are never read or moved,
+    and the checkpoint makes re-delivery exactly-once, so a re-run
+    cannot double-append."""
+    import shutil
+
+    from ..operators import clustering as CL
+    from ..streaming import events as streaming_events
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = CL.kmeans_centroids(emb, k=5, iters=2)  # yesterday; FROZEN
+    best = CL._argmin_centroid(cents, "embedding", 6)
+    store = _scratch_path(spark, sf_dir, "stream_ivf")
+    ckpt = _scratch_path(spark, sf_dir, "stream_ivf_ck")
+    # append-only store + its checkpoint restart from empty each run
+    # (same discipline as daily_drop_pipeline's index scratch)
+    for p in (store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def append(batch: DataFrame, _epoch: int) -> None:
+        (batch.select("vec_id", best.getField("cl").alias("cluster"))
+         .write.mode("append").partitionBy("cluster").parquet(store))
+
+    q = (streaming_events.read_parquet_stream(spark, sf_dir, "embeddings")
+         .writeStream.foreachBatch(append)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(store)
+            .select("vec_id",
+                    F.col("cluster").cast("long").alias("cluster")))

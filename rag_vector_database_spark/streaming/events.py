@@ -344,3 +344,28 @@ def enriched_nation_counts(events: DataFrame, nation: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.round(F.sum("value"), 6).alias("sum_value"))
             .withColumnRenamed("n_name", "nation"))
+
+
+def read_parquet_stream(spark: SparkSession, sf_dir: str, table: str,
+                        max_files_per_trigger: int | None = None
+                        ) -> DataFrame:
+    """File-source stream over any of the driver's parquet tables —
+    the table-agnostic core of ``read_events_stream`` (which adds
+    events' ts-encoding handling on top of the same dir/file probe).
+    A directory of part files streams one file per micro-batch (the
+    production layout for a table receiving daily drops); the
+    driver's single-file layout globs down to the one file."""
+    base = f"{sf_dir}/{table}.parquet"
+    schema = spark.read.parquet(base).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getFileStatus(p).isDirectory():
+        load_path = base
+    else:
+        reader = reader.option("pathGlobFilter", f"{table}.parquet")
+        load_path = sf_dir
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(load_path)
