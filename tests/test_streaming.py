@@ -519,3 +519,40 @@ def test_streaming_minhash_order_independence_random_splits(spark, sf_dir,
         assert got == want
 
     prop()
+
+
+def test_read_parquet_stream_dir_of_parts(spark, tmp_path):
+    """The production layout: a table DIRECTORY receiving part files
+    streams one file per micro-batch; the drained content equals the
+    batch read. (The single-file branch is exercised end-to-end by
+    streaming_ivf_append's parity gate.)"""
+    from rag_vector_database_spark.streaming import events as SE
+
+    tdir = tmp_path / "embeddings.parquet"
+    tdir.mkdir()
+    spark.createDataFrame([(i, [float(i)] * 4) for i in range(6)],
+                          "vec_id long, embedding array<float>") \
+        .where("vec_id < 3").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tdir / "p0"))
+    spark.createDataFrame([(i, [float(i)] * 4) for i in range(6)],
+                          "vec_id long, embedding array<float>") \
+        .where("vec_id >= 3").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tdir / "p1"))
+    # nested dirs aren't part files; point the helper at a dir whose
+    # immediate children are the parquet files
+    import shutil
+    for sub in ("p0", "p1"):
+        src = next((tdir / sub).glob("*.parquet"))
+        shutil.move(str(src), str(tdir / f"{sub}.parquet"))
+        shutil.rmtree(str(tdir / sub))
+
+    batches = []
+    stream = SE.read_parquet_stream(spark, str(tmp_path), "embeddings",
+                                    max_files_per_trigger=1)
+    q = (stream.writeStream
+         .foreachBatch(lambda b, e: batches.append((e, b.count())))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(batches) == 2          # one micro-batch per part file
+    assert sum(n for _, n in batches) == 6
