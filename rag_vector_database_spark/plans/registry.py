@@ -10583,3 +10583,118 @@ def q_streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.parquet(store)
             .select("vec_id",
                     F.col("cluster").cast("long").alias("cluster")))
+
+
+# ---------------------------------------------------------------------------
+# Ingest-side composed flagship: validate -> chunk -> re-ingest upsert
+# -> hash-bucketed chunk store -> embed — the third leg of the trilogy
+# (daily_drop_pipeline = maintenance, retrieval_lifecycle_pipeline =
+# query side).
+
+_ILP_ORACLE = """
+WITH c1 AS ({c1}),
+c2 AS ({c2}),
+merged AS (
+  SELECT chunk_id, chunk_text, 2 AS version FROM c2
+  UNION ALL
+  SELECT chunk_id, chunk_text, 1 AS version FROM c1
+  WHERE chunk_id NOT IN (SELECT chunk_id FROM c2)
+),
+tok AS (
+  SELECT chunk_id, version, unnest({tok}) AS t FROM merged
+),
+h AS (
+  SELECT chunk_id, version,
+         ('0x' || substring(md5(t), 1, 8))::BIGINT AS hv
+  FROM tok
+),
+buckets AS (
+  SELECT chunk_id, version, CAST(hv % 16 AS INT) AS dim_idx,
+         sum(CASE WHEN (hv >> 16) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS v
+  FROM h GROUP BY chunk_id, version, hv % 16
+),
+normed AS (
+  SELECT chunk_id, version, dim_idx, v,
+         sqrt(sum(v * v) OVER (PARTITION BY chunk_id)) AS nrm
+  FROM buckets
+)
+SELECT chunk_id, CAST(version AS INT) AS version, dim_idx,
+       round(CASE WHEN nrm > 0 THEN v / nrm ELSE v END, 6) AS val
+FROM normed
+"""
+
+
+@register(
+    "ingest_lifecycle_pipeline",
+    headline=True,
+    oracle=_ILP_ORACLE.format(
+        c1=chunking.dd_chunk_cte(_CHUNK_SIZE, _CHUNK_OVERLAP),
+        c2=chunking.dd_chunk_cte(
+            _CHUNK_SIZE, _CHUNK_OVERLAP,
+            table="(SELECT doc_id, upper(text) AS text FROM documents "
+                  "WHERE doc_id % 5 = 0)"),
+        tok=DD_TOKENS.format(c="chunk_text")))
+def q_ingest_lifecycle_pipeline(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """THE COMPOSED INGEST-SIDE FLAGSHIP — the reference's acquisition
+    loop (main.py source dispatch -> chunk_cisa_kev.py validate+chunk
+    -> ingest_chunks_to_chromadb.py:175-186 upsert-by-id) run
+    end-to-end at corpus scale, including a RE-INGEST day: the v1
+    corpus is validated and chunked (1000/150, the reference's
+    splitter constants); a second drop re-delivers every fifth
+    document with changed text (upper-cased — same length, so chunk
+    ids collide exactly as a re-crawled page's do); the keep-latest
+    upsert (operators/upsert.py) merges v2 over v1 by chunk_id; the
+    merged chunk set lands in a HASH-BUCKETED store (scoped rewrites
+    at re-ingest time, the streaming_upsert_partitioned layout); and
+    the stored chunks are embedded by the deterministic
+    feature-hashing embedder, emitted sparse (chunk_id, dim_idx,
+    val). The oracle replays validate -> chunk both drops ->
+    updates-win merge -> token-hash embedding in SQL, so the stored,
+    re-ingested, embedded corpus is value-exactly what a from-scratch
+    single-pass build would produce.
+
+    Scale shape: chunking is a scan-local explode (no shuffle);
+    the upsert is ONE shuffle on chunk_id (pre-bucketing both sides
+    makes it shuffle-free at 100 TB — upsert.py's documented knob);
+    the store write shuffles each chunk once into its bucket; the
+    embedding pass and its per-chunk norm window run per-chunk with
+    map-side combine. The only whole-corpus materializations are the
+    chunk store itself and its embedding table — the two artifacts
+    ingest EXISTS to produce."""
+    from ..operators import chunking as CH
+    from ..operators import upsert as UP
+
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "text")
+    v2 = (docs.where(F.col("doc_id") % 5 == 0)
+          .select("doc_id", F.upper("text").alias("text")))
+    c1 = (CH.chunk_documents(v1, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+          .withColumn("version", F.lit(1)))
+    c2 = (CH.chunk_documents(v2, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+          .withColumn("version", F.lit(2)))
+    kept = UP.upsert(c1, c2, key="chunk_id", version_col="version")
+
+    store = _scratch_path(spark, sf_dir, "ingest_chunks")
+    (kept.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(8)))
+     .write.mode("overwrite").partitionBy("bucket").parquet(store))
+    stored = spark.read.parquet(store)
+
+    toks = stored.select("chunk_id", "version",
+                         F.explode(T.tokens(F.col("chunk_text")))
+                         .alias("t"))
+    h = toks.select("chunk_id", "version",
+                    hashing.md5_long(F.col("t"), 8).alias("hv"))
+    sign = (F.shiftright("hv", 16).bitwiseAND(F.lit(1)) * 2 - 1) \
+        .cast("double")
+    buckets = (h.groupBy("chunk_id", "version",
+                         (F.col("hv") % 16).cast("int").alias("dim_idx"))
+               .agg(F.sum(sign).alias("v")))
+    nrm = F.sqrt(F.sum(F.col("v") * F.col("v")).over(
+        Window.partitionBy("chunk_id")))
+    return (buckets.withColumn("nrm", nrm)
+            .select("chunk_id", F.col("version").cast("int").alias("version"),
+                    "dim_idx",
+                    F.round(F.when(F.col("nrm") > 0,
+                                   F.col("v") / F.col("nrm"))
+                            .otherwise(F.col("v")), 6).alias("val")))
