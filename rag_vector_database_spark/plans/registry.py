@@ -206,13 +206,17 @@ WINDOW_PRIORITY: list[str] = [
     # retrieval.py misc consumers (knn_batch_topk fold rewrite r06, graded r02-r03)
     "knn_score_stats",
     "knn_metadata_filtered",
-    "hybrid_rrf_fusion",
-    # the one new r07 operator (composed retrieval-side flagship)
+    # the two new r07 composed flagships (retrieval side + ingest
+    # side); the 43rd re-grade candidate (hybrid_rrf_fusion, the
+    # least-churned of the staleness set) moved to the tail to make
+    # room — it stays covered by local parity every pytest run
     "retrieval_lifecycle_pipeline",
-    # ----- end of the graded 50-prefix (6 canaries + 43 re-grades +
-    #       the new flagship in slot 50) -----------------------------
+    "ingest_lifecycle_pipeline",
+    # ----- end of the graded 50-prefix (6 canaries + 42 re-grades +
+    #       the two new flagships) ----------------------------------
     # -- previously graded (r01-r06 green rows); listed so the two
     #    no-oracle entries below can never float into the prefix. ----
+    "hybrid_rrf_fusion",
     "daily_drop_pipeline",
     "minhash_keep_best",
     "phash_blob_neardup",
