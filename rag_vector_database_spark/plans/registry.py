@@ -10702,3 +10702,157 @@ def q_ingest_lifecycle_pipeline(spark: SparkSession,
                     F.round(F.when(F.col("nrm") > 0,
                                    F.col("v") / F.col("nrm"))
                             .otherwise(F.col("v")), 6).alias("val")))
+
+
+@register(
+    "token_budget_mixture",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({tok})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+b AS (
+  SELECT source, n_docs, n_tokens,
+         (100000 * n_tokens) // (SELECT sum(n_tokens) FROM s) AS base,
+         (100000 * n_tokens) % (SELECT sum(n_tokens) FROM s) AS rem
+  FROM s
+),
+r AS (
+  SELECT source, n_docs, n_tokens, base, rem,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         (SELECT 100000 - sum(base) FROM b) AS leftover
+  FROM b
+)
+SELECT source, n_docs, n_tokens,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS token_alloc,
+       round(least(1.0,
+             CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS DOUBLE) / n_tokens), 6) AS sample_rate
+FROM r ORDER BY source
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: a 100k-TOKEN training budget is
+    allocated across domains proportionally to their token mass via
+    exact largest-remainder (Hamilton) allocation, and each domain
+    gets its realized sampling rate (alloc/available, capped at 1) —
+    the planning artifact a mixture pipeline executes with
+    weighted_domain_sample. Differs from largest_remainder_alloc in
+    the unit that matters for LLM training: budgets and proportions
+    are in TOKENS, not documents, so verbose domains don't smuggle in
+    extra compute. Scale shape: one scan-local token count +
+    map-side-combined groupBy to the |domains|-row table; everything
+    after (div/mod, one rank window) runs on domain-count rows."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    s = (d.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum(F.size(T.tokens(F.col("text")))).cast("long")
+              .alias("n_tokens")))
+    wall = W.partitionBy()
+    b = s.select(
+        "source", "n_docs", "n_tokens",
+        F.expr("(100000 * n_tokens) div sum(n_tokens) over ()")
+        .alias("base"),
+        (100000 * F.col("n_tokens") % F.sum("n_tokens").over(wall))
+        .alias("rem"))
+    r = b.select(
+        "source", "n_docs", "n_tokens", "base", "rem",
+        F.row_number().over(W.partitionBy().orderBy(
+            F.desc("rem"), F.col("source"))).alias("rk"),
+        (F.lit(100000) - F.sum("base").over(wall)).alias("leftover"))
+    alloc = (F.col("base")
+             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)) \
+        .cast("long")
+    return (r.select("source", "n_docs", "n_tokens",
+                     alloc.alias("token_alloc"),
+                     F.round(F.least(F.lit(1.0),
+                                     alloc.cast("double")
+                                     / F.col("n_tokens")), 6)
+                     .alias("sample_rate"))
+            .orderBy("source"))
+
+
+_ILP_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_CML_ORACLE = """
+WITH ch AS ({hard}),
+cs AS ({soft}),
+u AS (
+  SELECT 'hard' AS mode, chunk_id, doc_id, chunk_number, total_chunks,
+         chunk_text, chunk_len FROM ch
+  UNION ALL
+  SELECT 'soft', chunk_id, doc_id, chunk_number, total_chunks,
+         chunk_text, chunk_len FROM cs
+),
+j AS (
+  SELECT u.mode, u.chunk_len,
+         CASE WHEN u.chunk_number < u.total_chunks
+                   AND NOT regexp_matches(right(u.chunk_text, 1), '\\s')
+                   AND NOT regexp_matches(
+                         substring(d.text,
+                                   (u.chunk_number - 1) * {stride}
+                                   + length(u.chunk_text) + 1, 1), '\\s')
+              THEN 1 ELSE 0 END AS midword
+  FROM u JOIN documents d USING (doc_id)
+)
+SELECT mode, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(midword) AS BIGINT) AS n_midword,
+       round(sum(midword) / CAST(count(*) AS DOUBLE), 6)
+         AS frac_midword,
+       round(sum(CAST(chunk_len AS BIGINT)) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_chunk_len
+FROM j GROUP BY mode
+""".format(hard=chunking.dd_chunk_cte(_CHUNK_SIZE, _CHUNK_OVERLAP),
+           soft=chunking.dd_chunk_cte(_CHUNK_SIZE, _CHUNK_OVERLAP,
+                                      soft=True),
+           stride=_ILP_STRIDE)
+
+
+@register("chunking_mode_ledger", oracle=_CML_ORACLE)
+def q_chunking_mode_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunker-mode decision ledger: the hard fixed-stride splitter
+    and the soft word-boundary splitter (the reference's
+    RecursiveCharacterTextSplitter behavior, chunk_cisa_kev.py:32-37)
+    run side by side and each reports how many of its non-final
+    chunks end MID-WORD (last char and the document's next char both
+    non-whitespace) plus its average chunk length — quantifying
+    exactly what the soft mode buys (fewer severed words at slightly
+    shorter chunks) instead of asserting it. Mid-word detection
+    recomputes each chunk's end position ((n-1)*stride + len) against
+    the original text, so it is exact for both modes including the
+    soft mode's keep-hard fallbacks. Scale shape: two scan-local
+    chunk explodes, one join back to the docs scan on doc_id, and a
+    2-row map-side-combined aggregate."""
+    from ..operators import chunking as CH
+
+    d = _t(spark, sf_dir, "documents")
+    hard = (CH.chunk_documents(d, size=_CHUNK_SIZE,
+                               overlap=_CHUNK_OVERLAP)
+            .withColumn("mode", F.lit("hard")))
+    soft = (CH.chunk_documents(d, size=_CHUNK_SIZE,
+                               overlap=_CHUNK_OVERLAP, soft=True)
+            .withColumn("mode", F.lit("soft")))
+    u = hard.unionByName(soft).select(
+        "mode", "doc_id", "chunk_number", "total_chunks",
+        "chunk_text", "chunk_len")
+    j = u.join(d.select("doc_id", "text"), "doc_id")
+    next_ch = F.col("text").substr(
+        (F.col("chunk_number") - 1) * F.lit(_ILP_STRIDE)
+        + F.length("chunk_text") + 1, F.lit(1))
+    midword = (F.when(
+        (F.col("chunk_number") < F.col("total_chunks"))
+        & ~F.substring(F.col("chunk_text"), -1, 1).rlike("\\s")
+        & ~next_ch.rlike("\\s"), 1).otherwise(0))
+    return (j.select("mode", "chunk_len", midword.alias("midword"))
+            .groupBy("mode")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.sum("midword").cast("long").alias("n_midword"),
+                 F.round(F.sum("midword")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("frac_midword"),
+                 F.round(F.sum(F.col("chunk_len").cast("long"))
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("avg_chunk_len")))
