@@ -10856,3 +10856,129 @@ def q_chunking_mode_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("chunk_len").cast("long"))
                          / F.count(F.lit(1)).cast("double"), 6)
                  .alias("avg_chunk_len")))
+
+
+@register(
+    "embedding_label_margin",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 64
+),
+c AS (SELECT vec_id, embedding, label FROM embeddings),
+scored AS (
+  SELECT q.qid, q.qlabel, c.label, round({dot}, 6) AS score
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.qid
+),
+m AS (
+  SELECT qid, qlabel,
+         max(CASE WHEN label = qlabel THEN score END) AS best_same,
+         max(CASE WHEN label <> qlabel THEN score END) AS best_other
+  FROM scored GROUP BY qid, qlabel
+)
+SELECT qid, qlabel AS label, best_same, best_other,
+       round(best_same - best_other, 6) AS margin,
+       (best_same < best_other) AS suspect
+FROM m
+""".format(dot=dd_dot("c.embedding", "q.qv")))
+def q_embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-error mining (confident-learning style) over an audit
+    sample: for each sampled vector, the best cosine to any SAME-label
+    vector vs the best to any OTHER-label vector; a negative margin
+    (nearest evidence disagrees with the assigned label) flags the row
+    as a suspected mislabel — the data-quality audit run before
+    labels feed hard-negative mining or eval relevance, where a
+    mislabeled vector silently poisons both. Scale shape: the audit
+    sample broadcasts against one corpus scan (shuffle-free scoring,
+    the knn_batch pattern); the per-query conditional MAX folds
+    map-side, so the aggregate shuffles q rows — no window, no
+    all-pairs (a full-corpus audit runs this in sampled waves)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from ..functions import vectors as V
+    q = (emb.where(F.col("vec_id") < 64)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv"),
+                 F.col("label").alias("qlabel")))
+    scored = (emb.crossJoin(F.broadcast(q))
+              .where(F.col("vec_id") != F.col("qid"))
+              .select("qid", "qlabel", "label",
+                      F.round(V.dot(F.col("embedding"), F.col("qv")), 6)
+                      .alias("score")))
+    m = (scored.groupBy("qid", "qlabel")
+         .agg(F.max(F.when(F.col("label") == F.col("qlabel"),
+                           F.col("score"))).alias("best_same"),
+              F.max(F.when(F.col("label") != F.col("qlabel"),
+                           F.col("score"))).alias("best_other")))
+    return m.select("qid", F.col("qlabel").alias("label"),
+                    "best_same", "best_other",
+                    F.round(F.col("best_same") - F.col("best_other"), 6)
+                    .alias("margin"),
+                    (F.col("best_same") < F.col("best_other"))
+                    .alias("suspect"))
+
+
+_UCA_V2 = ("(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN upper(text) "
+           "WHEN doc_id % 7 = 3 THEN text || repeat('x', 900) "
+           "ELSE text END AS text FROM documents "
+           "WHERE doc_id % 5 = 0 OR doc_id % 7 = 3 OR doc_id % 11 = 0)")
+
+
+@register(
+    "upsert_conflict_audit",
+    oracle="""
+WITH c1 AS ({c1}),
+c2 AS ({c2}),
+cls AS (
+  SELECT c2.doc_id,
+         CASE WHEN c1.chunk_id IS NULL THEN 'insert'
+              WHEN c1.chunk_text <> c2.chunk_text THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM c2 LEFT JOIN c1 USING (chunk_id)
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM cls GROUP BY change_type
+""".format(c1=chunking.dd_chunk_cte(_CHUNK_SIZE, _CHUNK_OVERLAP),
+           c2=chunking.dd_chunk_cte(_CHUNK_SIZE, _CHUNK_OVERLAP,
+                                    table=_UCA_V2)))
+def q_upsert_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-ingest merge audit: before a keep-latest upsert executes,
+    classify every incoming chunk against the stored generation —
+    ``insert`` (new chunk id: a grown document's tail), ``update``
+    (id collides, text changed: a re-crawled page), ``unchanged``
+    (byte-identical re-delivery, the write a good ingest SKIPS — the
+    reference's already-ingested check, chunk_cisa_kev.py:40-66, as a
+    measured ledger instead of a per-file boolean). The delta mixes
+    all three: every 5th doc re-delivered with changed text, every
+    7th-mod-3 doc grown past the stride (spawning tail inserts),
+    every 11th re-delivered verbatim. Deletes are the reverse
+    anti-join (c1 minus c2 ids) and ride the same plan shape.
+    Scale shape: two scan-local chunk explodes, ONE join on chunk_id
+    (pre-bucketing both generations by chunk_id makes it
+    shuffle-free), and a 3-row map-side-combined aggregate."""
+    from ..operators import chunking as CH
+
+    docs = _t(spark, sf_dir, "documents")
+    v2 = (docs.where((F.col("doc_id") % 5 == 0)
+                     | (F.col("doc_id") % 7 == 3)
+                     | (F.col("doc_id") % 11 == 0))
+          .select("doc_id",
+                  F.when(F.col("doc_id") % 5 == 0, F.upper("text"))
+                  .when(F.col("doc_id") % 7 == 3,
+                        F.concat(F.col("text"), F.repeat(F.lit("x"), 900)))
+                  .otherwise(F.col("text")).alias("text")))
+    c1 = CH.chunk_documents(docs, size=_CHUNK_SIZE,
+                            overlap=_CHUNK_OVERLAP) \
+        .select("chunk_id", F.col("chunk_text").alias("old_text"))
+    c2 = CH.chunk_documents(v2, size=_CHUNK_SIZE,
+                            overlap=_CHUNK_OVERLAP) \
+        .select("chunk_id", "doc_id", "chunk_text")
+    cls = (c2.join(c1, "chunk_id", "left")
+           .select("doc_id",
+                   F.when(F.col("old_text").isNull(), "insert")
+                   .when(F.col("old_text") != F.col("chunk_text"),
+                         "update")
+                   .otherwise("unchanged").alias("change_type")))
+    return (cls.groupBy("change_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs")))
