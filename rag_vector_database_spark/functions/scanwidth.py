@@ -14,6 +14,8 @@ repartitioned, so at 100 TB (thousands of splits) the gate is a no-op
 and adds zero shuffle.
 """
 
+import re
+
 from pyspark.sql import DataFrame
 
 _UNITS = {
@@ -26,20 +28,32 @@ _UNITS = {
     "p": 1 << 50, "pb": 1 << 50,
 }
 
+_BYTE_STRING = re.compile(r"([0-9]+)\s*([a-z]+)?")
+
+# Returned by ``estimated_scan_partitions`` when the internal-API probe
+# fails: "assume WIDE", so every ``< parallelism`` gate becomes a
+# pass-through and the degraded mode DISABLES the optimization instead
+# of forcing a full-corpus round-robin shuffle (round-7 advisor: the
+# old degrade-to-1 turned a broken probe on an already-wide 100 TB scan
+# into a repartition of the whole corpus).
+WIDE_SENTINEL = 1 << 31
+
 
 def parse_byte_string(value) -> int:
     """Human-readable byte string -> bytes, matching Spark's own
-    ``JavaUtils.byteStringAsBytes`` for the forms a SQL conf can hold:
-    bare digits are bytes, and ``128m`` / ``1g`` / ``512kb`` use
-    binary (1024-based) units, case-insensitive. Parsed here rather
-    than through ``spark._jvm`` so the helper works on a DataFrame
-    alone (no py4j round-trip, usable in tests without a session)."""
-    s = str(value).strip().lower()
-    num = s.rstrip("kmgtpb")
-    unit = s[len(num):]
-    if unit not in _UNITS:
+    ``JavaUtils.byteStringAsBytes`` grammar for the forms a SQL conf
+    can hold: an INTEGRAL numeral plus an optional binary (1024-based)
+    unit, case-insensitive — ``134217728``, ``128m``, ``1g``,
+    ``512kb``. Pure integer arithmetic (no float round-trip, so
+    bare-byte values above 2^53 stay exact), and like Spark the parser
+    rejects fractional ('1.5g') and exponent ('1e3') forms. Parsed
+    here rather than through ``spark._jvm`` so the helper works on a
+    DataFrame alone (no py4j round-trip, usable in tests without a
+    session)."""
+    m = _BYTE_STRING.fullmatch(str(value).strip().lower())
+    if not m or (m.group(2) or "") not in _UNITS:
         raise ValueError(f"unparseable byte string: {value!r}")
-    return int(float(num) * _UNITS[unit])
+    return int(m.group(1)) * _UNITS[m.group(2) or ""]
 
 
 def estimated_scan_partitions(df: DataFrame) -> int:
@@ -51,9 +65,12 @@ def estimated_scan_partitions(df: DataFrame) -> int:
 
     The ``_jdf.queryExecution()`` probe is a PySpark internal with no
     compatibility guarantee, so any failure (a Spark upgrade renaming
-    the accessor, a plan with no stats) degrades to "narrow" (returns
-    1): callers then pay one harmless extra repartition instead of an
-    AttributeError inside every kernel path."""
+    the accessor, a plan with no stats) degrades to "wide" (returns
+    ``WIDE_SENTINEL``): every ``< parallelism`` gate then passes the
+    DataFrame through unchanged, losing only the narrow-scan widening
+    optimization — never adding a shuffle. (Degrading to "narrow" here
+    would instead make ``widen_narrow_scan`` round-robin-shuffle a
+    genuinely huge already-wide corpus on every call.)"""
     spark = df.sparkSession
     try:
         size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
@@ -62,7 +79,7 @@ def estimated_scan_partitions(df: DataFrame) -> int:
             spark.conf.get("spark.sql.files.maxPartitionBytes",
                            str(128 * 1024 * 1024)))
     except Exception:
-        return 1
+        return WIDE_SENTINEL
     return max(1, -(-size // max_split))
 
 

@@ -5088,10 +5088,12 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NEAR-DUP CLUSTER, not the document — every MinHash-connected
     component lands whole in one split (hash of the cluster id), so
     near-duplicates can never straddle train and test. Singleton docs
-    hash by their own id. Scale shape: the cluster map covers only
-    docs that appear in a dup pair (tiny vs the corpus), so the left
-    join broadcasts; everything else is the scan-local bucket
-    projection of dataset_split."""
+    hash by their own id. Scale shape: the cluster map holds one row
+    per doc appearing in >= 1 pair — usually small, but on a high-dup
+    crawl it is O(corpus), past the 8 GB broadcast limit, so the join
+    carries NO broadcast hint: AQE broadcasts when the map is
+    genuinely small and falls back to a shuffle join when it is not
+    (same shape as minhash_keep_best / ngram_novelty)."""
     from ..functions.hashing import md5_long
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
@@ -5099,7 +5101,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
         max_bucket=_MH["max_bucket"])
     cc = dedup.connected_components(pairs)
-    asn = (d.join(F.broadcast(cc), d.doc_id == cc.id, "left")
+    asn = (d.join(cc, d.doc_id == cc.id, "left")
            .select(d.doc_id,
                    F.coalesce(F.col("cluster_id"),
                               F.col("doc_id").cast("long"))
@@ -10522,16 +10524,18 @@ def q_dedup_cluster_size_histogram(spark: SparkSession,
     size, never the corpus.
 
     Scale shape: pairs/CC as in minhash_dedup_clusters (banded,
-    bucket-capped, delta-iterated CC); the assignment join broadcasts
-    the cluster map (only docs appearing in a pair); both aggregates
-    are map-side-combined groupBys with tiny outputs."""
+    bucket-capped, delta-iterated CC); the assignment join carries NO
+    broadcast hint — on a high-dup crawl the cluster map is O(corpus),
+    past the 8 GB broadcast limit, so AQE picks broadcast only when it
+    is genuinely small; both aggregates are map-side-combined groupBys
+    with tiny outputs."""
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
         d, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
         n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
         max_bucket=_MH["max_bucket"])
     cc = dedup.connected_components(pairs)
-    asn = (d.join(F.broadcast(cc), d.doc_id == cc.id, "left")
+    asn = (d.join(cc, d.doc_id == cc.id, "left")
            .select(F.coalesce(F.col("cluster_id"),
                               F.col("doc_id").cast("long"))
                    .alias("cluster_id")))
@@ -10752,12 +10756,16 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum(F.size(T.tokens(F.col("text")))).cast("long")
               .alias("n_tokens")))
     wall = W.partitionBy()
+    # base/rem on decimal(38,0): 100000 * n_tokens wraps silently in
+    # BIGINT past ~9.2e13 total tokens (ANSI off) while DuckDB promotes
+    # to hugeint; `div` returns BIGINT and rem < sum(n_tokens) so both
+    # land back in long range
     b = s.select(
         "source", "n_docs", "n_tokens",
-        F.expr("(100000 * n_tokens) div sum(n_tokens) over ()")
-        .alias("base"),
-        (100000 * F.col("n_tokens") % F.sum("n_tokens").over(wall))
-        .alias("rem"))
+        F.expr("(cast(100000 as decimal(38,0)) * n_tokens)"
+               " div sum(n_tokens) over ()").alias("base"),
+        F.expr("cast((cast(100000 as decimal(38,0)) * n_tokens)"
+               " % sum(n_tokens) over () as bigint)").alias("rem"))
     r = b.select(
         "source", "n_docs", "n_tokens", "base", "rem",
         F.row_number().over(W.partitionBy().orderBy(

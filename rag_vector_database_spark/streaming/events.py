@@ -33,35 +33,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     The stream source needs a user-specified schema; probe the footer
     batch-side so it matches whichever ts encoding this dataset has."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    base = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(base).schema
-    reader = spark.readStream.schema(schema).format("parquet")
-
-    def _is_dir(path: str) -> bool:
-        # probe through the Hadoop FileSystem, not os.path: a
-        # directory-of-parts table addressed via file://, hdfs:// or
-        # s3a:// must take the directory branch too — os.path.isdir
-        # would silently route it into the leaf-name glob, which
-        # matches zero part files
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs.getFileStatus(p).isDirectory()
-
-    if _is_dir(base):
-        # the production layout: events is a DIRECTORY of part files
-        # (each part file becomes a micro-batch input) — stream it
-        # directly
-        load_path = base
-    else:
-        # single-file layout (the driver's sf dirs): the file stream
-        # source requires a directory, so glob down to the one file
-        reader = reader.option("pathGlobFilter", "events.parquet")
-        load_path = sf_dir
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(load_path)
-    if isinstance(schema["ts"].dataType, LongType):
+    raw = read_parquet_stream(spark, sf_dir, "events",
+                              max_files_per_trigger=max_files_per_trigger)
+    if isinstance(raw.schema["ts"].dataType, LongType):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
@@ -354,7 +328,18 @@ def read_parquet_stream(spark: SparkSession, sf_dir: str, table: str,
     events' ts-encoding handling on top of the same dir/file probe).
     A directory of part files streams one file per micro-batch (the
     production layout for a table receiving daily drops); the
-    driver's single-file layout globs down to the one file."""
+    driver's single-file layout globs down to the one file.
+
+    Single-file branch listing contract (round-7 advisor): the file
+    stream source rejects a literal file as its path (it becomes the
+    partition-discovery ``basePath``, which must be a directory), so
+    the source points at ``sf_dir`` with a leaf-name glob — and pins
+    the listing to THAT directory level via an explicit
+    ``recursiveFileLookup=false`` (also Spark's default, asserted here
+    so no future nested ``<table>.parquet`` under sf_dir can silently
+    join the stream). Each micro-batch re-lists sf_dir's one level —
+    ~10 entries in the driver layout; the production
+    directory-of-parts branch never pays it."""
     base = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(base).schema
     reader = spark.readStream.schema(schema).format("parquet")
@@ -364,7 +349,9 @@ def read_parquet_stream(spark: SparkSession, sf_dir: str, table: str,
     if fs.getFileStatus(p).isDirectory():
         load_path = base
     else:
-        reader = reader.option("pathGlobFilter", f"{table}.parquet")
+        reader = (reader
+                  .option("pathGlobFilter", f"{table}.parquet")
+                  .option("recursiveFileLookup", "false"))
         load_path = sf_dir
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -30,9 +30,23 @@ def test_parse_byte_string(value, expected):
     assert scanwidth.parse_byte_string(value) == expected
 
 
-def test_parse_byte_string_rejects_garbage():
+@pytest.mark.parametrize("value", [
+    "12q",
+    "1e3",      # exponent notation — Spark's JavaUtils rejects it too
+    "1.5g",     # fractional — likewise rejected by Spark
+    "-1g",
+    "",
+])
+def test_parse_byte_string_rejects_garbage(value):
     with pytest.raises(ValueError):
-        scanwidth.parse_byte_string("12q")
+        scanwidth.parse_byte_string(value)
+
+
+def test_parse_byte_string_exact_above_2_53():
+    """Bare-byte numerals above 2^53 must not round through float
+    (round-7 advisor finding)."""
+    v = (1 << 53) + 1
+    assert scanwidth.parse_byte_string(str(v)) == v
 
 
 def test_scan_gate_single_definition():
@@ -59,23 +73,25 @@ def test_estimate_survives_human_readable_conf(spark):
 
 def test_estimate_falls_back_when_internals_raise(spark):
     """A Spark upgrade that breaks the _jdf probe must degrade to
-    'narrow' (1) so the gate repartitions instead of raising."""
+    'wide' (WIDE_SENTINEL) so the gate passes the DataFrame through
+    UNCHANGED — disabling the widening optimization, never forcing a
+    full-corpus shuffle (round-7 advisor: degrade-to-narrow would
+    round-robin a genuinely huge already-wide scan)."""
     df = spark.range(10).toDF("id")
     real_jdf = df._jdf
 
     class Boom:
         """Breaks exactly the internal probe the gate uses; everything
-        else (repartition itself goes through _jdf) stays real."""
+        else stays real."""
         def __getattr__(self, name):
             if name == "queryExecution":
                 raise AttributeError(name)
             return getattr(real_jdf, name)
 
     object.__setattr__(df, "_jdf", Boom())
-    assert estimated_scan_partitions(df) == 1
+    assert estimated_scan_partitions(df) == scanwidth.WIDE_SENTINEL
     out = widen_narrow_scan(df)
-    assert out.rdd.getNumPartitions() == \
-        spark.sparkContext.defaultParallelism
+    assert out is df  # pass-through: no repartition node added
 
 
 def test_isolated_session_is_cached(spark):

@@ -1,18 +1,21 @@
 #!/usr/bin/env bash
 # Record the same-host A/B baseline for bench.py.
 #
-# Usage: tools/record_ab.sh <prev-commit-sha>
+# Usage: tools/record_ab.sh <prev-commit-sha> [reps]
 #
 # Checks the previous round's commit out into a temp git worktree, runs
-# ITS bench.py on this host (same SPARK_GRAFT_SF_DIR / _CPUS env), and
-# writes AB_BASELINE.json at the repo root with the prior commit's
-# legacy_10_subtotal. bench.py then merges these fields into its own
-# output line, so BENCH_r{N}.json carries a machine-checkable
-# like-for-like comparison (VERDICT r03 task #4). The bench harness
-# itself stays frozen — this script only produces the side file.
+# ITS bench.py on this host (same SPARK_GRAFT_SF_DIR / _CPUS env)
+# REPS times (default 3), and writes AB_BASELINE.json at the repo root
+# with the prior commit's MIN legacy_10_subtotal plus the full rep list
+# (VERDICT r07 task #3: min-of-N with the rep RANGE recorded for both
+# sides). bench.py merges these fields into its own output line, so
+# BENCH_r{N}.json carries a machine-checkable like-for-like comparison.
+# The bench harness itself stays frozen — this script only produces the
+# side file.
 set -euo pipefail
 
-prev_sha="${1:?usage: tools/record_ab.sh <prev-commit-sha>}"
+prev_sha="${1:?usage: tools/record_ab.sh <prev-commit-sha> [reps]}"
+reps="${2:-3}"
 repo_root="$(cd "$(dirname "$0")/.." && pwd)"
 wt="$(mktemp -d /tmp/rvdb_ab.XXXXXX)"
 
@@ -23,19 +26,24 @@ cleanup() {
 trap cleanup EXIT
 
 git -C "$repo_root" worktree add --detach "$wt" "$prev_sha" >&2
-line="$(cd "$wt" && python bench.py | tail -1)"
-python - "$prev_sha" "$line" <<'EOF' > "$repo_root/AB_BASELINE.json"
+lines=()
+for i in $(seq 1 "$reps"); do
+    echo "=== A/B rep $i/$reps ===" >&2
+    lines+=("$(cd "$wt" && python bench.py | tail -1)")
+done
+python - "$prev_sha" "${lines[@]}" <<'EOF2' > "$repo_root/AB_BASELINE.json"
 import json
 import platform
 import sys
-sha, line = sys.argv[1], sys.argv[2]
-prev = json.loads(line)
+sha = sys.argv[1]
+reps = [json.loads(line)["legacy_10_subtotal"] for line in sys.argv[2:]]
 print(json.dumps({
     "ab_prev_commit": sha,
-    "ab_prev_subtotal": prev["legacy_10_subtotal"],
+    "ab_prev_subtotal": min(reps),
+    "ab_prev_reps": reps,
     "ab_host": platform.node(),
     "ab_recorded_at": __import__("time").strftime("%Y-%m-%dT%H:%M:%SZ",
                                                   __import__("time").gmtime()),
 }, indent=2))
-EOF
+EOF2
 cat "$repo_root/AB_BASELINE.json" >&2
