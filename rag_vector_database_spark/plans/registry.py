@@ -10990,3 +10990,141 @@ def q_upsert_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cls.groupBy("change_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
                  F.countDistinct("doc_id").cast("long").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming composed flagship: document stream -> continuous near-dup
+# detection -> incremental IVF append -> drain-time canonical
+# retraction. The Kappa closure of the lifecycle trilogy
+# (ingest_lifecycle_pipeline = batch acquisition, daily_drop_pipeline
+# = batch maintenance, retrieval_lifecycle_pipeline = query side):
+# the same corpus arriving as a STREAM must leave behind the same
+# curated vector store the batch chain builds.
+
+_SLP_ORACLE = (
+    "WITH RECURSIVE " + _DD_MH_CTES + ",\n"
+    + "pairs AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+    + """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+cl AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY id),
+losers AS (SELECT id FROM cl WHERE id != cluster_id),
+"""
+    + _dd_kmeans_cte(k=5).lstrip().removeprefix("WITH ")
+    + """SELECT vec_id, cl AS cluster FROM f
+WHERE vec_id NOT IN (SELECT id FROM losers)
+""")
+
+
+@register(
+    "streaming_lifecycle_pipeline",
+    headline=True,
+    oracle=_SLP_ORACLE)
+def q_streaming_lifecycle_pipeline(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """THE COMPOSED STREAMING FLAGSHIP — the full curation loop run as
+    a CONTINUOUS pipeline, closing the Kappa story the reference's
+    processed-log discipline (SURVEY #59) points at. Documents arrive
+    as a file stream (one drop per micro-batch); each batch does only
+    delta-sized work:
+
+    1. **Continuous near-dup detection** (streaming/neardup.py): the
+       batch probes the persistent LSH band index for candidates
+       against everything already ingested and appends its own
+       bands/shingles — per-batch cost |batch bands| x bucket width,
+       never corpus².
+    2. **Incremental IVF append**: the batch's vectors are assigned
+       against the FROZEN coarse quantizer (yesterday's centroids,
+       plan literals — scan-local, no shuffle) and appended into
+       their cluster partitions; stored vectors are never read or
+       moved.
+    3. **Drain-time canonical retraction** (operators/storage.py
+       ``delete_keys_partitioned``): when the stream drains, the
+       final pair set (skew cap re-applied on FINAL bucket sizes,
+       exact-Jaccard verified) feeds connected components; non-
+       canonical docs' vectors are removed by rewriting ONLY the
+       partitions they live in.
+
+    Ingest-fast-curate-exact by design: duplicates are DETECTED the
+    moment their later member arrives, but vectors are dropped only
+    at the drain boundary — an eager per-batch drop would be unsound
+    under the batch semantics this pipeline must reproduce, because
+    the LSH skew cap binds on FINAL bucket sizes (a pair visible
+    mid-stream can be cap-invalidated by later growth of its bucket,
+    and a mid-stream cluster min-id can change when a bridge doc
+    arrives). The checkpoint makes re-delivery exactly-once, and
+    every read-side consumer dedups index/candidate rows, so an
+    at-least-once replay changes bytes on disk but never the answer.
+
+    The oracle is the FROM-SCRATCH batch chain over the full corpus:
+    MinHash pairs -> recursive-CTE transitive closure -> losers ->
+    frozen-quantizer assignment of the canonical survivors — so
+    stream-maintained == batch-rebuilt is checked value-exact.
+    Reference parity: the reference has no streaming surface; its
+    incremental story is the processed-log anti-join
+    (chunk_cisa_kev.py:40-66) + upsert-by-id
+    (ingest_chunks_to_chromadb.py:175-186) — this is that discipline
+    at corpus scale with dedup and index maintenance composed in."""
+    import shutil
+
+    from ..operators import clustering as CL
+    from ..operators import storage
+    from ..streaming import neardup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = CL.kmeans_centroids(emb, k=5, iters=2)  # yesterday; FROZEN
+    best = CL._argmin_centroid(cents, "embedding", 6)
+
+    in_dir = _scratch_path(spark, sf_dir, "slp_in")
+    index = _scratch_path(spark, sf_dir, "slp_idx")
+    cands = _scratch_path(spark, sf_dir, "slp_cand")
+    store = _scratch_path(spark, sf_dir, "slp_ivf")
+    ckpt = _scratch_path(spark, sf_dir, "slp_ck")
+    # append-only state + checkpoint restart from empty each run (the
+    # streaming_ivf_append discipline): a re-run must rebuild, never
+    # double-append
+    for p in (index, cands, store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    neardup.write_doc_slices(spark, sf_dir, in_dir, n_slices=3)
+
+    merge = neardup.minhash_index_merge(
+        index, cands,
+        shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], max_bucket=_MH["max_bucket"])
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        merge(batch, epoch)
+        ids = batch.select(F.col("doc_id").alias("vec_id"))
+        (emb.join(F.broadcast(ids), "vec_id", "left_semi")
+         .select("vec_id", best.getField("cl").alias("cluster"))
+         .write.mode("append").partitionBy("cluster").parquet(store))
+
+    schema = spark.read.parquet(in_dir).schema
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(in_dir)
+         .writeStream.foreachBatch(process)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    pairs = neardup.final_pairs(
+        spark, index, cands,
+        jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"]).select("id_a", "id_b")
+    losers = (dedup.connected_components(pairs)
+              .where(F.col("id") != F.col("cluster_id"))
+              .select(F.col("id").alias("vec_id")))
+    storage.delete_keys_partitioned(spark, store, losers,
+                                    key="vec_id", partition_col="cluster")
+    return (spark.read.parquet(store)
+            .select("vec_id",
+                    F.col("cluster").cast("long").alias("cluster")))

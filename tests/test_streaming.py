@@ -556,3 +556,42 @@ def test_read_parquet_stream_dir_of_parts(spark, tmp_path):
     q.awaitTermination()
     assert len(batches) == 2          # one micro-batch per part file
     assert sum(n for _, n in batches) == 6
+
+
+def test_streaming_lifecycle_pipeline_kappa_parity(spark, sf_dir):
+    """The streaming flagship's Kappa gate: the drained, retraction-
+    corrected IVF store must equal the batch from-scratch build —
+    pairs via batch minhash_lsh_pairs, CC losers dropped, survivors
+    assigned against the same frozen quantizer. (The DuckDB oracle
+    checks the same contract externally; this is the in-Spark twin,
+    plus a run-twice idempotency check.)"""
+    from rag_vector_database_spark.operators import clustering as CL
+    from rag_vector_database_spark.operators import dedup
+    from rag_vector_database_spark.plans.registry import (
+        _MH, q_streaming_lifecycle_pipeline)
+
+    got = _rows(q_streaming_lifecycle_pipeline(spark, sf_dir),
+                ["vec_id", "cluster"])
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = dedup.minhash_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    losers = (dedup.connected_components(pairs)
+              .where(F.col("id") != F.col("cluster_id"))
+              .select(F.col("id").alias("vec_id")))
+    best = CL._argmin_centroid(
+        CL.kmeans_centroids(emb, k=5, iters=2), "embedding", 6)
+    want = _rows(
+        emb.join(losers, "vec_id", "left_anti")
+        .select("vec_id", best.getField("cl").cast("long")
+                .alias("cluster")),
+        ["vec_id", "cluster"])
+    assert got == want
+    assert 0 < len(got) < emb.count()  # retraction actually dropped dups
+
+    again = _rows(q_streaming_lifecycle_pipeline(spark, sf_dir),
+                  ["vec_id", "cluster"])
+    assert again == got  # re-run rebuilds, never double-appends
