@@ -814,3 +814,98 @@ def phash_band_pairs(hashes: DataFrame, key_col: str = "id",
             .where(F.col("hamming") <= max_hamming)
             # a pair can collide in several bands
             .distinct())
+
+
+def source_overlap_matrix(docs: DataFrame, pairs: DataFrame,
+                          key_col: str = "doc_id",
+                          source_col: str = "source") -> DataFrame:
+    """Cross-source content overlap: given duplicate/near-dup pairs
+    (id_a, id_b) from any detector in this module, count the pairs
+    whose two members come from DIFFERENT sources, per unordered
+    source pair — the "which crawls/feeds re-serve each other's
+    content" planning matrix that decides what a multi-source ingest
+    should even fetch (and what it can skip embedding).
+
+    Plan shape: the pair table is the small side (bounded by the
+    detector's banding/cap discipline, never corpus²); two key-joins
+    fetch the source labels — AQE broadcasts the pair side into the
+    corpus scan — and the final groupBy output is bounded by
+    |sources|². Reference parity: the reference ingests each source
+    independently (multiple ingest scripts, one collection) and never
+    measures redundancy between them."""
+    sa = docs.select(F.col(key_col).alias("id_a"),
+                     F.col(source_col).alias("__src_a"))
+    sb = docs.select(F.col(key_col).alias("id_b"),
+                     F.col(source_col).alias("__src_b"))
+    return (pairs.select("id_a", "id_b")
+            .join(sa, "id_a").join(sb, "id_b")
+            .where(F.col("__src_a") != F.col("__src_b"))
+            .select(F.least("__src_a", "__src_b").alias("src_a"),
+                    F.greatest("__src_a", "__src_b").alias("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+def minhash_band_stats(df: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id", shingle_n: int = 2,
+                       n_hashes: int = 12, n_bands: int = 4,
+                       jaccard_threshold: float = 0.5,
+                       max_bucket: int = 64) -> DataFrame:
+    """LSH parameter planner: per-band candidate yield and precision.
+    For each of the ``n_bands`` bands: how many buckets produced
+    candidates, how many were dropped by the skew cap, how many
+    candidate pairs the band generated, and what fraction survived
+    exact-Jaccard verification. This is the measurement that tunes
+    (n_bands, rows_per_band, max_bucket) before a 100 TB dedup run —
+    a band with near-zero precision is wasted shuffle, a high capped
+    count means the cap is biting real clusters.
+
+    Plan shape: same front half as minhash_lsh_pairs (persisted
+    shingle table, exploded band keys); bucket sizes via one window
+    over (band, bk) — an external sort, never a collected array, so a
+    pathological hot bucket spills instead of materializing; pairs
+    only from buckets within the cap (≤ max_bucket² per bucket);
+    verification joins the persisted shingle table; final aggregate
+    output is exactly ``n_bands`` rows."""
+    from pyspark.sql import Window
+
+    sh, bands = _minhash_shingle_bands(df, text_col, key_col, shingle_n,
+                                       n_hashes, n_bands)
+    w = Window.partitionBy("band", "bk")
+    sized = bands.withColumn("bn", F.count(F.lit(1)).over(w))
+    buckets = (sized.groupBy("band", "bk").agg(F.first("bn").alias("bn"))
+               .groupBy("band")
+               .agg(F.sum(F.when((F.col("bn") >= 2)
+                                 & (F.col("bn") <= max_bucket), 1)
+                          .otherwise(0)).cast("long").alias("n_buckets"),
+                    F.sum(F.when(F.col("bn") > max_bucket, 1)
+                          .otherwise(0)).cast("long").alias("n_capped")))
+    kept = (sized.where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket))
+            .select("band", "bk", "k"))
+    cand = (kept.alias("a")
+            .join(kept.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bk") == F.col("b.bk"))
+                  & (F.col("a.k") < F.col("b.k")))
+            .select(F.col("a.band").alias("band"),
+                    F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b")))
+    sa = sh.select(F.col("k").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("k").alias("id_b"), F.col("sh").alias("sh_b"))
+    scored = (cand.join(sa, "id_a").join(sb, "id_b")
+              .select("band", jaccard(F.col("sh_a"), F.col("sh_b"))
+                      .alias("j")))
+    per_band = (scored.groupBy("band")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_cand"),
+                     F.sum(F.when(F.col("j") >= jaccard_threshold, 1)
+                           .otherwise(0)).cast("long").alias("n_good")))
+    return (buckets.join(per_band, "band", "left")
+            .select(F.col("band").cast("int").alias("band"),
+                    "n_buckets", "n_capped",
+                    F.coalesce("n_cand", F.lit(0)).cast("long")
+                    .alias("n_cand"),
+                    F.coalesce("n_good", F.lit(0)).cast("long")
+                    .alias("n_good"),
+                    F.round(F.when(F.coalesce("n_cand", F.lit(0)) > 0,
+                                   F.coalesce("n_good", F.lit(0))
+                                   / F.col("n_cand"))
+                            .otherwise(F.lit(0.0)), 6).alias("precision")))

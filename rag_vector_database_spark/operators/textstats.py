@@ -645,3 +645,53 @@ def rank_normalize(df: DataFrame, signal_cols: list[str],
         out = out.join(F.broadcast(ranks), out[c].eqNullSafe(ranks["__v"])) \
                  .drop("__v")
     return out
+
+
+def token_yield_by_source(df: DataFrame,
+                          neardup_losers: DataFrame | None = None,
+                          text_col: str = "text",
+                          key_col: str = "doc_id",
+                          source_col: str = "source") -> DataFrame:
+    """Per-source token accounting BEFORE vs AFTER dedup — the "how
+    many unique training tokens does this source actually contribute"
+    planner. A source whose yield is 0.3 is 70% re-crawl of content
+    already owned elsewhere; its acquisition budget should say so.
+    Survivors are keep-first by lowest key over the GLOBAL exact-
+    fingerprint space, optionally minus ``neardup_losers`` (a 1-column
+    DataFrame of keys a near-dup detector decided to drop — e.g. the
+    id_b side of verified MinHash pairs, the O(pairs) single-hop
+    policy; transitive-exact removal is dedup_keep_best's job).
+    Tokens are attributed to the surviving row's source, so
+    cross-source duplicates are credited once, to the first source.
+
+    Plan shape: token counts and fingerprints are scan-local; the one
+    wide exchange is the fingerprint window (row_number, external
+    sort — a viral fingerprint spills rather than buffering); the
+    loser anti-join's small side is pair-bounded; both per-source
+    rollups are map-side-combined groupBys over a tiny source domain,
+    joined at |sources| rows."""
+    toks = df.select(
+        F.col(key_col).alias("k"), F.col(source_col).alias("source"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"),
+        fingerprint(F.col(text_col)).alias("fp"))
+    w = Window.partitionBy("fp").orderBy("k")
+    surv = (toks.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    if neardup_losers is not None:
+        drop = neardup_losers.select(
+            F.col(neardup_losers.columns[0]).alias("k"))
+        surv = surv.join(drop, "k", "left_anti")
+    raw = (toks.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("tokens_raw")))
+    uniq = (surv.groupBy("source")
+            .agg(F.sum("n_tok").cast("long").alias("tokens_unique")))
+    return (raw.join(uniq, "source", "left")
+            .select("source", "n_docs", "tokens_raw",
+                    F.coalesce("tokens_unique", F.lit(0)).cast("long")
+                    .alias("tokens_unique"),
+                    F.round(F.when(F.col("tokens_raw") > 0,
+                                   F.coalesce("tokens_unique", F.lit(0))
+                                   / F.col("tokens_raw"))
+                            .otherwise(F.lit(0.0)), 6)
+                    .alias("token_yield")))

@@ -11240,3 +11240,181 @@ def q_streaming_lifecycle_pipeline(spark: SparkSession,
     return (spark.read.parquet(store)
             .select("vec_id",
                     F.col("cluster").cast("long").alias("cluster")))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: acquisition-planning + index-QA ledgers over the
+# proven dedup/embedding kernels. All bounded-output (|sources|,
+# |sources|², n_bands, |labels| rows), all map-side-combined.
+
+@register(
+    "cross_source_overlap",
+    oracle=("WITH " + _DD_MH_CTES + ",\n"
+            + "p AS (" + _DD_MH_PAIRS_SELECT + ")\n" + """
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p JOIN documents da ON p.id_a = da.doc_id
+       JOIN documents db ON p.id_b = db.doc_id
+WHERE da.source != db.source
+GROUP BY 1, 2
+"""))
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources re-serve each other's content: verified MinHash
+    near-dup pairs whose members come from different sources, counted
+    per unordered source pair (dedup.source_overlap_matrix over the
+    proven pair detector — near-dup, not just byte-identical, because
+    real crawl overlap is rarely byte-exact). The acquisition-budget
+    matrix a multi-source 100 TB ingest needs before paying to fetch
+    + embed every feed. Reference parity: the reference ingests each
+    source separately (KEV, transcripts, PDFs) into one collection
+    and never measures redundancy across them."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    return dedup.source_overlap_matrix(docs, pairs)
+
+
+@register(
+    "unique_token_yield",
+    oracle=("WITH " + _DD_MH_CTES + ",\n"
+            + "p AS (" + _DD_MH_PAIRS_SELECT + "),\n" + """
+t AS (
+  SELECT doc_id, source, CAST(len({tok}) AS BIGINT) AS n_tok,
+         md5({norm}) AS fp
+  FROM documents),
+s AS (SELECT doc_id, source, n_tok,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM t),
+raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_raw
+        FROM t GROUP BY source),
+u AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens_unique
+      FROM s WHERE rn = 1
+        AND doc_id NOT IN (SELECT id_b FROM p)
+      GROUP BY source)
+SELECT raw.source, n_docs, tokens_raw,
+       CAST(coalesce(tokens_unique, 0) AS BIGINT) AS tokens_unique,
+       round(CASE WHEN tokens_raw > 0
+             THEN CAST(coalesce(tokens_unique, 0) AS DOUBLE) / tokens_raw
+             ELSE 0.0 END, 6) AS token_yield
+FROM raw LEFT JOIN u ON raw.source = u.source
+""").format(tok=DD_TOKENS.format(c="text"), norm=DD_NORM.format(c="text")))
+def q_unique_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens per source before vs after dedup
+    (textstats.token_yield_by_source): the unique-training-token
+    planner. Dedup policy = global exact-fingerprint keep-first PLUS
+    the single-hop near-dup drop (the id_b side of every verified
+    MinHash pair — O(pairs), no transitive closure; the exact
+    transitive policy is dedup_keep_best). Keep-first by lowest
+    doc_id credits cross-source duplicates to the first source."""
+    docs = _t(spark, sf_dir, "documents")
+    losers = (dedup.minhash_lsh_pairs(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+        .select("id_b").distinct())
+    return textstats.token_yield_by_source(docs, neardup_losers=losers)
+
+
+@register(
+    "minhash_band_yield",
+    oracle=("WITH " + _DD_MH_CTES + """,
+bstat AS (
+  SELECT band,
+         CAST(sum(CASE WHEN bn BETWEEN 2 AND {mb} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_buckets,
+         CAST(sum(CASE WHEN bn > {mb} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_capped
+  FROM (SELECT band, bk, count(*) AS bn FROM bands GROUP BY 1, 2)
+  GROUP BY band),
+pb AS (SELECT a.band, a.doc_id AS id_a, b.doc_id AS id_b
+       FROM kept a JOIN kept b
+         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+pj AS (SELECT pb.band,
+              round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+                    THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(x.sh, y.sh)))
+                    ELSE 0.0 END, 6) AS j
+       FROM pb JOIN sh x ON pb.id_a = x.doc_id
+               JOIN sh y ON pb.id_b = y.doc_id),
+pstat AS (SELECT band, CAST(count(*) AS BIGINT) AS n_cand,
+                 CAST(sum(CASE WHEN j >= {th} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_good
+          FROM pj GROUP BY band)
+SELECT CAST(b.band AS INT) AS band, n_buckets, n_capped,
+       CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(coalesce(n_good, 0) AS BIGINT) AS n_good,
+       round(CASE WHEN coalesce(n_cand, 0) > 0
+             THEN CAST(n_good AS DOUBLE) / n_cand
+             ELSE 0.0 END, 6) AS band_precision
+FROM bstat b LEFT JOIN pstat p ON b.band = p.band
+""").format(mb=_MH["max_bucket"], th=_MH["threshold"]))
+def q_minhash_band_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter planner (dedup.minhash_band_stats): per-band
+    bucket counts, cap hits, candidate-pair yield, and exact-Jaccard
+    precision — the measurement that tunes (n_bands, rows_per_band,
+    max_bucket) before a corpus-scale dedup run."""
+    return (dedup.minhash_band_stats(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+        .withColumnRenamed("precision", "band_precision"))
+
+
+@register(
+    "embedding_version_drift",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, embedding AS e,
+         list_transform(generate_series(1, len(embedding)),
+           i -> CAST(embedding[i] AS DOUBLE)
+                * (1 + ((vec_id + i - 1) % 5 - 2) * CAST(0.01 AS DOUBLE)))
+           AS e2
+  FROM embeddings),
+c AS (
+  SELECT label,
+         round({dot12} / (sqrt({dot11}) * sqrt({dot22})), 6) AS cos
+  FROM v)
+SELECT CAST(label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(round(cos * 1e6) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e6), 6) AS mean_cos,
+       round(min(cos), 6) AS min_cos
+FROM c GROUP BY label
+""".format(dot12=dd_dot("e", "e2"), dot11=dd_dot("e", "e"),
+           dot22=dd_dot("e2", "e2")))
+def q_embedding_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-model rollout QA: agreement between the stored
+    vectors and a deterministically perturbed "v2 re-embed" of the
+    same corpus, summarized per label slice (mean/min cosine). In
+    production v2 comes from the new model; here it is a fixed
+    per-component perturbation so the oracle can replay it. Catches
+    the re-embed batch that silently changed scale or axis order —
+    the failure mode a vector-store upsert (reference
+    ingest_chunks_to_chromadb.py upsert-by-id) cannot see. Scan-local
+    except one |labels|-row groupBy; mean over rounded values uses
+    the exact scaled-long fold (summation-order-independent)."""
+    from ..functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e2 = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double")
+        * (F.lit(1.0) + ((F.col("vec_id") + i) % 5 - 2) * F.lit(0.01)))
+    cos = (emb.select(
+        "label",
+        F.round(V.dot(F.col("embedding"), e2)
+                / (V.norm(F.col("embedding")) * F.sqrt(V.dot(e2, e2))),
+                6).alias("cos")))
+    return (cos.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.round(F.sum(F.round(F.col("cos") * 1e6).cast("long"))
+                         .cast("double") / (F.count(F.lit(1)) * 1e6), 6)
+                 .alias("mean_cos"),
+                 F.round(F.min("cos"), 6).alias("min_cos"))
+            .select(F.col("label").cast("int").alias("label"),
+                    "n_vecs", "mean_cos", "min_cos"))
