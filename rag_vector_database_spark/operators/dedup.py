@@ -909,3 +909,47 @@ def minhash_band_stats(df: DataFrame, text_col: str = "text",
                                    F.coalesce("n_good", F.lit(0))
                                    / F.col("n_cand"))
                             .otherwise(F.lit(0.0)), 6).alias("precision")))
+
+
+def pair_transitivity_audit(docs: DataFrame, pairs: DataFrame,
+                            text_col: str = "text",
+                            key_col: str = "doc_id", shingle_n: int = 2,
+                            jaccard_threshold: float = 0.5) -> DataFrame:
+    """How transitive is the near-dup relation actually: for every
+    wedge a-b-c in the verified pair graph (two pairs sharing a
+    middle document), is jaccard(a, c) itself >= threshold? The
+    closure rate is the number that justifies (or indicts) cheap
+    single-hop drop policies versus full connected components: at
+    closure ~1.0 the single-hop drop loses nothing; low closure means
+    clusters chain through weak middles and only the transitive
+    policy is sound.
+
+    Plan shape: the wedge self-join is on the pair table (small,
+    detector-bounded) with per-vertex degree bounded by the LSH cap
+    discipline (<= max_bucket x n_bands neighbors), so wedges are
+    O(pairs x degree), never corpus-sized; the closure check joins
+    the shingle table once per wedge endpoint; output is ONE row."""
+    sh = docs.select(
+        F.col(key_col).alias("k"),
+        shingles_from_tokens(tokens(F.col(text_col)), shingle_n)
+        .alias("sh"))
+    p = pairs.select("id_a", "id_b")
+    edges = p.union(p.select(F.col("id_b").alias("id_a"),
+                             F.col("id_a").alias("id_b")))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedges = (e1.join(e2, (F.col("e1.id_b") == F.col("e2.id_a"))
+                      & (F.col("e1.id_a") < F.col("e2.id_b")))
+              .select(F.col("e1.id_a").alias("u"),
+                      F.col("e2.id_b").alias("w")))
+    su = sh.select(F.col("k").alias("u"), F.col("sh").alias("sh_u"))
+    sw = sh.select(F.col("k").alias("w"), F.col("sh").alias("sh_w"))
+    closed = (wedges.join(su, "u").join(sw, "w")
+              .select(jaccard(F.col("sh_u"), F.col("sh_w")).alias("j")))
+    return closed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        F.sum(F.when(F.col("j") >= jaccard_threshold, 1).otherwise(0))
+        .cast("long").alias("n_closed"),
+        F.round(F.when(F.count(F.lit(1)) > 0,
+                       F.sum(F.when(F.col("j") >= jaccard_threshold, 1)
+                             .otherwise(0)) / F.count(F.lit(1)))
+                .otherwise(F.lit(0.0)), 6).alias("closure_rate"))

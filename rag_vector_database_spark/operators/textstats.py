@@ -695,3 +695,67 @@ def token_yield_by_source(df: DataFrame,
                                    / F.col("tokens_raw"))
                             .otherwise(F.lit(0.0)), 6)
                     .alias("token_yield")))
+
+
+def kmv_distinct_by_group(df: DataFrame, value_col: str, group_col: str,
+                          k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group, plus a
+    global "__ALL__" row computed ONLY from the merged per-group
+    sketches — the mergeable-sketch discipline that makes distinct
+    counting free at 100 TB: each partition/group ships k 8-byte
+    hashes, never its value set, and union-then-retake-k-smallest IS
+    the combine step (the same algebra HLL/theta sketches use, here
+    in a form that is value-exact to replay, because the k smallest
+    of a union of per-group k-smallest sets equals the k smallest of
+    the global set). The estimator is the classic (k-1)/u_k on
+    md5-derived 32-bit uniform hashes; groups with fewer than k
+    distinct values report exactly.
+
+    An external checker can compute every row NAIVELY from the raw
+    values (no merge) and must get identical numbers — that equality
+    is the proof the distributed merge loses nothing.
+
+    Plan shape: one distinct on (group, hash); per-group k-selection
+    via a row_number window (external sort, spill-safe on a hot
+    group); the global rank runs on <= k x |groups| rows (the merged
+    sketches — bounded because the group domain is bounded), and the
+    one global exact count is a single countDistinct used only to
+    report the sketch's realized error."""
+    from ..functions.hashing import md5_long
+
+    two32 = 4294967296.0
+    hv = (df.select(F.col(group_col).alias("grp"),
+                    md5_long(F.col(value_col)).alias("h"))
+          .distinct())
+    w = Window.partitionBy("grp").orderBy("h")
+    sketch = (hv.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= k))
+    sketch = sketch.localCheckpoint(eager=False)  # feeds 2 consumers
+    exact = hv.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    kth = sketch.where(F.col("rn") == k).select(
+        "grp", F.col("h").alias("hk"))
+    per = exact.join(kth, "grp", "left")
+    merged = sketch.select("h").distinct()
+    gk = (merged.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+          .where(F.col("rn") == k).select(F.col("h").alias("hk")))
+    gexact = hv.agg(F.countDistinct("h").cast("long").alias("n_exact"))
+    # left join on TRUE, not crossJoin: when the global sketch holds
+    # fewer than k hashes (tiny value domain) gk is EMPTY and a cross
+    # join would silently drop the __ALL__ row instead of reporting it
+    # exactly (hk null -> exact path)
+    gtotal = (gexact.join(gk, F.lit(True), "left")
+              .select(F.lit("__ALL__").alias("grp"), "n_exact", "hk"))
+
+    def finish(d: DataFrame) -> DataFrame:
+        est = F.when(
+            F.col("hk").isNotNull() & (F.col("hk") > 0),
+            (F.lit(float(k - 1)) * F.lit(two32)) / F.col("hk"))
+        est = est.otherwise(F.col("n_exact").cast("double"))
+        return d.select(
+            F.col("grp"), "n_exact",
+            F.round(est, 6).alias("n_est"),
+            F.round(F.abs(est - F.col("n_exact"))
+                    / F.col("n_exact"), 6).alias("rel_err"))
+
+    return finish(per).unionByName(finish(gtotal))

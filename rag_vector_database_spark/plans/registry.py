@@ -11418,3 +11418,149 @@ def q_embedding_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("cos"), 6).alias("min_cos"))
             .select(F.col("label").cast("int").alias("label"),
                     "n_vecs", "mean_cos", "min_cos"))
+
+
+# Candidate-pair select WITHOUT the threshold filter (the sensitivity
+# grid needs every verified candidate's jaccard, not just survivors).
+_DD_MH_PAIRS_ALL = """SELECT c.id_a, c.id_b,
+       round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+             THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+             ELSE 0.0 END, 6) AS jaccard
+FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id"""
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=("WITH " + _DD_MH_CTES + ",\n"
+            + "p0 AS (" + _DD_MH_PAIRS_ALL + "),\n" + """
+grid AS (SELECT CAST(unnest([0.0, 0.5, 0.9, 0.95]) AS DOUBLE)
+           AS threshold)
+SELECT g.threshold,
+       CAST(count(p0.id_a) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN p0.jaccard >= g.threshold
+                           THEN p0.id_b END) AS BIGINT) AS n_docs_dropped
+FROM grid g LEFT JOIN p0 ON p0.jaccard >= g.threshold
+GROUP BY g.threshold
+"""))
+def q_dedup_threshold_sensitivity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The dedup-aggressiveness planner: pair count and single-hop
+    drop count at a grid of Jaccard thresholds, from ONE candidate
+    generation + verification pass (threshold 0.0 keeps every
+    verified candidate; the grid is then a 4-row broadcast non-equi
+    join — no re-detection per threshold). This is how the 0.5-vs-0.8
+    decision is made BEFORE a corpus-scale run: the pair table is
+    detector-bounded, the grid multiplies it by 4, and the output is
+    4 rows. The id_b side of the count-distinct matches
+    unique_token_yield's single-hop drop policy."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=0.0,
+        max_bucket=_MH["max_bucket"])
+    # grid spans the corpus's observed bimodality: 0.0 exposes the
+    # LSH false-positive tail, 0.9/0.95 probe how tight the real
+    # cluster mass is (everything the detector keeps at 0.5 here is
+    # also >= 0.9 — i.e. tightening is free on this corpus)
+    grid = spark.createDataFrame([(0.0,), (0.5,), (0.9,), (0.95,)],
+                                 "threshold double")
+    return (grid.join(pairs, pairs.jaccard >= grid.threshold, "left")
+            .groupBy("threshold")
+            .agg(F.count("id_a").cast("long").alias("n_pairs"),
+                 F.countDistinct("id_b").cast("long")
+                 .alias("n_docs_dropped")))
+
+
+@register(
+    "neardup_transitivity_audit",
+    oracle=("WITH " + _DD_MH_CTES + ",\n"
+            + "p AS (" + _DD_MH_PAIRS_SELECT + "),\n" + """
+edges AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION ALL
+          SELECT id_b AS u, id_a AS v FROM p),
+wd AS (SELECT e1.u AS u, e2.v AS w
+       FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+       WHERE e1.u < e2.v),
+cj AS (SELECT round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+              THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(x.sh, y.sh)))
+                          AS DOUBLE)
+              ELSE 0.0 END, 6) AS j
+       FROM wd JOIN sh x ON wd.u = x.doc_id JOIN sh y ON wd.w = y.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+       CAST(sum(CASE WHEN j >= {th} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closed,
+       round(CASE WHEN count(*) > 0
+             THEN CAST(sum(CASE WHEN j >= {th} THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*)
+             ELSE 0.0 END, 6) AS closure_rate
+FROM cj
+""").format(th=_MH["threshold"]))
+def q_neardup_transitivity_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Is the near-dup relation transitive enough for cheap policies
+    (dedup.pair_transitivity_audit): for every wedge a-b-c in the
+    verified pair graph, check jaccard(a, c) >= threshold directly
+    against the shingle sets. The closure rate is the evidence behind
+    choosing unique_token_yield's single-hop drop vs dedup_keep_best's
+    full connected components."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    return dedup.pair_transitivity_audit(
+        docs, pairs, shingle_n=_MH["shingle_n"],
+        jaccard_threshold=_MH["threshold"])
+
+
+@register(
+    "kmv_distinct_tokens",
+    oracle="""
+WITH tok AS (SELECT DISTINCT source, t
+             FROM (SELECT source, unnest({sh2}) AS t FROM documents)),
+hv AS (SELECT DISTINCT source AS grp,
+              ('0x' || substring(md5(t), 1, 8))::BIGINT AS h
+       FROM tok),
+ranked AS (SELECT grp, h,
+                  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+                  count(*) OVER (PARTITION BY grp) AS cnt
+           FROM hv),
+per AS (SELECT grp, CAST(max(cnt) AS BIGINT) AS n_exact,
+               max(CASE WHEN rn = {k} THEN h END) AS hk
+        FROM ranked GROUP BY grp),
+gh AS (SELECT DISTINCT h FROM hv),
+granked AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gh),
+gtotal AS (SELECT '__ALL__' AS grp, CAST(count(*) AS BIGINT) AS n_exact,
+                  max(CASE WHEN rn = {k} THEN h END) AS hk
+           FROM granked),
+allrows AS (SELECT * FROM per UNION ALL SELECT * FROM gtotal),
+fin AS (SELECT grp, n_exact,
+               CASE WHEN hk IS NOT NULL AND hk > 0
+                    THEN CAST({km1} AS DOUBLE) * 4294967296.0 / hk
+                    ELSE CAST(n_exact AS DOUBLE) END AS est
+        FROM allrows)
+SELECT grp AS source, n_exact,
+       round(est, 6) AS n_est,
+       round(abs(est - n_exact) / n_exact, 6) AS rel_err
+FROM fin
+""".format(sh2=dd_shingles("text", 2), k=64, km1=63))
+def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-2-shingle counting via mergeable KMV sketches
+    (textstats.kmv_distinct_by_group): per-source estimates plus a
+    global "__ALL__" row that Spark computes ONLY from the merged
+    per-source sketches, while the oracle recomputes every row
+    naively from the raw values — their value-exact equality is the
+    proof the distributed merge loses nothing. The sketch algebra
+    (ship k hashes per partition, union + retake k smallest) is what
+    makes vocabulary/cardinality accounting one narrow shuffle at
+    100 TB instead of a countDistinct over everything; the realized
+    rel_err column reports what the k=64 sketch actually costs in
+    accuracy on this corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(
+        "source",
+        F.explode(dedup.word_shingles(F.col("text"), 2)).alias("v"))
+    return (textstats.kmv_distinct_by_group(vals, "v", "source", k=64)
+            .withColumnRenamed("grp", "source"))
