@@ -409,3 +409,77 @@ def test_daily_drop_retraction_bridge(spark, tmp_path):
     assert left == [0, 1, 5]
     for c, t in mtimes_before.items():
         assert os.path.getmtime(os.path.join(store, f"cluster={c}")) == t
+
+
+def test_kmv_sketch_merge_and_small_group(spark):
+    """KMV contracts: (a) a group with < k distinct values reports
+    exactly; (b) the __ALL__ row — computed ONLY from merged
+    per-group sketches — equals the naive global sketch (the merge
+    property); (c) __ALL__ survives even when the GLOBAL domain is
+    smaller than k (the left-join-on-true regression: a cross join
+    dropped the row)."""
+    from pyspark.sql import Window, functions as F
+
+    from rag_vector_database_spark.functions.hashing import md5_long
+    from rag_vector_database_spark.operators.textstats import (
+        kmv_distinct_by_group)
+
+    k = 8
+    rows = ([("a", f"v{i}") for i in range(200)]          # estimates
+            + [("b", f"v{i}") for i in range(3)])         # exact path
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {r.grp: r for r in
+           kmv_distinct_by_group(df, "v", "grp", k=k).collect()}
+    assert set(out) == {"a", "b", "__ALL__"}
+    assert out["b"].n_exact == 3 and out["b"].n_est == 3.0
+    assert out["b"].rel_err == 0.0
+    assert out["a"].n_exact == 200 and out["a"].n_est != 200.0
+
+    # merge property: __ALL__'s estimate == naive global KMV over all
+    # distinct values (here group b's values are a subset of a's
+    # domain? no — distinct strings; compute directly)
+    hv = (df.select(md5_long(F.col("v")).alias("h")).distinct()
+          .withColumn("rn", F.row_number().over(Window.orderBy("h"))))
+    hk = hv.where(F.col("rn") == k).collect()[0].h
+    naive = round(float(k - 1) * 4294967296.0 / hk, 6)
+    assert out["__ALL__"].n_est == naive
+
+    # tiny global domain: __ALL__ must still appear, on the exact path
+    tiny = spark.createDataFrame([("a", "x"), ("b", "y")],
+                                 "grp string, v string")
+    tout = {r.grp: r for r in
+            kmv_distinct_by_group(tiny, "v", "grp", k=8).collect()}
+    assert tout["__ALL__"].n_exact == 2 and tout["__ALL__"].n_est == 2.0
+
+
+def test_pair_transitivity_and_source_overlap(spark):
+    """Hand-built pair graph: wedges enumerate correctly and the
+    closure check runs against real shingle sets; the source overlap
+    matrix counts only cross-source pairs, per unordered pair."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.operators.dedup import (
+        pair_transitivity_audit, source_overlap_matrix)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "s1"),
+         (2, "alpha beta gamma delta epsilon", "s2"),
+         (3, "alpha beta gamma zeta", "s1"),
+         (4, "totally different words here", "s2")],
+        "doc_id long, text string, source string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "id_a long, id_b long")
+
+    # wedges (u < w, shared middle): (1,3) via 2, (2,4) via 1 -> 2
+    out = pair_transitivity_audit(docs, pairs, shingle_n=2,
+                                  jaccard_threshold=0.4).collect()[0]
+    assert out.n_wedges == 2
+    # jaccard(1,3): shingles of 1 = {ab, bg, gd}, of 3 = {ab, bg, gz}
+    # -> 2/4 = 0.5 >= 0.4 closed; jaccard(2,4) = 0 -> open
+    assert out.n_closed == 1
+    assert out.closure_rate == 0.5
+
+    ov = {(r.src_a, r.src_b): r.n_pairs
+          for r in source_overlap_matrix(docs, pairs).collect()}
+    # (1,2): s1-s2 cross; (2,3): s2-s1 cross; (1,4): s1-s2 cross
+    assert ov == {("s1", "s2"): 3}
