@@ -410,6 +410,15 @@ WINDOW_PRIORITY: list[str] = [
     "event_transition_matrix",
     "trajectory_knn",
     "streaming_upsert_partitioned",
+    # -- round-8 additions (r09 never-graded queue; local parity +
+    #    driver-sim green from birth) --------------------------------
+    "cross_source_overlap",
+    "unique_token_yield",
+    "minhash_band_yield",
+    "embedding_version_drift",
+    "dedup_threshold_sensitivity",
+    "neardup_transitivity_audit",
+    "kmv_distinct_tokens",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
