@@ -759,3 +759,130 @@ def kmv_distinct_by_group(df: DataFrame, value_col: str, group_col: str,
                     / F.col("n_exact"), 6).alias("rel_err"))
 
     return finish(per).unionByName(finish(gtotal))
+
+
+def tokenizer_fertility_by_lang(docs: DataFrame,
+                                text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility (subword tokens per whitespace word) by
+    language slice — the pretraining budget metric that says which
+    languages cost more tokens per word under a given tokenizer (the
+    classic multilingual-tokenizer fairness readout). Composes the
+    stopword-argmax language guess with the BPE-ish lexical segmenter
+    so the whole thing stays scan-local built-ins: per doc the only
+    work is two regex passes and the stopword intersections, then ONE
+    |langs|-row map-side-combined groupBy. Fertility and
+    chars-per-token are single divisions of exact long sums —
+    summation-order independent by construction, no scaled-long fold
+    needed."""
+    text = F.col(text_col)
+    per = docs.select(
+        lang_guess(text).alias("lang"),
+        F.size(tokens(text)).cast("long").alias("w"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0)).cast("long")
+        .alias("b"),
+        F.length(F.regexp_replace(text, r"\s+", "")).cast("long")
+        .alias("c"))
+    sw, sb, sc = F.sum("w"), F.sum("b"), F.sum("c")
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 sw.cast("long").alias("n_words"),
+                 sb.cast("long").alias("n_bpe"),
+                 F.round(F.when(sw > 0, sb.cast("double") / sw)
+                         .otherwise(F.lit(0.0)), 6).alias("fertility"),
+                 F.round(F.when(sb > 0, sc.cast("double") / sb)
+                         .otherwise(F.lit(0.0)), 6)
+                 .alias("chars_per_token")))
+
+
+def hashed_sample_quantile_by_group(df: DataFrame, value_col: str,
+                                    group_col: str, key_col: str,
+                                    k: int = 128,
+                                    q: float = 0.5) -> DataFrame:
+    """Mergeable QUANTILE sketch per group plus a global "__ALL__" row
+    computed ONLY from the merged per-group sketches — the KMV
+    algebra (kmv_distinct_by_group) carrying a value payload: each
+    group ships its k rows with the smallest key-hashes (a uniform
+    row sample, because the hash is uniform and independent of the
+    value), and union-then-retake-k-smallest IS the combine step (the
+    k hash-smallest rows of a union of per-group k-smallest sets are
+    exactly the k hash-smallest rows overall). The estimate is the
+    type-1 discrete quantile of the sample; ``q`` must be an exact
+    binary fraction (0.5, 0.25, 0.75) so ceil(q*n) computes
+    identically in every engine. An external checker computing every
+    row naively from the raw values must get identical numbers — that
+    equality proves the merge.
+
+    This is what per-domain length/quality distribution accounting
+    costs at 100 TB: k rows per group over the wire, never the
+    corpus. The exact quantile is computed alongside ONLY to report
+    the sketch's realized error; at scale you'd drop that leg (it is
+    the expensive one — a per-group external-sort window).
+
+    Plan shape: one row_number window per group on (hash, key)
+    (external sort, spill-safe); the merged-sketch rank runs on
+    <= k x |groups| rows; the exact leg is a per-group window plus
+    ONE global rank over the same bounded merged set's complement —
+    implemented as a direct window for the per-group rows and a
+    count-based rank for the global row so nothing ever single-
+    partition-sorts the full table."""
+    from ..functions.hashing import md5_long
+
+    hv = df.select(F.col(group_col).alias("grp"),
+                   F.col(key_col).alias("kk"),
+                   md5_long(F.col(key_col).cast("string")).alias("h"),
+                   F.col(value_col).cast("long").alias("v"))
+    wsamp = Window.partitionBy("grp").orderBy("h", "kk")
+    samp = (hv.withColumn("rn", F.row_number().over(wsamp))
+            .where(F.col("rn") <= k)
+            .localCheckpoint(eager=False))  # feeds per-group + merged
+
+    def _type1(d: DataFrame, parts: list[str]) -> DataFrame:
+        """Value at rank ceil(q*n) of d's rows ordered by (v, kk)."""
+        wv = Window.partitionBy(*parts).orderBy("v", "kk")
+        wn = Window.partitionBy(*parts)
+        return (d.withColumn("rv", F.row_number().over(wv))
+                .withColumn("ns", F.count(F.lit(1)).over(wn))
+                .where(F.col("rv") == F.ceil(F.lit(q) * F.col("ns")))
+                .select(*parts, F.col("v").alias("qv")))
+
+    est = _type1(samp, ["grp"]).withColumnRenamed("qv", "q_est")
+    exact = _type1(hv, ["grp"]).withColumnRenamed("qv", "q_exact")
+    n_rows = hv.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"))
+    per = n_rows.join(est, "grp").join(exact, "grp")
+
+    # global row: merged sketch = retake the k hash-smallest rows of
+    # the unioned per-group sketches (bounded: <= k x |groups| rows)
+    merged = (samp.select("grp", "kk", "h", "v")
+              .withColumn("rn", F.row_number().over(
+                  Window.orderBy("h", "kk")))
+              .where(F.col("rn") <= k)
+              .select(F.lit("__ALL__").alias("grp"), "kk", "v"))
+    gest = _type1(merged, ["grp"]).withColumnRenamed("qv", "q_est")
+    # global exact quantile WITHOUT a single-partition sort of the
+    # table: per distinct value, count rows <= it via a histogram +
+    # running sum over the (bounded) distinct-value domain
+    ghist = hv.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    gcum = ghist.withColumn(
+        "cum", F.sum("cnt").over(
+            Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gn = hv.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    gexact = (gcum.join(gn, F.lit(True), "left")
+              .where(F.col("cum") >= F.ceil(F.lit(q) * F.col("n_rows")))
+              .agg(F.min("v").alias("q_exact")))
+    gtotal = (gn.join(gest, F.lit(True), "left")
+              .join(gexact, F.lit(True), "left")
+              .select(F.lit("__ALL__").alias("grp"), "n_rows",
+                      "q_est", "q_exact"))
+
+    out = per.select("grp", "n_rows", "q_est", "q_exact") \
+             .unionByName(gtotal)
+    return out.select(
+        "grp", "n_rows",
+        F.col("q_est").cast("long").alias("q_est"),
+        F.col("q_exact").cast("long").alias("q_exact"),
+        F.round(F.when(F.col("q_exact") > 0,
+                       F.abs(F.col("q_est") - F.col("q_exact"))
+                       / F.col("q_exact"))
+                .otherwise(F.lit(0.0)), 6).alias("rel_err"))

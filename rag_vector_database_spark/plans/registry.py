@@ -419,6 +419,9 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_threshold_sensitivity",
     "neardup_transitivity_audit",
     "kmv_distinct_tokens",
+    "containment_vs_jaccard_matrix",
+    "tokenizer_fertility_by_lang",
+    "hashed_sample_quantiles",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -11573,3 +11576,179 @@ def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(dedup.word_shingles(F.col("text"), 2)).alias("v"))
     return (textstats.kmv_distinct_by_group(vals, "v", "source", k=64)
             .withColumnRenamed("grp", "source"))
+
+
+@register(
+    "containment_vs_jaccard_matrix",
+    oracle=("WITH " + _DD_MH_CTES + ",\n" + """
+m AS (SELECT len(list_intersect(x.sh, y.sh)) AS inter,
+             len(x.sh) AS la, len(y.sh) AS lb,
+             len(list_distinct(list_concat(x.sh, y.sh))) AS un
+      FROM cand c JOIN sh x ON c.id_a = x.doc_id
+                  JOIN sh y ON c.id_b = y.doc_id),
+s AS (SELECT
+        round(CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un
+              ELSE 0.0 END, 6) AS j,
+        round(CASE WHEN least(la, lb) > 0
+              THEN CAST(inter AS DOUBLE) / least(la, lb)
+              ELSE 0.0 END, 6) AS c,
+        round(CASE WHEN least(la, lb) > 0
+              THEN CAST(greatest(la, lb) AS DOUBLE) / least(la, lb)
+              ELSE 0.0 END, 6) AS r
+      FROM m)
+SELECT CAST(j >= {jt} AS INT) AS jaccard_dup,
+       CAST(c >= {ct} AS INT) AS containment_dup,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(round(c * 1e6) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e6), 6) AS mean_containment,
+       round(CAST(sum(CAST(round(r * 1e6) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e6), 6) AS mean_size_ratio
+FROM s GROUP BY 1, 2
+""").format(jt=_MH["threshold"], ct=0.8))
+def q_containment_vs_jaccard_matrix(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The asymmetric-dedup planner (dedup.containment_vs_jaccard_
+    matrix): a 2x2 agreement matrix between the symmetric Jaccard
+    verdict and the containment verdict (|A n B| / min set size) over
+    every verified LSH candidate pair, with per-cell mean containment
+    and mean size ratio. The off-diagonal (jaccard_dup=0,
+    containment_dup=1) cell counts subset duplication — a fragment of
+    one document being most of another — which a Jaccard-only policy
+    ships into training as "unique". Costs one extra projection over
+    the symmetric detector's existing verification join; output
+    <= 4 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_vs_jaccard_matrix(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], max_bucket=_MH["max_bucket"],
+        jaccard_threshold=_MH["threshold"], containment_threshold=0.8)
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+WITH s AS (
+  SELECT text,
+         len(list_intersect(list_distinct({ltok}), {en})) AS s_en,
+         len(list_intersect(list_distinct({ltok}), {de})) AS s_de,
+         len(list_intersect(list_distinct({ltok}), {fr})) AS s_fr
+  FROM documents
+),
+m AS (
+  SELECT CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+              ELSE 'fr' END AS lang,
+         CAST(len({tok}) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS b,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS c
+  FROM s
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(b) AS BIGINT) AS n_bpe,
+       round(CASE WHEN sum(w) > 0
+             THEN CAST(sum(b) AS DOUBLE) / sum(w) ELSE 0.0 END, 6)
+         AS fertility,
+       round(CASE WHEN sum(b) > 0
+             THEN CAST(sum(c) AS DOUBLE) / sum(b) ELSE 0.0 END, 6)
+         AS chars_per_token
+FROM m GROUP BY lang
+""".format(tok=DD_TOKENS.format(c="text"),
+           ltok=DD_TOKENS.format(c="lower(text)"),
+           en=_dd_stoplist("en"), de=_dd_stoplist("de"),
+           fr=_dd_stoplist("fr")))
+def q_tokenizer_fertility_by_lang(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per word) by language
+    slice (textstats.tokenizer_fertility_by_lang) — the multilingual
+    token-budget readout: a language whose fertility is 1.5x the
+    corpus mean pays 1.5x more context window and compute per word
+    under this tokenizer, which is exactly the number a mixture
+    planner (token_budget_mixture) needs per language rather than per
+    source. Scan-local regex + stopword argmax, ONE |langs|-row
+    map-side-combined groupBy; ratios are single divisions of exact
+    long sums."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tokenizer_fertility_by_lang(docs)
+
+
+@register(
+    "hashed_sample_quantiles",
+    oracle="""
+WITH hv AS (
+  SELECT source AS grp, doc_id AS kk,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         CAST(length(text) AS BIGINT) AS v
+  FROM documents
+),
+samp AS (SELECT grp, kk, v FROM
+           (SELECT grp, kk, v,
+                   row_number() OVER (PARTITION BY grp ORDER BY h, kk)
+                     AS rn
+            FROM hv) WHERE rn <= {k}),
+est AS (SELECT grp, v AS q_est FROM
+          (SELECT grp, v,
+                  row_number() OVER (PARTITION BY grp ORDER BY v, kk)
+                    AS rv,
+                  count(*) OVER (PARTITION BY grp) AS ns
+           FROM samp)
+        WHERE rv = CAST(ceil({q} * ns) AS BIGINT)),
+exact AS (SELECT grp, v AS q_exact FROM
+            (SELECT grp, v,
+                    row_number() OVER (PARTITION BY grp ORDER BY v, kk)
+                      AS rv,
+                    count(*) OVER (PARTITION BY grp) AS ns
+             FROM hv)
+          WHERE rv = CAST(ceil({q} * ns) AS BIGINT)),
+nr AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_rows FROM hv GROUP BY grp),
+per AS (SELECT nr.grp, nr.n_rows, est.q_est, exact.q_exact
+        FROM nr JOIN est ON nr.grp = est.grp
+                JOIN exact ON nr.grp = exact.grp),
+gsamp AS (SELECT kk, v FROM
+            (SELECT kk, v, row_number() OVER (ORDER BY h, kk) AS rn
+             FROM hv) WHERE rn <= {k}),
+gest AS (SELECT v AS q_est FROM
+           (SELECT v, row_number() OVER (ORDER BY v, kk) AS rv,
+                   count(*) OVER () AS ns
+            FROM gsamp)
+         WHERE rv = CAST(ceil({q} * ns) AS BIGINT)),
+gexact AS (SELECT v AS q_exact FROM
+             (SELECT v, row_number() OVER (ORDER BY v, kk) AS rv,
+                     count(*) OVER () AS ns
+              FROM hv)
+           WHERE rv = CAST(ceil({q} * ns) AS BIGINT)),
+gtotal AS (SELECT '__ALL__' AS grp,
+                  (SELECT CAST(count(*) AS BIGINT) FROM hv) AS n_rows,
+                  (SELECT q_est FROM gest) AS q_est,
+                  (SELECT q_exact FROM gexact) AS q_exact),
+allrows AS (SELECT * FROM per UNION ALL SELECT * FROM gtotal)
+SELECT grp AS source, n_rows,
+       CAST(q_est AS BIGINT) AS q_est,
+       CAST(q_exact AS BIGINT) AS q_exact,
+       round(CASE WHEN q_exact > 0
+             THEN abs(CAST(q_est AS DOUBLE) - q_exact) / q_exact
+             ELSE 0.0 END, 6) AS rel_err
+FROM allrows
+""".format(k=128, q=0.5))
+def q_hashed_sample_quantiles(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-source median document length via mergeable hash-sample
+    sketches (textstats.hashed_sample_quantile_by_group): each source
+    ships only its 128 hash-smallest rows, the global "__ALL__" row is
+    computed ONLY from the merged per-source sketches (retake the
+    hash-smallest k of the union — the KMV algebra with a value
+    payload), and the oracle recomputes every row naively from the
+    raw table, so value-exact equality proves the merge. The exact
+    quantile rides along only to report the sketch's realized error.
+    This is distribution accounting at 100 TB: k rows per domain over
+    the wire instead of a corpus-wide percentile."""
+    docs = _t(spark, sf_dir, "documents")
+    return (textstats.hashed_sample_quantile_by_group(
+        docs.select("source", "doc_id", F.length("text").alias("len")),
+        value_col="len", group_col="source", key_col="doc_id",
+        k=128, q=0.5)
+        .withColumnRenamed("grp", "source"))
