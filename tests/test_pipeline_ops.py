@@ -483,3 +483,105 @@ def test_pair_transitivity_and_source_overlap(spark):
           for r in source_overlap_matrix(docs, pairs).collect()}
     # (1,2): s1-s2 cross; (2,3): s2-s1 cross; (1,4): s1-s2 cross
     assert ov == {("s1", "s2"): 3}
+
+
+def test_containment_matrix_flags_subset_duplication(spark):
+    # A = w0..w10 (10 2-shingles); B = w0..w7 (7 shingles, subset of A:
+    # jaccard 7/10 >= 0.5, containment 1.0); C = unrelated
+    a = " ".join(f"w{i}" for i in range(11))
+    b = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=a), Row(doc_id=2, text=b),
+        Row(doc_id=3, text=" ".join(f"u{i}" for i in range(20)))])
+    out = dedup.containment_vs_jaccard_matrix(
+        docs, shingle_n=2, n_hashes=12, n_bands=12, max_bucket=64,
+        jaccard_threshold=0.5, containment_threshold=0.8).collect()
+    cells = {(r.jaccard_dup, r.containment_dup): r for r in out}
+    assert set(cells) == {(1, 1)}
+    r = cells[(1, 1)]
+    assert r.n_pairs == 1
+    assert abs(r.mean_containment - 1.0) < 1e-6
+    assert abs(r.mean_size_ratio - round(10 / 7, 6)) < 1e-6
+
+
+def test_containment_matrix_off_diagonal_cell(spark):
+    # C = w0..w5 (5 shingles, subset of A's 10): jaccard 0.5 < 0.6,
+    # containment 1.0 — the subset-dup cell. One row per band makes
+    # the LSH recall of this fixed pair deterministic.
+    a = " ".join(f"w{i}" for i in range(11))
+    c = " ".join(f"w{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=c)])
+    out = dedup.containment_vs_jaccard_matrix(
+        docs, shingle_n=2, n_hashes=12, n_bands=12, max_bucket=64,
+        jaccard_threshold=0.6, containment_threshold=0.8).collect()
+    cells = {(r.jaccard_dup, r.containment_dup): r for r in out}
+    assert set(cells) == {(0, 1)}
+    assert cells[(0, 1)].n_pairs == 1
+
+
+def test_tokenizer_fertility_exact_counts(spark):
+    docs = spark.createDataFrame([
+        # en: 6 words, 6 bpe segments, 16 non-ws chars
+        Row(doc_id=1, text="the cat is on the mat"),
+        # whitespace tokens "the," / "cat!" hit no stopword -> und,
+        # but punctuation splits into extra BPE segments: 2 words,
+        # 4 segments
+        Row(doc_id=2, text="the, cat!"),
+        # no stopword hits in any language -> und
+        Row(doc_id=3, text="zz qq"),
+    ])
+    out = {r.lang: r for r in
+           textstats.tokenizer_fertility_by_lang(docs).collect()}
+    assert set(out) == {"en", "und"}
+    en = out["en"]
+    assert en.n_docs == 1 and en.n_words == 6 and en.n_bpe == 6
+    assert abs(en.fertility - 1.0) < 1e-6
+    assert abs(en.chars_per_token - round(16 / 6, 6)) < 1e-6
+    und = out["und"]
+    assert und.n_docs == 2 and und.n_words == 4 and und.n_bpe == 6
+    assert abs(und.fertility - 1.5) < 1e-6
+
+
+def test_hashed_sample_quantiles_exact_when_k_covers(spark):
+    # k >= every group size -> the sample IS the group and the merged
+    # sample IS the corpus: q_est == q_exact on every row, rel_err 0
+    rows = [Row(g="a", k=i, v=i * 10) for i in range(1, 11)] \
+         + [Row(g="b", k=100 + i, v=i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows)
+    out = {r.grp: r for r in textstats.hashed_sample_quantile_by_group(
+        df, "v", "g", "k", k=1000, q=0.5).collect()}
+    assert set(out) == {"a", "b", "__ALL__"}
+    for r in out.values():
+        assert r.q_est == r.q_exact and r.rel_err == 0.0
+    # type-1 median of 10 values 10..100 = 5th = 50; of 5 values = 3rd
+    assert out["a"].q_exact == 50 and out["a"].n_rows == 10
+    assert out["b"].q_exact == 3 and out["b"].n_rows == 5
+    assert out["__ALL__"].n_rows == 15
+
+
+def test_hashed_sample_quantiles_merge_matches_naive(spark):
+    # small k: the __ALL__ estimate computed from MERGED per-group
+    # sketches must equal the naive global bottom-k-by-hash sample's
+    # quantile, replayed here in plain Python
+    import hashlib
+
+    rows = [Row(g=f"g{i % 4}", k=i, v=(i * 37) % 101)
+            for i in range(200)]
+    df = spark.createDataFrame(rows)
+    k = 16
+    out = {r.grp: r for r in textstats.hashed_sample_quantile_by_group(
+        df, "v", "g", "k", k=k, q=0.5).collect()}
+
+    def h(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+
+    import math
+
+    global_sample = sorted(rows, key=lambda r: (h(r.k), r.k))[:k]
+    vals = sorted((r.v, r.k) for r in global_sample)
+    expect = vals[math.ceil(0.5 * len(vals)) - 1][0]  # type-1, 1-based
+    assert out["__ALL__"].q_est == expect
+    # exact global median of (i*37)%101 over i=0..199
+    allv = sorted(((i * 37) % 101) for i in range(200))
+    assert out["__ALL__"].q_exact == allv[math.ceil(0.5 * 200) - 1]
