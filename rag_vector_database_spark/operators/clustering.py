@@ -404,3 +404,60 @@ def kmeans_silhouette(emb: DataFrame, k: int = 5, iters: int = 2,
             .groupBy("cluster")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.round(F.avg("s"), ndigits).alias("avg_silhouette")))
+
+
+def pq_code_utilization(emb: DataFrame, m: int = 4, ksub: int = 4,
+                        iters: int = 1, dim: int = 64,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        ndigits: int = 6) -> DataFrame:
+    """Codebook-health ledger for the PQ index (the code-side twin of
+    ivf_cell_stats / sq8_calibration, completing the compression
+    ladder's QA): per subspace, how many of the ksub codes are
+    actually used, the heaviest code's share, and a chi-square
+    imbalance statistic vs the uniform ideal. A subspace running on 2
+    of 4 codes has halved its effective bits — the signal to retrain
+    that codebook before the ADC index degrades silently.
+
+    Scale shape: encode is the same scan-local argmin-vs-literals
+    pass pq_score_adc runs (no shuffle); the only exchange is the
+    (m x ksub)-row code-count groupBy (map-side combined). The
+    chi-square numerator ksub*sum(cnt^2) - n^2 is computed on
+    decimal(38,0) — cnt^2 wraps a long once a subspace holds more
+    than ~3e9 vectors, which a 100 TB corpus exceeds — then divided
+    by n exactly once, so every engine lands on the same double."""
+    books = pq_train(emb, m=m, ksub=ksub, iters=iters, dim=dim,
+                     vec_col=vec_col, id_col=id_col, ndigits=ndigits)
+    subdim = dim // m
+    spec = F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("sv"))
+        for s in range(m)])
+    sub = (emb.select(F.explode(spec).alias("e"))
+           .select(F.col("e.s").alias("s"), F.col("e.sv").alias("sv")))
+    best = None
+    for s in range(m):
+        arg = _argmin_centroid(books[s], "sv", ndigits)
+        best = arg if best is None else \
+            F.when(F.col("s") == s, arg).otherwise(best)
+        if s == 0:
+            best = F.when(F.col("s") == 0, arg)
+    counts = (sub.select("s", best.getField("cl").alias("cl"))
+              .groupBy("s", "cl")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    dec = F.col("cnt").cast("decimal(38,0)")
+    per = counts.groupBy("s").agg(
+        F.sum("cnt").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_codes_used"),
+        F.max("cnt").cast("long").alias("max_code"),
+        F.sum(dec * dec).alias("sumsq"))
+    n_dec = F.col("n_vecs").cast("decimal(38,0)")
+    chi2 = ((F.lit(ksub).cast("decimal(38,0)") * F.col("sumsq")
+             - n_dec * n_dec).cast("double") / F.col("n_vecs"))
+    return per.select(
+        F.col("s").cast("int").alias("s"),
+        "n_vecs", "n_codes_used",
+        F.round(F.col("n_codes_used") / F.lit(float(ksub)), 6)
+        .alias("utilization"),
+        F.round(F.col("max_code") / F.col("n_vecs"), 6).alias("max_share"),
+        F.round(chi2, 6).alias("chi2_imbalance"))

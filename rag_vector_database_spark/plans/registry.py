@@ -422,6 +422,8 @@ WINDOW_PRIORITY: list[str] = [
     "containment_vs_jaccard_matrix",
     "tokenizer_fertility_by_lang",
     "hashed_sample_quantiles",
+    "pq_code_utilization",
+    "simhash_threshold_sensitivity",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -11752,3 +11754,118 @@ def q_hashed_sample_quantiles(spark: SparkSession,
         value_col="len", group_col="source", key_col="doc_id",
         k=128, q=0.5)
         .withColumnRenamed("grp", "source"))
+
+
+@register(
+    "pq_code_utilization",
+    oracle="""
+WITH sub AS (
+  SELECT e.vec_id, m.s, e.embedding[m.lo : m.hi] AS sv
+  FROM embeddings e CROSS JOIN {spaces} m(s, lo, hi)
+),
+u AS (
+  SELECT vec_id, s, unnest(generate_series(1, len(sv))) AS pos,
+         CAST(unnest(sv) AS DOUBLE) AS x
+  FROM sub
+),
+c0 AS (
+  SELECT s, CAST(vec_id AS BIGINT) AS cl,
+         list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
+  FROM sub WHERE vec_id < 4
+),
+m1 AS ({a0}),
+c1 AS (
+  SELECT s, cl, list(cx ORDER BY pos) AS cv FROM (
+    SELECT m.s, m.cl, u.pos, round(sum(u.x) / count(*), 6) AS cx
+    FROM u JOIN m1 m ON m.vec_id = u.vec_id AND m.s = u.s
+    GROUP BY m.s, m.cl, u.pos)
+  GROUP BY s, cl
+),
+f AS ({a1}),
+cc AS (
+  SELECT s, cl, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY s, cl
+),
+per AS (
+  SELECT s, CAST(sum(cnt) AS BIGINT) AS n_vecs,
+         CAST(count(*) AS BIGINT) AS n_codes_used,
+         CAST(max(cnt) AS BIGINT) AS max_code,
+         sum(CAST(cnt AS HUGEINT) * cnt) AS sumsq
+  FROM cc GROUP BY s
+)
+SELECT CAST(s AS INT) AS s, n_vecs, n_codes_used,
+       round(CAST(n_codes_used AS DOUBLE) / 4, 6) AS utilization,
+       round(CAST(max_code AS DOUBLE) / n_vecs, 6) AS max_share,
+       round(CAST(4 * sumsq - CAST(n_vecs AS HUGEINT) * n_vecs AS DOUBLE)
+             / n_vecs, 6) AS chi2_imbalance
+FROM per
+""".format(spaces=_DD_PQ_SPACES,
+           a0=_DD_PQ_ASSIGN.format(c="c0"),
+           a1=_DD_PQ_ASSIGN.format(c="c1")))
+def q_pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook-health ledger (clustering.pq_code_utilization):
+    per subspace, codes actually used, heaviest code's share, and a
+    chi-square imbalance statistic vs uniform — the retrain trigger
+    that completes the compression ladder's QA next to ivf_cell_stats
+    (coarse cells) and sq8_calibration (scalar dims). The oracle
+    replays the same subspace-keyed Lloyd chain as pq_adc_knn, then
+    the count algebra; the chi-square numerator runs on
+    decimal(38,0)/HUGEINT so it cannot wrap at corpus scale."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    return CL.pq_code_utilization(emb, m=4, ksub=4, iters=1, dim=64)
+
+
+@register(
+    "simhash_threshold_sensitivity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({tok})) AS t
+  FROM documents WHERE doc_id % 7 = 0
+),
+th AS (
+  SELECT doc_id, ('0x' || substring(md5(t), 1, 4))::INT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS v
+  FROM th, unnest(generate_series(0, 15)) g(i)
+  GROUP BY doc_id, i
+),
+s AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1 << i) ELSE 0 END) AS INT) AS sh
+  FROM votes GROUP BY doc_id
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(CAST(xor(a.sh::BIGINT, b.sh::BIGINT) AS BIGINT))
+              AS INT) AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(CAST(xor(a.sh::BIGINT, b.sh::BIGINT) AS BIGINT)) <= 3
+),
+grid AS (SELECT CAST(unnest([0, 1, 2, 3]) AS INT) AS max_hamming)
+SELECT g.max_hamming,
+       CAST(count(p.id_a) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN p.hamming <= g.max_hamming
+                           THEN p.id_b END) AS BIGINT) AS n_docs_dropped
+FROM grid g LEFT JOIN p ON p.hamming <= g.max_hamming
+GROUP BY g.max_hamming
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_simhash_threshold_sensitivity(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The SimHash twin of dedup_threshold_sensitivity: pair count
+    and single-hop drop count at every Hamming threshold inside the
+    detector's FULL-RECALL zone (d <= 3 under 4-bit groups x 4
+    rotations — pigeonhole), from ONE blocked detection pass. Because
+    the grid stays inside the recall guarantee, the oracle is the
+    clean all-pairs truth, not a blocking replay — the numbers ARE
+    the policy space, no detector bias caveat needed. Grid join is a
+    4-row broadcast over the detector-bounded pair table."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    pairs = dedup.simhash_pairs(docs, max_hamming=3, prefix_bits=4)
+    grid = spark.createDataFrame([(0,), (1,), (2,), (3,)],
+                                 "max_hamming int")
+    return (grid.join(pairs, pairs.hamming <= grid.max_hamming, "left")
+            .groupBy("max_hamming")
+            .agg(F.count("id_a").cast("long").alias("n_pairs"),
+                 F.countDistinct("id_b").cast("long")
+                 .alias("n_docs_dropped")))

@@ -585,3 +585,55 @@ def test_hashed_sample_quantiles_merge_matches_naive(spark):
     # exact global median of (i*37)%101 over i=0..199
     allv = sorted(((i * 37) % 101) for i in range(200))
     assert out["__ALL__"].q_exact == allv[math.ceil(0.5 * 200) - 1]
+
+
+def test_pq_code_utilization_invariants(spark, sf_dir):
+    from rag_vector_database_spark.operators import clustering as CL
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    rows = CL.pq_code_utilization(emb, m=4, ksub=4, iters=1,
+                                  dim=64).collect()
+    assert len(rows) == 4 and {r.s for r in rows} == {0, 1, 2, 3}
+    for r in rows:
+        # every vector is encoded in every subspace
+        assert r.n_vecs == n
+        assert 1 <= r.n_codes_used <= 4
+        assert abs(r.utilization - r.n_codes_used / 4) < 1e-6
+        # the heaviest code holds at least the uniform share
+        assert r.max_share >= 1 / 4 - 1e-6
+        # chi-square is non-negative and zero only at perfect balance
+        assert r.chi2_imbalance >= -1e-6
+
+
+def test_pq_code_utilization_perfect_balance_is_zero(spark):
+    from rag_vector_database_spark.operators import clustering as CL
+
+    # 4 distinct points, each exactly one codebook seed in every
+    # subspace -> 4 codes used, perfectly uniform, chi2 == 0
+    rows = [Row(vec_id=i, embedding=[float(i * 10)] * 64)
+            for i in range(4)]
+    out = CL.pq_code_utilization(spark.createDataFrame(rows), m=4,
+                                 ksub=4, iters=1, dim=64).collect()
+    for r in out:
+        assert r.n_codes_used == 4
+        assert abs(r.max_share - 0.25) < 1e-6
+        assert abs(r.chi2_imbalance) < 1e-6
+
+
+def test_simhash_grid_counts_are_cumulative(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") % 7 == 0)
+    pairs = dedup.simhash_pairs(docs, max_hamming=3, prefix_bits=4)
+    by_h = dict(pairs.groupBy("hamming").count()
+                .select("hamming", "count").collect())
+    grid = spark.createDataFrame([(h,) for h in range(4)],
+                                 "max_hamming int")
+    sens = {r.max_hamming: r for r in
+            (grid.join(pairs, pairs.hamming <= grid.max_hamming, "left")
+             .groupBy("max_hamming")
+             .agg(F.count("id_a").alias("n_pairs")).collect())}
+    # n_pairs at threshold h == sum of the per-distance histogram <= h
+    for h in range(4):
+        assert sens[h].n_pairs == sum(
+            c for d, c in by_h.items() if d <= h)
