@@ -1016,3 +1016,28 @@ def pair_transitivity_audit(docs: DataFrame, pairs: DataFrame,
                        F.sum(F.when(F.col("j") >= jaccard_threshold, 1)
                              .otherwise(0)) / F.count(F.lit(1)))
                 .otherwise(F.lit(0.0)), 6).alias("closure_rate"))
+
+
+def pair_degree_histogram(pairs: DataFrame) -> DataFrame:
+    """Degree distribution of the verified near-dup pair graph: how
+    many documents have exactly d verified partners, with a running
+    total. The hub readout behind the ``max_bucket`` cap decision —
+    boilerplate templates show up as a heavy tail here long before
+    they melt a bucket, and the histogram's own size is bounded by
+    the maximum degree (<= max_bucket x n_bands by the LSH cap
+    discipline), never the corpus. One groupBy over the pair table
+    plus a window over the (tiny) degree domain."""
+    from pyspark.sql import Window
+
+    p = pairs.select("id_a", "id_b")
+    ends = p.select(F.col("id_a").alias("k")).union(
+        p.select(F.col("id_b").alias("k")))
+    deg = ends.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = (Window.orderBy("degree")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return hist.select("degree", "n_docs",
+                       F.sum("n_docs").over(w).cast("long")
+                       .alias("cum_docs"))

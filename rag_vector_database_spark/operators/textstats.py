@@ -886,3 +886,57 @@ def hashed_sample_quantile_by_group(df: DataFrame, value_col: str,
                        F.abs(F.col("q_est") - F.col("q_exact"))
                        / F.col("q_exact"))
                 .otherwise(F.lit(0.0)), 6).alias("rel_err"))
+
+
+def kmv_group_sketch(df: DataFrame, value_col: str, group_col: str,
+                     k: int = 64) -> DataFrame:
+    """The raw per-group KMV sketch: the k smallest 32-bit value
+    hashes per group as (grp, h) rows — the mergeable state object
+    behind kmv_distinct_by_group, exposed on its own so a streaming
+    job can maintain it incrementally: union two sketches (or a
+    sketch and a new batch's sketch) and retake the k smallest per
+    group, and the result equals the sketch of the union of the raw
+    inputs. Merging is idempotent (re-merging the same batch is a
+    set union with itself), which is what makes a stream-maintained
+    sketch exactly-once under re-delivery WITHOUT any dedup
+    bookkeeping."""
+    from ..functions.hashing import md5_long
+
+    hv = (df.select(F.col(group_col).alias("grp"),
+                    md5_long(F.col(value_col)).alias("h"))
+          .distinct())
+    w = Window.partitionBy("grp").orderBy("h")
+    return (hv.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).select("grp", "h"))
+
+
+def kmv_estimate_from_sketch(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimates from a (grp, h) KMV sketch table,
+    plus the "__ALL__" row from the merged per-group sketches. A
+    group holding fewer than k hashes is reported exactly (its sketch
+    IS its distinct hash set); otherwise the classic (k-1)/u_k
+    estimator on the 32-bit hash space. Everything here runs on
+    <= k x |groups| rows."""
+    two32 = 4294967296.0
+
+    def finish(d: DataFrame) -> DataFrame:
+        est = F.when(F.col("hk").isNotNull() & (F.col("hk") > 0),
+                     (F.lit(float(k - 1)) * F.lit(two32)) / F.col("hk"))
+        est = est.otherwise(F.col("n_in_sketch").cast("double"))
+        return d.select("grp", "n_in_sketch",
+                        F.round(est, 6).alias("n_est"))
+
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = sketch.withColumn("rn", F.row_number().over(w))
+    per = (ranked.groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+                F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk")))
+    merged = sketch.select("h").distinct()
+    granked = merged.withColumn(
+        "rn", F.row_number().over(Window.orderBy("h")))
+    gtotal = (granked.agg(
+        F.least(F.count(F.lit(1)), F.lit(k)).cast("long")
+        .alias("n_in_sketch"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"))
+        .select(F.lit("__ALL__").alias("grp"), "n_in_sketch", "hk"))
+    return finish(per).unionByName(finish(gtotal))

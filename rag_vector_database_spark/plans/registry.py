@@ -424,6 +424,8 @@ WINDOW_PRIORITY: list[str] = [
     "hashed_sample_quantiles",
     "pq_code_utilization",
     "simhash_threshold_sensitivity",
+    "pair_degree_histogram",
+    "streaming_kmv_merge",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -11869,3 +11871,111 @@ def q_simhash_threshold_sensitivity(spark: SparkSession,
             .agg(F.count("id_a").cast("long").alias("n_pairs"),
                  F.countDistinct("id_b").cast("long")
                  .alias("n_docs_dropped")))
+
+
+@register(
+    "pair_degree_histogram",
+    oracle=("WITH " + _DD_MH_CTES + ",\n"
+            + "p AS (" + _DD_MH_PAIRS_SELECT + "),\n" + """
+e AS (SELECT id_a AS k FROM p UNION ALL SELECT id_b AS k FROM p),
+d AS (SELECT k, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY k),
+h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY degree)
+SELECT degree, n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY degree) AS BIGINT) AS cum_docs
+FROM h
+"""))
+def q_pair_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the verified near-dup pair graph
+    (dedup.pair_degree_histogram) — the hub readout behind the
+    max_bucket cap decision: boilerplate templates surface as a heavy
+    degree tail long before they melt an LSH bucket. Output bounded
+    by the maximum degree (<= max_bucket x n_bands by the cap
+    discipline); one groupBy over the detector-bounded pair table
+    plus a window over the tiny degree domain."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    return dedup.pair_degree_histogram(pairs)
+
+
+@register(
+    "streaming_kmv_merge",
+    oracle="""
+WITH tok AS (SELECT DISTINCT source, t
+             FROM (SELECT source, unnest({sh2}) AS t FROM documents)),
+hv AS (SELECT DISTINCT source AS grp,
+              ('0x' || substring(md5(t), 1, 8))::BIGINT AS h
+       FROM tok),
+ranked AS (SELECT grp, h,
+                  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+           FROM hv),
+per AS (SELECT grp, CAST(least(count(*), {k}) AS BIGINT) AS n_in_sketch,
+               max(CASE WHEN rn = {k} THEN h END) AS hk
+        FROM ranked GROUP BY grp),
+gh AS (SELECT DISTINCT h FROM hv),
+granked AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gh),
+gtotal AS (SELECT '__ALL__' AS grp,
+                  CAST(least(count(*), {k}) AS BIGINT) AS n_in_sketch,
+                  max(CASE WHEN rn = {k} THEN h END) AS hk
+           FROM granked),
+allrows AS (SELECT * FROM per UNION ALL SELECT * FROM gtotal)
+SELECT grp AS source, n_in_sketch,
+       round(CASE WHEN hk IS NOT NULL AND hk > 0
+             THEN CAST({km1} AS DOUBLE) * 4294967296.0 / hk
+             ELSE CAST(n_in_sketch AS DOUBLE) END, 6) AS n_est
+FROM allrows
+""".format(sh2=dd_shingles("text", 2), k=64, km1=63))
+def q_streaming_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#59 for CARDINALITY ACCOUNTING: documents arrive as a file
+    stream and each micro-batch's per-source KMV sketch
+    (textstats.kmv_group_sketch) is merged into a persistent sketch
+    store — union then retake the k hash-smallest per source, the
+    mergeable-sketch algebra that keeps the ENTIRE streaming state at
+    k x |sources| rows no matter how much data flows past. Because
+    the merge is a set union, re-delivering a batch changes nothing:
+    the query is exactly-once under crash-replay with NO dedup
+    bookkeeping, a property the checkpoint alone cannot give an
+    arbitrary aggregate. The drained, stream-maintained estimates
+    must hash-equal the batch oracle computed naively from the raw
+    corpus — the same Kappa gate as every streaming query here, and
+    simultaneously the proof that incremental merge == one-shot
+    sketch."""
+    import shutil
+
+    from ..streaming import events as streaming_events
+
+    k = 64
+    store = _scratch_path(spark, sf_dir, "stream_kmv")
+    ckpt = _scratch_path(spark, sf_dir, "stream_kmv_ck")
+    for p in (store, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def merge(batch: DataFrame, _epoch: int) -> None:
+        import os
+        s = batch.sparkSession
+        vals = batch.select(
+            "source",
+            F.explode(dedup.word_shingles(F.col("text"), 2)).alias("v"))
+        bs = textstats.kmv_group_sketch(vals, "v", "source", k=k)
+        if os.path.exists(store):
+            bs = s.read.parquet(store).unionByName(bs).distinct()
+        w = Window.partitionBy("grp").orderBy("h")
+        merged = (bs.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= k).select("grp", "h"))
+        # the sketch is the bounded object (k x |sources| rows): land
+        # it on the driver so the overwrite never reads its own input
+        rows = merged.collect()
+        (s.createDataFrame(rows, "grp string, h long")
+         .coalesce(1).write.mode("overwrite").parquet(store))
+
+    q = (streaming_events.read_parquet_stream(spark, sf_dir, "documents")
+         .writeStream.foreachBatch(merge)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (textstats.kmv_estimate_from_sketch(
+        spark.read.parquet(store), k=k)
+        .withColumnRenamed("grp", "source"))

@@ -637,3 +637,65 @@ def test_simhash_grid_counts_are_cumulative(spark, sf_dir):
     for h in range(4):
         assert sens[h].n_pairs == sum(
             c for d, c in by_h.items() if d <= h)
+
+
+def test_kmv_group_sketch_merge_is_idempotent(spark):
+    # re-merging the same batch into a sketch changes nothing — the
+    # property that makes the stream-maintained sketch exactly-once
+    # under crash-replay without any dedup bookkeeping
+    from pyspark.sql import Window
+
+    rows = [Row(g="a", v=f"tok{i}") for i in range(300)] \
+         + [Row(g="b", v=f"tok{i}") for i in range(10)]
+    df = spark.createDataFrame(rows)
+    k = 16
+    s1 = textstats.kmv_group_sketch(df, "v", "g", k=k)
+    w = Window.partitionBy("grp").orderBy("h")
+    remerged = (s1.unionByName(s1).distinct()
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k).select("grp", "h"))
+    a = sorted(map(tuple, s1.collect()))
+    b = sorted(map(tuple, remerged.collect()))
+    assert a == b
+    # group with < k distinct values keeps them ALL (exact path)
+    assert sum(1 for g, _ in a if g == "b") == 10
+    assert sum(1 for g, _ in a if g == "a") == k
+
+
+def test_kmv_sketch_split_merge_equals_one_shot(spark):
+    # sketch(A) merged with sketch(B) == sketch(A union B) — the
+    # mergeability contract the streaming query rests on
+    from pyspark.sql import Window
+
+    rows = [Row(g="x", v=f"w{i}") for i in range(500)]
+    df = spark.createDataFrame(rows)
+    k = 32
+    whole = sorted(map(tuple,
+                       textstats.kmv_group_sketch(df, "v", "g", k=k)
+                       .collect()))
+    h1 = textstats.kmv_group_sketch(
+        df.where(F.col("v").substr(2, 10).cast("int") % 2 == 0),
+        "v", "g", k=k)
+    h2 = textstats.kmv_group_sketch(
+        df.where(F.col("v").substr(2, 10).cast("int") % 2 == 1),
+        "v", "g", k=k)
+    w = Window.partitionBy("grp").orderBy("h")
+    merged = sorted(map(tuple,
+                        (h1.unionByName(h2).distinct()
+                         .withColumn("rn", F.row_number().over(w))
+                         .where(F.col("rn") <= k).select("grp", "h")
+                         .collect())))
+    assert merged == whole
+
+
+def test_pair_degree_histogram_hand_graph(spark):
+    # graph: 1-2, 1-3, 1-4 (hub deg 3), 2-3 (deg 2 each), 4 deg 1
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=1, id_b=3),
+         Row(id_a=1, id_b=4), Row(id_a=2, id_b=3)])
+    out = {r.degree: r for r in
+           dedup.pair_degree_histogram(pairs).collect()}
+    assert out[1].n_docs == 1          # doc 4
+    assert out[2].n_docs == 2          # docs 2, 3
+    assert out[3].n_docs == 1          # the hub
+    assert out[3].cum_docs == 4        # running total reaches all docs
