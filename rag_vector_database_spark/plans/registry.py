@@ -426,6 +426,7 @@ WINDOW_PRIORITY: list[str] = [
     "simhash_threshold_sensitivity",
     "pair_degree_histogram",
     "streaming_kmv_merge",
+    "pq_rank_fidelity",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -11979,3 +11980,139 @@ def q_streaming_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (textstats.kmv_estimate_from_sketch(
         spark.read.parquet(store), k=k)
         .withColumnRenamed("grp", "source"))
+
+
+@register(
+    "pq_rank_fidelity",
+    oracle="""
+WITH sub AS (
+  SELECT e.vec_id, m.s, e.embedding[m.lo : m.hi] AS sv
+  FROM embeddings e CROSS JOIN {spaces} m(s, lo, hi)
+),
+u AS (
+  SELECT vec_id, s, unnest(generate_series(1, len(sv))) AS pos,
+         CAST(unnest(sv) AS DOUBLE) AS x
+  FROM sub
+),
+c0 AS (
+  SELECT s, CAST(vec_id AS BIGINT) AS cl,
+         list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
+  FROM sub WHERE vec_id < 4
+),
+m1 AS ({a0}),
+c1 AS (
+  SELECT s, cl, list(cx ORDER BY pos) AS cv FROM (
+    SELECT m.s, m.cl, u.pos, round(sum(u.x) / count(*), 6) AS cx
+    FROM u JOIN m1 m ON m.vec_id = u.vec_id AND m.s = u.s
+    GROUP BY m.s, m.cl, u.pos)
+  GROUP BY s, cl
+),
+f AS ({a1}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT e.vec_id, round({dot}, 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id LIMIT 20
+),
+qsub AS (
+  SELECT m.s, list_transform(e.embedding[m.lo : m.hi],
+                             x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings e CROSS JOIN {spaces} m(s, lo, hi)
+  WHERE e.vec_id = 0
+),
+dtab AS (
+  SELECT c.s, c.cl,
+         round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+               i -> pow(q.qv[i] - c.cv[i], 2)), (acc, v) -> acc + v), 6) AS d
+  FROM c1 c JOIN qsub q ON q.s = c.s
+),
+adc AS (
+  SELECT f.vec_id, round(list_reduce(list(d.d ORDER BY f.s),
+                                     (a, b) -> a + b), 6) AS adc
+  FROM f JOIN dtab d ON d.s = f.s AND d.cl = f.cl
+  GROUP BY f.vec_id
+),
+t AS (
+  SELECT top.vec_id,
+         row_number() OVER (ORDER BY score DESC, top.vec_id) AS r_exact,
+         row_number() OVER (ORDER BY adc ASC, top.vec_id) AS r_adc
+  FROM top JOIN adc ON top.vec_id = adc.vec_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum((r_exact - r_adc) * (r_exact - r_adc)) AS BIGINT)
+           AS sumd2
+  FROM t
+),
+disc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_discordant
+  FROM t a JOIN t b ON a.r_exact < b.r_exact AND b.r_adc < a.r_adc
+)
+SELECT n_items, n_discordant,
+       round(CASE WHEN n_items > 1
+             THEN 1.0 - 4.0 * n_discordant / (n_items * (n_items - 1))
+             ELSE 1.0 END, 6) AS kendall_tau,
+       round(CASE WHEN n_items > 1
+             THEN 1.0 - 6.0 * sumd2
+                  / (CAST(n_items AS BIGINT) * n_items * n_items - n_items)
+             ELSE 1.0 END, 6) AS spearman_rho
+FROM stats, disc
+""".format(spaces=_DD_PQ_SPACES,
+           a0=_DD_PQ_ASSIGN.format(c="c0"),
+           a1=_DD_PQ_ASSIGN.format(c="c1"),
+           dot=dd_dot("e.embedding", "q.qv")))
+def q_pq_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much RANKING damage does PQ compression actually do: take
+    the exact cosine top-20, re-rank those same vectors by their ADC
+    scores under the trained codebooks, and report Kendall tau
+    (pairwise inversions) and Spearman rho (squared rank
+    displacement) between the two orderings. Recall-style evals
+    (ivf_recall_eval) ask "did the right items survive"; this asks
+    "did their ORDER survive", which is what a downstream
+    rerank-threshold or top-3-context consumer actually feels. Both
+    coefficients come from exact integer rank arithmetic (inversion
+    count, sum of squared displacements) with ONE final division, so
+    engines agree bit-for-bit. Cost: one exact top-20 pass + the
+    scan-local ADC encode; the rank join is 20 rows and the inversion
+    self-join 190 pairs — driver-bounded output, corpus-bounded
+    work."""
+    from ..operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir)
+    top = retrieval.knn(emb, qv, k=20)
+    books = CL.pq_train(emb, m=4, ksub=4, iters=1, dim=64)
+    adc = CL.pq_score_adc(emb, qv, books)
+    t = (top.join(adc, "vec_id")
+         .select("vec_id",
+                 F.row_number().over(
+                     Window.orderBy(F.col("score").desc(), "vec_id"))
+                 .alias("r_exact"),
+                 F.row_number().over(
+                     Window.orderBy(F.col("adc").asc(), "vec_id"))
+                 .alias("r_adc"))
+         .localCheckpoint(eager=False))  # 20 rows; feeds 2 consumers
+    stats = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum((F.col("r_exact") - F.col("r_adc"))
+              * (F.col("r_exact") - F.col("r_adc"))).cast("long")
+        .alias("sumd2"))
+    a, b = t.alias("a"), t.alias("b")
+    disc = (a.join(b, (F.col("a.r_exact") < F.col("b.r_exact"))
+                   & (F.col("b.r_adc") < F.col("a.r_adc")))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_discordant")))
+    n = F.col("n_items")
+    return (stats.join(disc, F.lit(True), "left")
+            .select(
+                "n_items",
+                F.coalesce("n_discordant", F.lit(0)).cast("long")
+                .alias("n_discordant"),
+                F.round(F.when(n > 1, F.lit(1.0)
+                               - F.lit(4.0)
+                               * F.coalesce("n_discordant", F.lit(0))
+                               / (n * (n - 1)))
+                        .otherwise(F.lit(1.0)), 6).alias("kendall_tau"),
+                F.round(F.when(n > 1, F.lit(1.0)
+                               - F.lit(6.0) * F.col("sumd2")
+                               / (n * n * n - n))
+                        .otherwise(F.lit(1.0)), 6).alias("spearman_rho")))

@@ -699,3 +699,17 @@ def test_pair_degree_histogram_hand_graph(spark):
     assert out[2].n_docs == 2          # docs 2, 3
     assert out[3].n_docs == 1          # the hub
     assert out[3].cum_docs == 4        # running total reaches all docs
+
+
+def test_rank_fidelity_perfect_agreement_is_one(spark, sf_dir):
+    # identical orderings -> zero inversions, tau == rho == 1.0; and
+    # the registry query's coefficients stay in [-1, 1] on real data
+    from rag_vector_database_spark.plans.registry import queries
+
+    r = queries()["pq_rank_fidelity"](spark, sf_dir).collect()[0]
+    assert r.n_items > 1
+    assert -1.0 <= r.kendall_tau <= 1.0
+    assert -1.0 <= r.spearman_rho <= 1.0
+    # 0 discordant pairs forces both coefficients to exactly 1
+    if r.n_discordant == 0:
+        assert r.kendall_tau == 1.0
