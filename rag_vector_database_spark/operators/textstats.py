@@ -940,3 +940,30 @@ def kmv_estimate_from_sketch(sketch: DataFrame, k: int = 64) -> DataFrame:
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"))
         .select(F.lit("__ALL__").alias("grp"), "n_in_sketch", "hk"))
     return finish(per).unionByName(finish(gtotal))
+
+
+def quality_gate_source_matrix(docs: DataFrame,
+                               source_col: str = "source") -> DataFrame:
+    """Acquisition QA crosstab: per source, how much of the crawl
+    survives each quality gate (Gopher rules, C4 rules) — the number
+    that turns a per-document filter into a per-SOURCE acquisition
+    decision (a feed passing 20% of Gopher is bought at 5x its
+    sticker price in tokens). Composes the two graded rule kernels
+    unchanged by keying them on the source column: each is one
+    scan-local flag pass folded by a map-side-combined groupBy over
+    the tiny source domain, and the two legs meet in a |sources|-row
+    join. The full-gate conjunction per document is curation_
+    pipeline's one-scan job; this matrix is the per-gate view."""
+    g = (gopher_quality_flags(docs, key_col=source_col)
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("pass_gopher").cast("long").alias("n_pass_gopher")))
+    c = (c4_quality_flags(docs, key_col=source_col)
+         .groupBy("source")
+         .agg(F.sum("pass_c4").cast("long").alias("n_pass_c4")))
+    return (g.join(c, "source")
+            .select("source", "n_docs", "n_pass_gopher", "n_pass_c4",
+                    F.round(F.col("n_pass_gopher") / F.col("n_docs"), 6)
+                    .alias("gopher_rate"),
+                    F.round(F.col("n_pass_c4") / F.col("n_docs"), 6)
+                    .alias("c4_rate")))

@@ -427,6 +427,7 @@ WINDOW_PRIORITY: list[str] = [
     "pair_degree_histogram",
     "streaming_kmv_merge",
     "pq_rank_fidelity",
+    "quality_gate_source_matrix",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -12116,3 +12117,77 @@ def q_pq_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                - F.lit(6.0) * F.col("sumd2")
                                / (n * n * n - n))
                         .otherwise(F.lit(1.0)), 6).alias("spearman_rho")))
+
+
+@register(
+    "quality_gate_source_matrix",
+    oracle="""
+WITH m AS (
+  SELECT source,
+         {ltok} AS t,
+         len({ltok}) AS n_words,
+         len(text) - len(replace(text, '#', '')) AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell
+  FROM documents
+),
+x AS (
+  SELECT source, n_words,
+         CASE WHEN n_words > 0 THEN
+           list_reduce(list_transform(t, s -> len(s)), (a, b) -> a + b)
+             / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN
+           (n_hash + n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0
+         END AS symbol_ratio,
+         CASE WHEN n_words > 0 THEN
+           len(list_filter(t, s -> regexp_matches(s, '[A-Za-z]')))
+             / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_frac,
+         len(list_intersect(list_distinct(list_transform(t, s -> lower(s))),
+                            {stops})) AS n_stop
+  FROM m
+),
+gp AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+             * CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+             * CAST(symbol_ratio <= 0.1 AS INT)
+             * CAST(alpha_frac >= 0.8 AS INT)
+             * CAST(n_stop >= 2 AS INT)) AS BIGINT) AS n_pass_gopher
+  FROM x GROUP BY source
+),
+cm AS (
+  SELECT source,
+         len({tok}) AS n_words,
+         len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+         CAST(regexp_matches(text, '[.!?"]\\s*$') AS INT) AS f_term,
+         CAST(NOT contains(lower(text), 'lorem ipsum') AS INT) AS f_lorem,
+         CAST(NOT contains(text, '{{') AS INT) AS f_brace,
+         CAST(NOT list_contains({ltok2}, 'javascript') AS INT) AS f_js
+  FROM documents
+),
+cp AS (
+  SELECT source,
+         CAST(sum(f_term * CAST(n_sentences >= 3 AS INT)
+              * CAST(n_words >= 5 AS INT) * f_lorem * f_brace * f_js)
+              AS BIGINT) AS n_pass_c4
+  FROM cm GROUP BY source
+)
+SELECT gp.source, gp.n_docs, gp.n_pass_gopher, cp.n_pass_c4,
+       round(CAST(gp.n_pass_gopher AS DOUBLE) / gp.n_docs, 6)
+         AS gopher_rate,
+       round(CAST(cp.n_pass_c4 AS DOUBLE) / gp.n_docs, 6) AS c4_rate
+FROM gp JOIN cp ON gp.source = cp.source
+""".format(
+        ltok=DD_TOKENS.format(c="text"),
+        ltok2=DD_TOKENS.format(c="lower(text)"),
+        tok=DD_TOKENS.format(c="text"),
+        stops=_DD_GOPHER_STOPS))
+def q_quality_gate_source_matrix(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-source survival rates under the Gopher and C4 quality
+    gates (textstats.quality_gate_source_matrix) — the acquisition
+    decision view of the two graded per-document rule sets: two
+    scan-local flag passes folded map-side over the source domain,
+    met in a |sources|-row join. The oracle replays both rule chains
+    grouped by source."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_gate_source_matrix(docs)

@@ -713,3 +713,16 @@ def test_rank_fidelity_perfect_agreement_is_one(spark, sf_dir):
     # 0 discordant pairs forces both coefficients to exactly 1
     if r.n_discordant == 0:
         assert r.kendall_tau == 1.0
+
+
+def test_quality_gate_matrix_counts_bounded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_source = dict(docs.groupBy("source").count().collect())
+    out = textstats.quality_gate_source_matrix(docs).collect()
+    assert {r.source for r in out} == set(per_source)
+    for r in out:
+        assert r.n_docs == per_source[r.source]
+        assert 0 <= r.n_pass_gopher <= r.n_docs
+        assert 0 <= r.n_pass_c4 <= r.n_docs
+        assert abs(r.gopher_rate - round(r.n_pass_gopher / r.n_docs, 6)) \
+            < 1e-9
