@@ -682,3 +682,22 @@ def test_retrieval_lifecycle_rerun_identical(spark):
         spark, sf).collect()))
     assert a == b
     assert len(a) == 8
+
+
+def test_containment_matrix_plan_shape(spark):
+    """The round-8 containment matrix must ride the existing LSH
+    verification join, not add quadratic work: no cartesian product
+    anywhere, and the candidate side reaches the shingle table via
+    equi-joins only (the same bucket-local pair enumeration the
+    symmetric detector uses)."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i % 7}")
+         for i in range(64)],
+        "doc_id long, text string")
+    out = dedup.containment_vs_jaccard_matrix(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate pairs enumerate bucket-locally from ONE groupBy
+    # (the shared _lsh_candidates shape), never a band self-join
+    assert plan.count("SortMergeJoin") <= 2  # the two shingle fetches
