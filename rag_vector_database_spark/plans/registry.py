@@ -428,6 +428,7 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_kmv_merge",
     "pq_rank_fidelity",
     "quality_gate_source_matrix",
+    "dedup_drop_provenance",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -12191,3 +12192,56 @@ def q_quality_gate_source_matrix(spark: SparkSession,
     grouped by source."""
     docs = _t(spark, sf_dir, "documents")
     return textstats.quality_gate_source_matrix(docs)
+
+
+@register(
+    "dedup_drop_provenance",
+    oracle=("WITH " + _DD_MH_CTES + ",\n"
+            + "p AS (" + _DD_MH_PAIRS_SELECT + "),\n" + """
+fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM documents),
+ex AS (SELECT doc_id,
+              min(doc_id) OVER (PARTITION BY fingerprint) AS canonical
+       FROM fp),
+exd AS (SELECT CAST(doc_id AS BIGINT) AS dropped_id,
+               CAST(canonical AS BIGINT) AS kept_id,
+               'exact' AS reason
+        FROM ex WHERE doc_id <> canonical),
+nd AS (SELECT CAST(id_b AS BIGINT) AS dropped_id,
+              CAST(min(id_a) AS BIGINT) AS kept_id,
+              'neardup' AS reason
+       FROM p GROUP BY id_b),
+nd2 AS (SELECT * FROM nd
+        WHERE dropped_id NOT IN (SELECT dropped_id FROM exd))
+SELECT * FROM exd UNION ALL SELECT * FROM nd2
+""").format(norm=DD_NORM.format(c="text")))
+def q_dedup_drop_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion AUDIT TRAIL a production dedup run must leave
+    behind: one row per dropped document naming the keeper that
+    displaced it and the rule that fired — 'exact' (content
+    fingerprint, canonical = lowest id in the group) taking
+    precedence over 'neardup' (verified MinHash pair, single-hop
+    keeper = lowest paired id). This is what answers "why is doc X
+    not in the training set" a month later without re-running the
+    detector, and what a takedown/retraction pass joins against.
+    Single-level provenance by design (a keeper may itself lose to a
+    better keeper under transitive policies — dedup_keep_best owns
+    that); composed from the two graded kernels unchanged: the exact
+    window's one fingerprint shuffle + the detector-bounded pair
+    table folded by id_b, met in a pair-bounded anti-join."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = dedup.exact_duplicates(docs)
+    exd = (ex.where(F.col("doc_id") != F.col("canonical_id"))
+           .select(F.col("doc_id").cast("long").alias("dropped_id"),
+                   F.col("canonical_id").cast("long").alias("kept_id"),
+                   F.lit("exact").alias("reason")))
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    nd = (pairs.groupBy("id_b")
+          .agg(F.min("id_a").alias("kept_id"))
+          .select(F.col("id_b").cast("long").alias("dropped_id"),
+                  F.col("kept_id").cast("long").alias("kept_id"),
+                  F.lit("neardup").alias("reason")))
+    nd2 = nd.join(exd.select("dropped_id"), "dropped_id", "left_anti")
+    return exd.unionByName(nd2)

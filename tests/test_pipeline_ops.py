@@ -726,3 +726,31 @@ def test_quality_gate_matrix_counts_bounded(spark, sf_dir):
         assert 0 <= r.n_pass_c4 <= r.n_docs
         assert abs(r.gopher_rate - round(r.n_pass_gopher / r.n_docs, 6)) \
             < 1e-9
+
+
+def test_drop_provenance_exact_wins_and_keeper_is_lower(spark):
+    # docs 1 and 2 are byte-identical (exact group, canonical 1) AND
+    # near-dups of 3; exact must claim doc 2, neardup may only claim
+    # docs not already dropped by the exact rule
+    t = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=t), Row(doc_id=2, text=t),
+         Row(doc_id=3, text=t + " extra"),
+         Row(doc_id=4, text=" ".join(f"u{i}" for i in range(12)))])
+    import shutil
+    import tempfile
+
+    from rag_vector_database_spark.plans import registry as R
+
+    d = tempfile.mkdtemp()
+    try:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = R.q_dedup_drop_provenance(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    by_id = {r.dropped_id: r for r in out}
+    assert by_id[2].reason == "exact" and by_id[2].kept_id == 1
+    assert by_id[3].reason == "neardup" and by_id[3].kept_id == 1
+    assert 4 not in by_id
+    # every keeper has a lower id than the doc it displaced
+    assert all(r.kept_id < r.dropped_id for r in out)
