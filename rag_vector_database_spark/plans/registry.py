@@ -429,6 +429,7 @@ WINDOW_PRIORITY: list[str] = [
     "pq_rank_fidelity",
     "quality_gate_source_matrix",
     "dedup_drop_provenance",
+    "chunk_store_dedup_stats",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -12245,3 +12246,65 @@ def q_dedup_drop_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.lit("neardup").alias("reason")))
     nd2 = nd.join(exd.select("dropped_id"), "dropped_id", "left_anti")
     return exd.unionByName(nd2)
+
+
+@register(
+    "chunk_store_dedup_stats",
+    oracle="""
+WITH c AS ({chunks}),
+fp AS (
+  SELECT source, doc_id, md5({norm}) AS fp FROM c
+),
+fl AS (
+  SELECT source,  fp,
+         CASE WHEN min(doc_id) OVER (PARTITION BY fp)
+                   <> max(doc_id) OVER (PARTITION BY fp)
+              THEN 1 ELSE 0 END AS dup
+  FROM fp
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(dup) AS BIGINT) AS n_crossdoc_dup,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+       round(CAST(sum(dup) AS DOUBLE) / count(*), 6) AS crossdoc_rate,
+       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+         AS dup_waste
+FROM fl GROUP BY source
+""".format(chunks=chunking.dd_chunk_cte(_CHUNK_SIZE, _CHUNK_OVERLAP,
+                                        keep_cols=("source",)),
+           norm=DD_NORM.format(c="chunk_text")))
+def q_chunk_store_dedup_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Duplication measured where the VECTOR STORE pays for it — at
+    chunk granularity, after the reference's 1000/150 splitter: per
+    source, chunks whose normalized fingerprint also appears in
+    another document (cross-doc duplicates — each is an embedding
+    computed and stored twice and a retrieval slot MMR must burn a
+    pick deduplicating), distinct fingerprints, and the resulting
+    store-waste fraction. Document-level dedup under-counts this:
+    two documents sharing one section are unique docs but produce
+    colliding chunks. Shape: the chunk explode is scan-local
+    (chunk_documents), then ONE window shuffle on the 32-byte
+    fingerprint (the exact_duplicates min/max-over-window trick — no
+    join back, cross-doc iff min doc != max doc) and a
+    |sources|-row rollup."""
+    from ..operators.dedup import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(
+        docs, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP,
+        keep_cols=("source",))
+    fp = chunks.select("source", "doc_id",
+                       fingerprint(F.col("chunk_text")).alias("fp"))
+    w = Window.partitionBy("fp")
+    flagged = fp.withColumn(
+        "dup", (F.min("doc_id").over(w) != F.max("doc_id").over(w))
+        .cast("int"))
+    n = F.count(F.lit(1))
+    return (flagged.groupBy("source")
+            .agg(n.cast("long").alias("n_chunks"),
+                 F.sum("dup").cast("long").alias("n_crossdoc_dup"),
+                 F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+                 F.round(F.sum("dup") / n, 6).alias("crossdoc_rate"),
+                 F.round(F.lit(1.0) - F.countDistinct("fp") / n, 6)
+                 .alias("dup_waste")))

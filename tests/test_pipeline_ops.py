@@ -754,3 +754,32 @@ def test_drop_provenance_exact_wins_and_keeper_is_lower(spark):
     assert 4 not in by_id
     # every keeper has a lower id than the doc it displaced
     assert all(r.kept_id < r.dropped_id for r in out)
+
+
+def test_chunk_store_dedup_flags_cross_doc_chunks(spark):
+    import shutil
+    import tempfile
+
+    from rag_vector_database_spark.plans import registry as R
+
+    # two docs sharing one exact 120-char-aligned prefix chunk, one
+    # unique doc; chunk params are the registry's scaled 120/20
+    shared = ("alpha " * 40)[:240]
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, source="a", text=shared + "tail one"),
+         Row(doc_id=2, source="b", text=shared + "different end"),
+         Row(doc_id=3, source="b", text="unique " * 30)])
+    d = tempfile.mkdtemp()
+    try:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r.source: r for r in
+               R.q_chunk_store_dedup_stats(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # both sources carry at least one cross-doc duplicate chunk (the
+    # shared prefix), and rates stay within [0, 1]
+    assert out["a"].n_crossdoc_dup >= 1
+    assert out["b"].n_crossdoc_dup >= 1
+    for r in out.values():
+        assert 0 <= r.crossdoc_rate <= 1 and 0 <= r.dup_waste <= 1
+        assert r.n_distinct_fp <= r.n_chunks
