@@ -430,6 +430,7 @@ WINDOW_PRIORITY: list[str] = [
     "quality_gate_source_matrix",
     "dedup_drop_provenance",
     "chunk_store_dedup_stats",
+    "lsh_banding_planner",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -12308,3 +12309,95 @@ def q_chunk_store_dedup_stats(spark: SparkSession,
                  F.round(F.sum("dup") / n, 6).alias("crossdoc_rate"),
                  F.round(F.lit(1.0) - F.countDistinct("fp") / n, 6)
                  .alias("dup_waste")))
+
+
+def _pow_mult(expr: str, n: int) -> str:
+    """``expr`` to the integer power ``n`` as a left-associated
+    multiplication chain — IEEE multiply is exactly rounded, so both
+    engines agree bit-for-bit, which libm pow() does not guarantee."""
+    return "(" + " * ".join([expr] * n) + ")"
+
+
+_LSH_PLANNER_GRID = [(2, 6), (3, 4), (4, 3), (6, 2)]  # (rows, bands), r*b=12
+
+
+@register(
+    "lsh_banding_planner",
+    oracle=("WITH " + _DD_MH_CTES + ",\n"
+            + "p0 AS (" + _DD_MH_PAIRS_ALL + "),\n" + """
+probs AS (
+  SELECT * FROM (
+""" + "\nUNION ALL\n".join(
+    """    SELECT {r} AS rows_per_band, {b} AS n_bands,
+           CASE WHEN jaccard >= {th} THEN 1 ELSE 0 END AS is_true,
+           round(1.0 - {miss}, 6) AS p
+    FROM p0""".format(
+        r=r, b=b, th=_MH["threshold"],
+        miss=_pow_mult("(1.0 - " + _pow_mult("jaccard", r) + ")", b))
+    for r, b in _LSH_PLANNER_GRID) + """
+  )
+)
+SELECT CAST(rows_per_band AS INT) AS rows_per_band,
+       CAST(n_bands AS INT) AS n_bands,
+       CAST(sum(is_true) AS BIGINT) AS n_true_pairs,
+       CAST(sum(1 - is_true) AS BIGINT) AS n_false_pairs,
+       round(CAST(sum(CASE WHEN is_true = 1
+                      THEN CAST(round(p * 1e6) AS BIGINT) END)
+                  AS DOUBLE)
+             / (CASE WHEN sum(is_true) > 0 THEN sum(is_true)
+                ELSE 1 END * 1e6), 6) AS exp_recall,
+       round(CAST(sum(CASE WHEN is_true = 0
+                      THEN CAST(round(p * 1e6) AS BIGINT) END)
+                  AS DOUBLE) / 1e6, 6) AS exp_false_candidates
+FROM probs GROUP BY rows_per_band, n_bands
+"""))
+def q_lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-configuration planner: for every (rows_per_band,
+    n_bands) factorization of the 12-hash signature, the EXPECTED
+    recall over true pairs and the expected false-candidate volume,
+    computed analytically (P(detect | j) = 1 - (1 - j^r)^b) from the
+    verified jaccards of ONE candidate pass — the S-curve tuning
+    decision (wider bands = sharper threshold, more bands = more
+    recall and more junk) made from measurements instead of folklore,
+    before a corpus-scale re-run. Powers are expanded into
+    multiplication chains (IEEE-exact in both engines — libm pow is
+    not correctly rounded); expected sums use the scaled-long fold.
+    Honest caveat (shared with the containment matrix): the pair set
+    is what the CURRENT banding surfaced, so the estimate conditions
+    on observed candidates — exactly the data a re-banding decision
+    has available. Output = |grid| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=0.0,
+        max_bucket=_MH["max_bucket"]).localCheckpoint(eager=False)
+    th = _MH["threshold"]
+    outs = []
+    for r, b in _LSH_PLANNER_GRID:
+        jr = F.col("jaccard")
+        for _ in range(r - 1):
+            jr = jr * F.col("jaccard")
+        miss = F.lit(1.0) - jr
+        pm = miss
+        for _ in range(b - 1):
+            pm = pm * miss
+        p = F.round(F.lit(1.0) - pm, 6)
+        is_true = (F.col("jaccard") >= th).cast("int")
+        scaled = F.round(p * 1e6).cast("long")
+        n_true = F.sum(is_true)
+        outs.append(pairs.agg(
+            n_true.cast("long").alias("n_true_pairs"),
+            F.sum(F.lit(1) - is_true).cast("long").alias("n_false_pairs"),
+            F.round(F.sum(F.when(is_true == 1, scaled)).cast("double")
+                    / (F.when(n_true > 0, n_true).otherwise(F.lit(1))
+                       * 1e6), 6).alias("exp_recall"),
+            F.round(F.sum(F.when(is_true == 0, scaled)).cast("double")
+                    / 1e6, 6).alias("exp_false_candidates"))
+            .select(F.lit(r).cast("int").alias("rows_per_band"),
+                    F.lit(b).cast("int").alias("n_bands"),
+                    "n_true_pairs", "n_false_pairs", "exp_recall",
+                    "exp_false_candidates"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

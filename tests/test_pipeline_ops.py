@@ -783,3 +783,25 @@ def test_chunk_store_dedup_flags_cross_doc_chunks(spark):
     for r in out.values():
         assert 0 <= r.crossdoc_rate <= 1 and 0 <= r.dup_waste <= 1
         assert r.n_distinct_fp <= r.n_chunks
+
+
+def test_lsh_banding_planner_monotonicity(spark, sf_dir):
+    """More bands at fewer rows must never LOWER expected recall
+    (1-(1-j^r)^b is decreasing in r at fixed r*b for j in (0,1)),
+    and every probability-derived column stays in range."""
+    from rag_vector_database_spark.plans import registry as R
+
+    out = {(r.rows_per_band, r.n_bands): r
+           for r in R.q_lsh_banding_planner(spark, sf_dir).collect()}
+    assert set(out) == {(2, 6), (3, 4), (4, 3), (6, 2)}
+    # true/false pair counts are the same detection pass in all rows
+    counts = {(r.n_true_pairs, r.n_false_pairs) for r in out.values()}
+    assert len(counts) == 1
+    recalls = [out[(2, 6)].exp_recall, out[(3, 4)].exp_recall,
+               out[(4, 3)].exp_recall, out[(6, 2)].exp_recall]
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+    assert recalls == sorted(recalls, reverse=True)
+    # junk volume also shrinks as bands sharpen
+    fps = [out[k].exp_false_candidates
+           for k in [(2, 6), (3, 4), (4, 3), (6, 2)]]
+    assert fps == sorted(fps, reverse=True)
