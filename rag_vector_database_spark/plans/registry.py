@@ -431,6 +431,7 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_drop_provenance",
     "chunk_store_dedup_stats",
     "lsh_banding_planner",
+    "quantizer_staleness_audit",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -4760,12 +4761,19 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-space clustering, semantic dedup, and data-mixing
 # (training-data pipeline ops beyond the reference; SemDeDup recipe)
 
-def _dd_kmeans_cte_split(k: int = 5, train_pred: str = "TRUE") -> str:
+def _dd_kmeans_cte_split(k: int = 5, train_pred: str = "TRUE",
+                         sfx: str = "", with_kw: bool = True) -> str:
     """_dd_kmeans_cte with a TRAINING predicate: Lloyd's (seeds,
     recompute, intermediate assignments) runs only over rows matching
     ``train_pred``; the final assignment ``f`` covers ALL rows against
     the frozen centroids — the incremental-index contract (new vectors
-    join an index whose quantizer is not retrained)."""
+    join an index whose quantizer is not retrained).
+
+    ``sfx`` suffixes every CTE name (u, c0..c2, m1/m2, f) so two
+    Lloyd chains can coexist in one oracle (quantizer_staleness_audit
+    trains a frozen and a fresh quantizer side by side);
+    ``with_kw=False`` drops the leading WITH so a suffixed chain can
+    be appended to an existing one."""
     dist = ("round(list_reduce(list_transform(generate_series(1, len(e.embedding)), "
             "i -> pow(CAST(e.embedding[i] AS DOUBLE) - c.cv[i], 2)), "
             "(acc, v) -> acc + v), 6)")
@@ -4775,26 +4783,27 @@ def _dd_kmeans_cte_split(k: int = 5, train_pred: str = "TRUE") -> str:
               "SELECT e.vec_id, c.cl, " + dist + " AS d2 "
               "FROM (SELECT * FROM embeddings WHERE {w}) e "
               "CROSS JOIN {c} c)) WHERE rn = 1")
+    head = "WITH " if with_kw else ""
     return f"""
-WITH u AS (
+{head}u{sfx} AS (
   SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings WHERE {train_pred}
 ),
-c0 AS (
+c0{sfx} AS (
   SELECT CAST(vec_id AS BIGINT) AS cl,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings WHERE vec_id < {k} AND {train_pred}
 ),
-m1 AS ({assign.format(c="c0", w=train_pred)}),
-c1 AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM (
+m1{sfx} AS ({assign.format(c="c0" + sfx, w=train_pred)}),
+c1{sfx} AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM (
   SELECT m.cl, u.pos, round(sum(u.x) / count(*), 6) AS cx
-  FROM u JOIN m1 m USING (vec_id) GROUP BY m.cl, u.pos) GROUP BY cl),
-m2 AS ({assign.format(c="c1", w=train_pred)}),
-c2 AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM (
+  FROM u{sfx} u JOIN m1{sfx} m USING (vec_id) GROUP BY m.cl, u.pos) GROUP BY cl),
+m2{sfx} AS ({assign.format(c="c1" + sfx, w=train_pred)}),
+c2{sfx} AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM (
   SELECT m.cl, u.pos, round(sum(u.x) / count(*), 6) AS cx
-  FROM u JOIN m2 m USING (vec_id) GROUP BY m.cl, u.pos) GROUP BY cl),
-f AS ({assign.format(c="c2", w="TRUE")})
+  FROM u{sfx} u JOIN m2{sfx} m USING (vec_id) GROUP BY m.cl, u.pos) GROUP BY cl),
+f{sfx} AS ({assign.format(c="c2" + sfx, w="TRUE")})
 """
 
 
@@ -12401,3 +12410,110 @@ def q_lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "quantizer_staleness_audit",
+    oracle=_dd_kmeans_cte_split(k=5, train_pred="vec_id % 5 < 4")
+    + "," + _dd_kmeans_cte_split(k=5, train_pred="TRUE", sfx="b",
+                                 with_kw=False)
+    + """,
+t AS (
+  SELECT f.vec_id, f.cl AS clf, f.d2 AS df, fb.cl AS cln, fb.d2 AS dn
+  FROM f JOIN fb USING (vec_id)
+),
+cont AS (
+  SELECT clf, cln, CAST(count(*) AS HUGEINT) AS nij
+  FROM t GROUP BY clf, cln
+),
+rsum AS (SELECT clf, sum(nij) AS a FROM cont GROUP BY clf),
+csum AS (SELECT cln, sum(nij) AS b FROM cont GROUP BY cln),
+ri AS (
+  SELECT (SELECT sum(nij * (nij - 1) / 2) FROM cont) AS s_ij,
+         (SELECT sum(a * (a - 1) / 2) FROM rsum) AS s_a,
+         (SELECT sum(b * (b - 1) / 2) FROM csum) AS s_b,
+         (SELECT CAST(count(*) AS HUGEINT) FROM t) AS n
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         sum(CAST(round(df * 1e6) AS BIGINT)) AS sdf,
+         sum(CAST(round(dn * 1e6) AS BIGINT)) AS sdn
+  FROM t
+)
+SELECT n_vecs,
+       round(CAST(sdf AS DOUBLE) / (n_vecs * 1e6), 6) AS mean_d2_frozen,
+       round(CAST(sdn AS DOUBLE) / (n_vecs * 1e6), 6) AS mean_d2_fresh,
+       round(CASE WHEN sdn > 0 THEN CAST(sdf AS DOUBLE) / sdn
+             ELSE 1.0 END, 6) AS error_inflation,
+       round(CASE WHEN n > 1
+             THEN 1.0 + (2.0 * s_ij - s_a - s_b)
+                  / CAST(n * (n - 1) / 2 AS DOUBLE)
+             ELSE 1.0 END, 6) AS rand_index
+FROM stats, ri
+""")
+def q_quantizer_staleness_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The measured answer to "has the frozen quantizer drifted
+    enough to retrain": assign the FULL corpus under the production
+    quantizer (trained on the 80% old slice, vec_id % 5 < 4, then
+    frozen — ivf_delta_assign's contract) AND under a freshly
+    retrained one, and report the mean quantization error of each,
+    their inflation ratio, and the Rand index of the two partitions —
+    label-free agreement from the k x k contingency table, immune to
+    the cluster-relabeling that makes naive cl==cl comparison
+    meaningless. ivf_cell_stats says a cell LOOKS unhealthy; this
+    says what retraining actually buys. Pair counts run on
+    decimal/HUGEINT (C(n,2) wraps a long past ~4e9 rows); means use
+    the scaled-long fold; both Lloyd chains are the graded oracle
+    helper, suffix-composed. Cost: two bounded Lloyd trainings (k
+    rows collected per iteration) + one contingency groupBy whose
+    output is k^2 rows."""
+    from ..operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 5 < 4)
+    bf = CL._argmin_centroid(CL.kmeans_centroids(old, k=5, iters=2),
+                             "embedding", 6)
+    bn = CL._argmin_centroid(CL.kmeans_centroids(emb, k=5, iters=2),
+                             "embedding", 6)
+    t = (emb.select(bf.getField("cl").alias("clf"),
+                    bf.getField("d2").alias("df"),
+                    bn.getField("cl").alias("cln"),
+                    bn.getField("d2").alias("dn"))
+         .localCheckpoint(eager=False))  # feeds stats + contingency
+    dec = "decimal(38,0)"
+    cont = (t.groupBy("clf", "cln")
+            .agg(F.count(F.lit(1)).cast(dec).alias("nij")))
+    cont = cont.localCheckpoint(eager=False)  # k^2 rows, 3 consumers
+    two = F.lit(2).cast(dec)
+    s_ij = cont.agg((F.sum(F.col("nij") * (F.col("nij") - 1)) / two)
+                    .alias("s_ij"))
+    s_a = (cont.groupBy("clf").agg(F.sum("nij").alias("a"))
+           .agg((F.sum(F.col("a") * (F.col("a") - 1)) / two)
+                .alias("s_a")))
+    s_b = (cont.groupBy("cln").agg(F.sum("nij").alias("b"))
+           .agg((F.sum(F.col("b") * (F.col("b") - 1)) / two)
+                .alias("s_b")))
+    stats = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.round(F.col("df") * 1e6).cast("long")).alias("sdf"),
+        F.sum(F.round(F.col("dn") * 1e6).cast("long")).alias("sdn"))
+    out = (stats.join(s_ij, F.lit(True), "left")
+           .join(s_a, F.lit(True), "left")
+           .join(s_b, F.lit(True), "left"))
+    n = F.col("n_vecs").cast(dec)
+    npairs = (n * (n - 1) / two).cast("double")
+    return out.select(
+        "n_vecs",
+        F.round(F.col("sdf").cast("double") / (F.col("n_vecs") * 1e6), 6)
+        .alias("mean_d2_frozen"),
+        F.round(F.col("sdn").cast("double") / (F.col("n_vecs") * 1e6), 6)
+        .alias("mean_d2_fresh"),
+        F.round(F.when(F.col("sdn") > 0,
+                       F.col("sdf").cast("double") / F.col("sdn"))
+                .otherwise(F.lit(1.0)), 6).alias("error_inflation"),
+        F.round(F.when(F.col("n_vecs") > 1, F.lit(1.0)
+                       + (F.lit(2.0) * F.col("s_ij").cast("double")
+                          - F.col("s_a").cast("double")
+                          - F.col("s_b").cast("double")) / npairs)
+                .otherwise(F.lit(1.0)), 6).alias("rand_index"))

@@ -805,3 +805,31 @@ def test_lsh_banding_planner_monotonicity(spark, sf_dir):
     fps = [out[k].exp_false_candidates
            for k in [(2, 6), (3, 4), (4, 3), (6, 2)]]
     assert fps == sorted(fps, reverse=True)
+
+
+def test_quantizer_staleness_identical_when_not_stale(spark, sf_dir):
+    """Training the 'frozen' quantizer on the full corpus must make
+    both partitions identical: rand_index == 1 and error_inflation
+    == 1 — the audit's zero point. On the real 80/20 split the audit
+    stays within bounds (rand in [0,1]-ish, inflation >= ~1)."""
+    from rag_vector_database_spark.operators import clustering as CL
+    from rag_vector_database_spark.plans import registry as R
+
+    out = R.q_quantizer_staleness_audit(spark, sf_dir).collect()[0]
+    assert out.n_vecs > 0
+    assert 0.0 <= out.rand_index <= 1.0
+    # the frozen quantizer can't beat the fresh one ON AVERAGE by
+    # much — allow float slack but catch sign errors
+    assert out.error_inflation >= 0.9
+    # zero point: two INDEPENDENT trainings on the same slice must
+    # produce the identical partition (deterministic seeding +
+    # rounded iteration) — the property that makes inflation == 1 /
+    # rand == 1 the audit's no-drift reading
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = CL._argmin_centroid(CL.kmeans_centroids(emb, k=5, iters=2),
+                             "embedding", 6)
+    b2 = CL._argmin_centroid(CL.kmeans_centroids(emb, k=5, iters=2),
+                             "embedding", 6)
+    t = emb.select(b1.getField("cl").alias("clf"),
+                   b2.getField("cl").alias("cln"))
+    assert t.where(F.col("clf") != F.col("cln")).count() == 0
