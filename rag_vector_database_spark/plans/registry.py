@@ -432,6 +432,7 @@ WINDOW_PRIORITY: list[str] = [
     "chunk_store_dedup_stats",
     "lsh_banding_planner",
     "quantizer_staleness_audit",
+    "ann_recall_ladder",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -12517,3 +12518,56 @@ def q_quantizer_staleness_audit(spark: SparkSession,
                           - F.col("s_a").cast("double")
                           - F.col("s_b").cast("double")) / npairs)
                 .otherwise(F.lit(1.0)), 6).alias("rand_index"))
+
+
+_ANN_LADDER = ["ivf_knn", "ivf_knn_multiprobe", "knn_quantized",
+               "pq_adc_knn", "binary_quant_knn", "mrl_truncated_knn",
+               "ivfpq_knn"]
+
+
+def _ann_ladder_oracle() -> str:
+    """Compose the graded per-variant oracles verbatim (DuckDB allows
+    a full WITH-query as a parenthesized derived table) into one
+    recall table — the composed oracle IS the already-verified
+    oracles, so the ladder cannot drift from its members."""
+    by = {r.name: r.oracle for r in REGISTRY}
+    ctes = ["exact AS (SELECT vec_id FROM ({}))".format(
+        by["knn_bruteforce"])]
+    selects = []
+    for i, v in enumerate(_ANN_LADDER):
+        ctes.append("v{} AS (SELECT vec_id FROM ({}))".format(i, by[v]))
+        selects.append(
+            "SELECT '{v}' AS variant, CAST(count(*) AS BIGINT) AS "
+            "hits_at_10, round(count(*) / 10.0, 6) AS recall_at_10 "
+            "FROM v{i} JOIN exact USING (vec_id)".format(v=v, i=i))
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+@register("ann_recall_ladder", oracle=_ann_ladder_oracle())
+def q_ann_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE index-selection table: recall@10 against the exact cosine
+    top-10 for every compression rung the engine ships — IVF (single
+    and multiprobe), int8 scalar quantization, PQ ADC, IVFPQ, 1-bit
+    binary, and Matryoshka prefix retrieval — in one row per variant.
+    Each rung's storage/compute trade is documented on its own query;
+    this is the page a platform team reads to pick one. Composes the
+    GRADED builders and oracles verbatim (the oracle embeds each
+    variant's verified SQL as a derived table), so the ladder can
+    never drift from its members; every overlap join carries 10 rows."""
+    by = {r.name: r for r in REGISTRY}
+    exact = (by["knn_bruteforce"].builder(spark, sf_dir)
+             .select("vec_id").localCheckpoint(eager=False))
+    outs = []
+    for v in _ANN_LADDER:
+        got = by[v].builder(spark, sf_dir).select("vec_id")
+        outs.append(
+            got.join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits_at_10"))
+            .select(F.lit(v).alias("variant"), "hits_at_10",
+                    F.round(F.col("hits_at_10") / 10.0, 6)
+                    .alias("recall_at_10")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

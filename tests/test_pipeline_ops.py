@@ -833,3 +833,17 @@ def test_quantizer_staleness_identical_when_not_stale(spark, sf_dir):
     t = emb.select(b1.getField("cl").alias("clf"),
                    b2.getField("cl").alias("cln"))
     assert t.where(F.col("clf") != F.col("cln")).count() == 0
+
+
+def test_ann_recall_ladder_contract(spark, sf_dir):
+    from rag_vector_database_spark.plans import registry as R
+
+    out = {r.variant: r for r in
+           R.q_ann_recall_ladder(spark, sf_dir).collect()}
+    assert set(out) == set(R._ANN_LADDER)
+    for r in out.values():
+        assert 0 <= r.hits_at_10 <= 10
+        assert abs(r.recall_at_10 - r.hits_at_10 / 10.0) < 1e-9
+    # multiprobe is a superset of single-probe cells by construction
+    assert (out["ivf_knn_multiprobe"].hits_at_10
+            >= out["ivf_knn"].hits_at_10)
