@@ -112,6 +112,11 @@ def main() -> None:
         "queries": best,
         "legacy_10_subtotal": min(legacy_reps),
         "legacy_10_reps": legacy_reps,
+        # full-suite totals per rep (round-8 judge task 3): non-legacy
+        # queries are reported from the rep that minimizes the LEGACY
+        # subtotal, so without this field their round-over-round
+        # deltas can't be told apart from rep-selection noise
+        "value_reps": [round(sum(t.values()), 3) for t in rep_timings],
         "sf": sf,
     }
     ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -28,7 +28,7 @@ _UNITS = {
     "p": 1 << 50, "pb": 1 << 50,
 }
 
-_BYTE_STRING = re.compile(r"([0-9]+)\s*([a-z]+)?")
+_BYTE_STRING = re.compile(r"([0-9]+)([a-z]+)?")
 
 # Returned by ``estimated_scan_partitions`` when the internal-API probe
 # fails: "assume WIDE", so every ``< parallelism`` gate becomes a

@@ -438,10 +438,8 @@ def pq_code_utilization(emb: DataFrame, m: int = 4, ksub: int = 4,
     best = None
     for s in range(m):
         arg = _argmin_centroid(books[s], "sv", ndigits)
-        best = arg if best is None else \
-            F.when(F.col("s") == s, arg).otherwise(best)
-        if s == 0:
-            best = F.when(F.col("s") == 0, arg)
+        best = (F.when(F.col("s") == 0, arg) if best is None
+                else F.when(F.col("s") == s, arg).otherwise(best))
     counts = (sub.select("s", best.getField("cl").alias("cl"))
               .groupBy("s", "cl")
               .agg(F.count(F.lit(1)).cast("long").alias("cnt")))

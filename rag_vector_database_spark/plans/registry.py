@@ -152,9 +152,64 @@ WINDOW_PRIORITY: list[str] = [
     "exact_dedup",
     "minhash_neardup",
     "pricing_summary",
-    # -- r08 window (round-7 verdict task 1): drain the never-graded
-    #    queue — the 10 r07 additions plus the r08 streaming flagship,
-    #    none of which have a driver CORRECTNESS row yet. -------------
+    # -- r09 window (round-8 verdict task 1): drain the never-graded
+    #    queue — all 21 round-8 additions (dedup decision ledgers,
+    #    sketch family, PQ/quantizer QA, the recall ladder). --------
+    "cross_source_overlap",
+    "unique_token_yield",
+    "minhash_band_yield",
+    "embedding_version_drift",
+    "dedup_threshold_sensitivity",
+    "neardup_transitivity_audit",
+    "kmv_distinct_tokens",
+    "containment_vs_jaccard_matrix",
+    "tokenizer_fertility_by_lang",
+    "hashed_sample_quantiles",
+    "pq_code_utilization",
+    "simhash_threshold_sensitivity",
+    "pair_degree_histogram",
+    "streaming_kmv_merge",
+    "pq_rank_fidelity",
+    "quality_gate_source_matrix",
+    "dedup_drop_provenance",
+    "chunk_store_dedup_stats",
+    "lsh_banding_planner",
+    "quantizer_staleness_audit",
+    "ann_recall_ladder",
+    # -- round-9 addition (judge task 5): graded at birth. ----------
+    "takedown_provenance_cascade",
+    # -- staleness re-grades, oldest cohorts first: the r02
+    #    relational names deferred last round, then the whole r03
+    #    cohort (sinks, listing API, RAG turns, UDF/UDAF/UDTF
+    #    surfaces), then three r04 names — gdpr_delete_partitioned
+    #    (the takedown query's kernel sibling) and the two oldest
+    #    headline queries. -----------------------------------------
+    "cube_lineitem",
+    "rollup_orders",
+    "grouping_sets_orders",
+    "set_except",
+    "set_intersect",
+    "api_listing_scan",
+    "api_listing_stream",
+    "bm25_topk",
+    "chunk_spans_udtf",
+    "curation_pipeline",
+    "duplicated_ngram_spans",
+    "hybrid_rrf_fusion",
+    "jsonl_sink_roundtrip",
+    "rag_answer_turn",
+    "rag_answer_turn_udf",
+    "rag_followup_turn",
+    "transcript_projection",
+    "url_canonicalize",
+    "weighted_mean_udaf",
+    "gdpr_delete_partitioned",
+    "merkle_reconcile",
+    "trajectory_knn",
+    # ----- end of the graded 50-prefix (6 canaries + 21 r08 queue
+    #       + 1 r09 addition + 22 staleness re-grades) --------------
+    # -- previously graded (r01-r08 green rows); listed so the two
+    #    no-oracle entries below can never float into the prefix. ----
     "streaming_ivf_append",
     "score_calibration_bins",
     "ivf_cell_stats",
@@ -166,13 +221,6 @@ WINDOW_PRIORITY: list[str] = [
     "embedding_label_margin",
     "upsert_conflict_audit",
     "streaming_lifecycle_pipeline",
-    # -- re-grades of consumers of post-r07-grading code churn: commit
-    #    3581bef landed AFTER the r07 window was recorded and touched
-    #    leakage_safe_split (broadcast-hint drop) and streaming/
-    #    events.py (read_events_stream now delegates to
-    #    read_parquet_stream; explicit recursiveFileLookup=false), so
-    #    every streaming-family query runs code the driver has never
-    #    graded. ----------------------------------------------------
     "leakage_safe_split",
     "streaming_sessionize",
     "streaming_tumbling",
@@ -181,12 +229,6 @@ WINDOW_PRIORITY: list[str] = [
     "streaming_sliding",
     "streaming_stateful_counts",
     "streaming_stream_join",
-    # -- staleness re-grades: the r02 cohort (oldest green rows in the
-    #    ledger). 5 stable registry-only relational names
-    #    (cube_lineitem, rollup_orders, grouping_sets_orders,
-    #    set_except, set_intersect) wait for r09 to make room for the
-    #    churn re-grades above; they stay under local DuckDB parity
-    #    every pytest run. ------------------------------------------
     "asof_last_purchase",
     "chunk_documents_soft",
     "chunk_stats",
@@ -212,10 +254,6 @@ WINDOW_PRIORITY: list[str] = [
     "value_percentiles",
     "window_functions",
     "word_freq",
-    # ----- end of the graded 50-prefix (6 canaries + 11 never-graded
-    #       + 8 churn re-grades + 25 staleness re-grades) ------------
-    # -- previously graded (r01-r07 green rows); listed so the two
-    #    no-oracle entries below can never float into the prefix. ----
     "validation_filter",
     "kev_text_assembly",
     "direct_retrieval",
@@ -260,7 +298,6 @@ WINDOW_PRIORITY: list[str] = [
     "knn_metadata_filtered",
     "retrieval_lifecycle_pipeline",
     "ingest_lifecycle_pipeline",
-    "hybrid_rrf_fusion",
     "daily_drop_pipeline",
     "minhash_keep_best",
     "phash_blob_neardup",
@@ -349,36 +386,16 @@ WINDOW_PRIORITY: list[str] = [
     "pack_sequences",
     "key_skew_profile",
     "minhash_delta_clusters",
-    "rollup_orders",
-    "cube_lineitem",
-    "set_intersect",
-    "set_except",
     "observed_ingest",
     "footer_agg_stats",
-    "gdpr_delete_partitioned",
     "streaming_idle_timeouts",
-    "grouping_sets_orders",
-    "rag_answer_turn",
-    "rag_followup_turn",
-    "transcript_projection",
-    "rag_answer_turn_udf",
-    "weighted_mean_udaf",
-    "jsonl_sink_roundtrip",
-    "chunk_spans_udtf",
-    "bm25_topk",
-    "duplicated_ngram_spans",
-    "api_listing_scan",
     "zorder_topk",
-    "url_canonicalize",
     "range_sorted_scan",
     "mmr_rerank",
-    "api_listing_stream",
-    "curation_pipeline",
     "maxsim_doc_knn",
     "data_quality_checks",
     "freshness_by_type",
     "snapshot_diff",
-    "merkle_reconcile",
     "forecast_backtest_eval",
     "funnel_step_latency",
     "seasonal_decompose_daily",
@@ -408,31 +425,7 @@ WINDOW_PRIORITY: list[str] = [
     "cdc_apply_changelog",
     "salted_join_skewed",
     "event_transition_matrix",
-    "trajectory_knn",
     "streaming_upsert_partitioned",
-    # -- round-8 additions (r09 never-graded queue; local parity +
-    #    driver-sim green from birth) --------------------------------
-    "cross_source_overlap",
-    "unique_token_yield",
-    "minhash_band_yield",
-    "embedding_version_drift",
-    "dedup_threshold_sensitivity",
-    "neardup_transitivity_audit",
-    "kmv_distinct_tokens",
-    "containment_vs_jaccard_matrix",
-    "tokenizer_fertility_by_lang",
-    "hashed_sample_quantiles",
-    "pq_code_utilization",
-    "simhash_threshold_sensitivity",
-    "pair_degree_histogram",
-    "streaming_kmv_merge",
-    "pq_rank_fidelity",
-    "quality_gate_source_matrix",
-    "dedup_drop_provenance",
-    "chunk_store_dedup_stats",
-    "lsh_banding_planner",
-    "quantizer_staleness_audit",
-    "ann_recall_ladder",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -11957,7 +11950,17 @@ def q_streaming_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     must hash-equal the batch oracle computed naively from the raw
     corpus — the same Kappa gate as every streaming query here, and
     simultaneously the proof that incremental merge == one-shot
-    sketch."""
+    sketch.
+
+    Crash safety (round-8 advisor): each batch writes the merged
+    sketch to a FRESH epoch-suffixed directory and then atomically
+    repoints a CURRENT file (``os.replace``) — never overwriting the
+    directory the next batch reads. A crash at any instant leaves
+    CURRENT naming a fully-written sketch (the old one before the
+    repoint, the new one after), so checkpoint replay always resumes
+    from complete prior state; the idempotent union-retake merge then
+    absorbs the re-delivered batch. The superseded epoch dir is
+    dropped only after the repoint."""
     import shutil
 
     from ..streaming import events as streaming_events
@@ -11968,31 +11971,57 @@ def q_streaming_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (store, ckpt):
         shutil.rmtree(p, ignore_errors=True)
 
-    def merge(batch: DataFrame, _epoch: int) -> None:
-        import os
+    import os
+
+    os.makedirs(store, exist_ok=True)
+    current = os.path.join(store, "CURRENT")
+
+    def _current_sketch() -> str | None:
+        try:
+            with open(current) as f:
+                p = os.path.join(store, f.read().strip())
+            return p if os.path.isdir(p) else None
+        except OSError:
+            return None
+
+    def merge(batch: DataFrame, epoch: int) -> None:
+        import uuid
+
         s = batch.sparkSession
         vals = batch.select(
             "source",
             F.explode(dedup.word_shingles(F.col("text"), 2)).alias("v"))
         bs = textstats.kmv_group_sketch(vals, "v", "source", k=k)
-        if os.path.exists(store):
-            bs = s.read.parquet(store).unionByName(bs).distinct()
+        prev = _current_sketch()
+        if prev is not None:
+            bs = s.read.parquet(prev).unionByName(bs).distinct()
         w = Window.partitionBy("grp").orderBy("h")
         merged = (bs.withColumn("rn", F.row_number().over(w))
                   .where(F.col("rn") <= k).select("grp", "h"))
         # the sketch is the bounded object (k x |sources| rows): land
-        # it on the driver so the overwrite never reads its own input
+        # it on the driver, then write it to a fresh epoch dir (a
+        # replayed epoch gets a new uuid — never an in-place rewrite
+        # of a dir CURRENT may already name)
         rows = merged.collect()
+        out = f"epoch_{epoch}_{uuid.uuid4().hex[:8]}"
         (s.createDataFrame(rows, "grp string, h long")
-         .coalesce(1).write.mode("overwrite").parquet(store))
+         .coalesce(1).write.parquet(os.path.join(store, out)))
+        tmp = current + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(out)
+        os.replace(tmp, current)  # atomic repoint
+        if prev is not None:  # superseded state, safe to drop now
+            shutil.rmtree(prev, ignore_errors=True)
 
     q = (streaming_events.read_parquet_stream(spark, sf_dir, "documents")
          .writeStream.foreachBatch(merge)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    final = _current_sketch()
+    assert final is not None, "stream drained but no sketch committed"
     return (textstats.kmv_estimate_from_sketch(
-        spark.read.parquet(store), k=k)
+        spark.read.parquet(final), k=k)
         .withColumnRenamed("grp", "source"))
 
 
@@ -12375,15 +12404,25 @@ def q_lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     Honest caveat (shared with the containment matrix): the pair set
     is what the CURRENT banding surfaced, so the estimate conditions
     on observed candidates — exactly the data a re-banding decision
-    has available. Output = |grid| rows."""
+    has available. Output = |grid| rows.
+
+    Shape (round-8 judge task 2): ONE pass over the pair table — all
+    |grid| configurations' scaled-long sums are computed in a single
+    aggregate (2 + 2x|grid| map-side-combined columns) and the 1-row
+    result unpivoted with ``stack`` into the |grid|-row answer. The
+    earlier version re-scanned the checkpointed pair table once per
+    configuration; at 100 TB that constant factor is |grid| extra
+    corpus-shaped scans for no information gain."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
         docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
         n_bands=_MH["n_bands"], jaccard_threshold=0.0,
-        max_bucket=_MH["max_bucket"]).localCheckpoint(eager=False)
+        max_bucket=_MH["max_bucket"])
     th = _MH["threshold"]
-    outs = []
-    for r, b in _LSH_PLANNER_GRID:
+    is_true = (F.col("jaccard") >= th).cast("int")
+    aggs = [F.sum(is_true).cast("long").alias("n_true"),
+            F.sum(F.lit(1) - is_true).cast("long").alias("n_false")]
+    for i, (r, b) in enumerate(_LSH_PLANNER_GRID):
         jr = F.col("jaccard")
         for _ in range(r - 1):
             jr = jr * F.col("jaccard")
@@ -12392,25 +12431,25 @@ def q_lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(b - 1):
             pm = pm * miss
         p = F.round(F.lit(1.0) - pm, 6)
-        is_true = (F.col("jaccard") >= th).cast("int")
         scaled = F.round(p * 1e6).cast("long")
-        n_true = F.sum(is_true)
-        outs.append(pairs.agg(
-            n_true.cast("long").alias("n_true_pairs"),
-            F.sum(F.lit(1) - is_true).cast("long").alias("n_false_pairs"),
-            F.round(F.sum(F.when(is_true == 1, scaled)).cast("double")
-                    / (F.when(n_true > 0, n_true).otherwise(F.lit(1))
-                       * 1e6), 6).alias("exp_recall"),
-            F.round(F.sum(F.when(is_true == 0, scaled)).cast("double")
-                    / 1e6, 6).alias("exp_false_candidates"))
-            .select(F.lit(r).cast("int").alias("rows_per_band"),
-                    F.lit(b).cast("int").alias("n_bands"),
-                    "n_true_pairs", "n_false_pairs", "exp_recall",
-                    "exp_false_candidates"))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        aggs.append(F.sum(F.when(is_true == 1, scaled)).alias(f"st_{i}"))
+        aggs.append(F.sum(F.when(is_true == 0, scaled)).alias(f"sf_{i}"))
+    one = pairs.agg(*aggs)
+    stack = "stack({n}, {cols}) as (rows_per_band, n_bands, st, sfc)" \
+        .format(n=len(_LSH_PLANNER_GRID),
+                cols=", ".join(f"{r}, {b}, st_{i}, sf_{i}"
+                               for i, (r, b)
+                               in enumerate(_LSH_PLANNER_GRID)))
+    return one.select("n_true", "n_false", F.expr(stack)).select(
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        F.col("n_bands").cast("int").alias("n_bands"),
+        F.col("n_true").alias("n_true_pairs"),
+        F.col("n_false").alias("n_false_pairs"),
+        F.round(F.col("st").cast("double")
+                / (F.when(F.col("n_true") > 0, F.col("n_true"))
+                   .otherwise(F.lit(1)) * 1e6), 6).alias("exp_recall"),
+        F.round(F.col("sfc").cast("double") / 1e6, 6)
+        .alias("exp_false_candidates"))
 
 
 @register(
@@ -12571,3 +12610,109 @@ def q_ann_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Takedown cascade (round-8 judge task 5): the operation the
+# dedup_drop_provenance audit trail exists to serve.
+
+_TAKEDOWN_TAIL = """
+fp2 AS (SELECT doc_id, md5({norm}) AS fingerprint FROM documents),
+ex2 AS (SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS canonical
+        FROM fp2),
+exd2 AS (SELECT CAST(doc_id AS BIGINT) AS dropped_id,
+                CAST(canonical AS BIGINT) AS kept_id
+         FROM ex2 WHERE doc_id <> canonical),
+nd0 AS (SELECT CAST(id_b AS BIGINT) AS dropped_id,
+               CAST(min(id_a) AS BIGINT) AS kept_id
+        FROM p GROUP BY id_b),
+trail AS (SELECT * FROM exd2
+          UNION ALL
+          SELECT * FROM nd0
+          WHERE dropped_id NOT IN (SELECT dropped_id FROM exd2)),
+seed AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         WHERE doc_id % 37 = 0),
+doomed AS (SELECT doc_id FROM seed
+           UNION
+           SELECT t.kept_id AS doc_id
+           FROM trail t JOIN seed s ON t.dropped_id = s.doc_id),
+keep AS (SELECT * FROM documents
+         WHERE doc_id NOT IN (SELECT dropped_id FROM trail)
+           AND doc_id NOT IN (SELECT doc_id FROM doomed)),
+c AS ({chunks})
+SELECT CAST(source AS VARCHAR) AS source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks
+FROM c GROUP BY source
+"""
+
+
+@register(
+    "takedown_provenance_cascade",
+    oracle=("WITH " + _DD_MH_CTES + ",\n"
+            + "p AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+            + _TAKEDOWN_TAIL.format(
+                norm=DD_NORM.format(c="text"),
+                chunks=chunking.dd_chunk_cte(_CHUNK_SIZE, _CHUNK_OVERLAP,
+                                             table="keep",
+                                             keep_cols=("source",)))))
+def q_takedown_provenance_cascade(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Provenance-joined takedown: "retract doc X and every chunk
+    derived from it" executed end-to-end — the operation the
+    dedup_drop_provenance audit trail exists to serve (reference
+    analog: the processed-log + upsert-by-id discipline,
+    ingest_chunks_to_chromadb.py:175-186, which makes per-id
+    retraction possible at all).
+
+    The subtlety a naive delete misses: dedup already REMOVED some
+    requested docs from the store, but their CONTENT still lives
+    there under the keeper that displaced them — so the takedown set
+    is the requested ids (doc_id % 37 == 0, the takedown notice) PLUS
+    every keeper the provenance trail names for a requested doc that
+    was dropped. Without the trail that expansion would require
+    re-running the detector against the takedown set.
+
+    Execution shape (pinned by the builder's assertion + unit test):
+    the surviving corpus's chunk store is source-partitioned on disk;
+    the cascade key set (bounded by |takedown notice|) drives
+    storage.delete_keys_partitioned, which REWRITES ONLY THE
+    PARTITIONS CONTAINING A DOOMED KEY — at 100 TB the difference
+    between rewriting the store and rewriting the slivers a legal
+    notice actually touches. The builder asserts partitions_rewritten
+    equals the doomed chunk-bearing source count (a QA guard; a
+    production run would sample it). The oracle replays the whole
+    chain logically — trail, cascade, survivor chunks minus takedowns
+    — proving the partition-targeted physical rewrite equals the
+    global logical delete."""
+    docs = _t(spark, sf_dir, "documents")
+    trail = q_dedup_drop_provenance(spark, sf_dir) \
+        .select("dropped_id", "kept_id")
+    seed = (docs.where(F.col("doc_id") % 37 == 0)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+    cascade = (trail.join(F.broadcast(seed),
+                          trail["dropped_id"] == seed["doc_id"])
+               .select(F.col("kept_id").alias("doc_id")))
+    doomed = seed.unionByName(cascade).distinct()
+    surviving = docs.join(
+        trail.select(F.col("dropped_id").alias("doc_id")),
+        "doc_id", "left_anti")
+    chunks = chunking.chunk_documents(
+        surviving, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP,
+        keep_cols=("source",))
+    store = _scratch_path(spark, sf_dir, "takedown_store")
+    storage_ops.write_partitioned(chunks, store, "source")
+    res = storage_ops.delete_keys_partitioned(
+        spark, store, doomed, key="doc_id", partition_col="source")
+    # plan-shape pin: the rewrite touched exactly the partitions that
+    # held a doomed chunk, never the whole store (empty-text docs
+    # chunk to nothing, so count from the chunk set, not the corpus)
+    affected = (chunks.join(F.broadcast(doomed), "doc_id")
+                .select("source").distinct().count())
+    assert res["partitions_rewritten"] == affected, \
+        (res["partitions_rewritten"], affected)
+    post = spark.read.parquet(store)
+    return (post.groupBy(F.col("source").cast("string").alias("source"))
+            .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_chunks")))

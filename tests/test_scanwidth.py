@@ -35,6 +35,7 @@ def test_parse_byte_string(value, expected):
     "1e3",      # exponent notation — Spark's JavaUtils rejects it too
     "1.5g",     # fractional — likewise rejected by Spark
     "-1g",
+    "128 m",    # internal whitespace — JavaUtils only trims the ends
     "",
 ])
 def test_parse_byte_string_rejects_garbage(value):

@@ -26,17 +26,31 @@ cleanup() {
 trap cleanup EXIT
 
 git -C "$repo_root" worktree add --detach "$wt" "$prev_sha" >&2
-lines=()
-for i in $(seq 1 "$reps"); do
-    echo "=== A/B rep $i/$reps ===" >&2
-    lines+=("$(cd "$wt" && python bench.py | tail -1)")
-done
+# Rep policy (round-8 advisor): a rep-aware baseline bench.py already
+# runs min-of-N inside ONE JVM and reports every rep in
+# "legacy_10_reps" — consume that from a single invocation (symmetric
+# with how HEAD's bench measures itself, and no N x N nesting). Only
+# pre-rep baselines (no legacy_10_reps field) fall back to the outer
+# loop, with SPARK_GRAFT_BENCH_REPS=1 exported so a rep-aware bench
+# can never multiply with it (old benches ignore the env).
+echo "=== A/B rep 1/$reps ===" >&2
+lines=("$(cd "$wt" && SPARK_GRAFT_BENCH_REPS="$reps" python bench.py | tail -1)")
+if ! python -c 'import json,sys; d=json.loads(sys.argv[1]); sys.exit(0 if len(d.get("legacy_10_reps") or []) >= int(sys.argv[2]) else 1)' "${lines[0]}" "$reps"; then
+    for i in $(seq 2 "$reps"); do
+        echo "=== A/B rep $i/$reps (pre-rep baseline fallback) ===" >&2
+        lines+=("$(cd "$wt" && SPARK_GRAFT_BENCH_REPS=1 python bench.py | tail -1)")
+    done
+fi
 python - "$prev_sha" "${lines[@]}" <<'EOF2' > "$repo_root/AB_BASELINE.json"
 import json
 import platform
 import sys
 sha = sys.argv[1]
-reps = [json.loads(line)["legacy_10_subtotal"] for line in sys.argv[2:]]
+outs = [json.loads(line) for line in sys.argv[2:]]
+if len(outs) == 1 and outs[0].get("legacy_10_reps"):
+    reps = outs[0]["legacy_10_reps"]  # rep-aware bench: one JVM, N reps
+else:
+    reps = [o["legacy_10_subtotal"] for o in outs]
 print(json.dumps({
     "ab_prev_commit": sha,
     "ab_prev_subtotal": min(reps),
