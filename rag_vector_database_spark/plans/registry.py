@@ -426,6 +426,11 @@ WINDOW_PRIORITY: list[str] = [
     "salted_join_skewed",
     "event_transition_matrix",
     "streaming_upsert_partitioned",
+    # -- round-9 additions (r10 grading queue; registered post-window
+    #    per the r08 verdict's addition cap) -------------------------
+    "semantic_decontaminate",
+    "export_shard_manifest",
+    "streaming_late_data_audit",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -12716,3 +12721,271 @@ def q_takedown_provenance_cascade(spark: SparkSession,
     return (post.groupBy(F.col("source").cast("string").alias("source"))
             .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
                  F.count(F.lit(1)).cast("long").alias("n_chunks")))
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: training-set ASSEMBLY ops — the step after the
+# dedup/quality/mixture ledgers have decided WHAT ships. Registered in
+# the WINDOW_PRIORITY tail (the r10 grading queue) per the round-8
+# verdict's addition cap; each is local-parity + drive.py + 10x-swept
+# before registration, same as every r08 entry.
+
+
+@register(
+    "semantic_decontaminate",
+    oracle="""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 10),
+s AS (
+  SELECT c.vec_id, c.label, max(round({dot}, 6)) AS max_cos
+  FROM c CROSS JOIN q
+  GROUP BY c.vec_id, c.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN max_cos >= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(sum(CASE WHEN max_cos >= 0.30 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS contamination_rate,
+       round(max(max_cos), 6) AS max_cosine
+FROM s GROUP BY label ORDER BY label
+""".format(dot=dd_dot("c.embedding", "q.qv")))
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: the SEMANTIC twin of
+    benchmark_decontaminate's n-gram screen. Vectors 0-9 stand in for
+    the held-out eval set; every corpus vector is scored by its max
+    cosine against that set and flagged at >= 0.30, and the ledger
+    reports per-label counts and rates — the go/no-go readout before
+    a training export (n-gram overlap misses paraphrases; embedding
+    overlap is the standard second screen).
+
+    Scale shape: the eval set is small by construction (a benchmark,
+    not a corpus) so it BROADCASTS; the corpus side is one scan with
+    the |eval| dot products fused into it (whole-stage codegen, no
+    Python), the per-vector max folds map-side, and the only shuffle
+    is the |labels|-row final aggregate. At 100 TB this is strictly
+    scan-bound — same plan family as knn_batch/hard_negatives, which
+    the kernel composes (retrieval.py knn_batch_topk's broadcast
+    side)."""
+    from ..functions import vectors as V
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = (emb.where(F.col("vec_id") < 10)
+          .select(F.col("embedding").alias("qv")))
+    corpus = emb.where(F.col("vec_id") >= 10)
+    scored = (corpus.crossJoin(F.broadcast(ev))
+              .select("vec_id", "label",
+                      F.round(V.dot("embedding", "qv"), 6).alias("cos")))
+    per_vec = (scored.groupBy("vec_id", "label")
+               .agg(F.max("cos").alias("max_cos")))
+    contam = F.when(F.col("max_cos") >= 0.30, 1).otherwise(0)
+    return (per_vec.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.sum(contam).cast("long").alias("n_contaminated"),
+                 F.round(F.sum(contam) / F.count(F.lit(1)).cast("double"),
+                         6).alias("contamination_rate"),
+                 F.round(F.max("max_cos"), 6).alias("max_cosine"))
+            .orderBy("label"))
+
+
+@register(
+    "export_shard_manifest",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rn
+  FROM documents
+),
+s AS (
+  SELECT CAST(rn % 8 AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_doc_chars
+  FROM r GROUP BY 1
+)
+SELECT shard, n_docs, total_chars, max_doc_chars,
+       round(total_chars / (sum(total_chars) OVER () / 8.0), 6)
+         AS balance_ratio
+FROM s ORDER BY shard
+""")
+def q_export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced export sharding (the webdataset/tfrecord shard-build
+    step): docs are round-robined over 8 shards IN DESCENDING SIZE
+    ORDER — the classic LPT greedy, which bounds the largest shard at
+    (4/3 - 1/3m) x optimal — and the manifest reports per-shard doc
+    count, byte load, largest member, and balance ratio (shard load /
+    ideal even split). A training job reading these shards in
+    parallel is as fast as its slowest shard; this ledger is the
+    pre-flight check that no shard is that straggler.
+
+    Scale shape: the global size rank uses the same
+    zipWithIndex-as-DataFrame-ops pattern as curriculum_interleave —
+    range-partition on (n_chars DESC, doc_id), rank locally, add
+    broadcast per-partition offsets — NOT a bare row_number() OVER
+    (ORDER BY ...), which would funnel the corpus through one task.
+    Only the (doc_id, n_chars) manifest is sorted, never the
+    payloads; at 100 TB that manifest is ~16 bytes/doc, and the
+    final fold is an 8-row aggregate."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.desc("n_chars"), F.col("doc_id")]
+    n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "32")) // 4)
+    ranged = (d.repartitionByRange(n_parts, *order)
+              .withColumn("_pid", F.spark_partition_id()))
+    local_rank = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*order))
+    # localCheckpoint pins the sampled range boundaries (see
+    # curriculum_interleave: counts job and final read must agree on
+    # _pid assignment)
+    ranked = ranged.withColumn("_rn", local_rank).localCheckpoint()
+    counts = dict(ranked.groupBy("_pid").count().collect())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                          for x in (pid, offsets[pid])])
+    rn0 = (omap[F.col("_pid")] + F.col("_rn") - 1).cast("long")
+    shards = (ranked.withColumn("shard", rn0 % 8)
+              .groupBy("shard")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.sum("n_chars").cast("long").alias("total_chars"),
+                   F.max("n_chars").cast("long").alias("max_doc_chars")))
+    ideal = F.sum("total_chars").over(Window.partitionBy()) / F.lit(8.0)
+    return (shards.withColumn(
+        "balance_ratio", F.round(F.col("total_chars") / ideal, 6))
+        .orderBy("shard"))
+
+
+@register(
+    "streaming_late_data_audit",
+    oracle="""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+b1 AS (SELECT tsu FROM ev
+       WHERE tsu < {split} AND user_id % 11 <> 0),
+wm AS (SELECT max(tsu) - 1801000000 AS w FROM b1),
+b2acc AS (
+  SELECT tsu FROM ev, wm
+  WHERE NOT (tsu < {split} AND user_id % 11 <> 0)
+    AND (tsu // 3600000000 + 1) * 3600000000 > w
+),
+acc AS (SELECT tsu FROM b1 UNION ALL SELECT tsu FROM b2acc),
+tot AS (SELECT tsu // 3600000000 * 3600000000 AS wsu,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM ev GROUP BY 1),
+a AS (SELECT tsu // 3600000000 * 3600000000 AS wsu,
+             CAST(count(*) AS BIGINT) AS n_accepted
+      FROM acc GROUP BY 1)
+SELECT strftime(make_timestamp(tot.wsu), '%Y-%m-%d %H:%M:%S') AS ws,
+       tot.n_total,
+       CAST(coalesce(a.n_accepted, 0) AS BIGINT) AS n_accepted,
+       CAST(tot.n_total - coalesce(a.n_accepted, 0) AS BIGINT)
+         AS n_dropped_late
+FROM tot LEFT JOIN a ON tot.wsu = a.wsu
+ORDER BY ws
+""".format(split=1705363200000000))
+def q_streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#59's accountability ledger: WHAT does the lateness bound throw
+    away? The event log is replayed as two micro-batches modeling a
+    real out-of-order arrival — batch 1 is the on-time first
+    half-month, batch 2 is the rest PLUS the stragglers (user_id %
+    11 == 0 rows from the first half that "arrived late"). A
+    watermark of 30m1s finalizes windows as the stream advances;
+    batch 2's stragglers land in windows finalized after batch 1 and
+    are REJECTED, and the ledger joins the stream-surviving counts
+    against exact batch counts: per-window n_total / n_accepted /
+    n_dropped_late — the SLO readout (late-drop rate vs lateness
+    bound) a production pipeline alarms on.
+
+    Why the eviction rule is enforced in the SINK, not by
+    withWatermark: measured on this engine's Spark (4.1, see
+    tests/test_streaming.py::test_builtin_agg_accepts_late_rows),
+    windowed streaming aggregation accepts rows OLDER than the
+    watermark in both update and append mode
+    (numRowsDroppedByWatermark stays 0; the watermark only bounds
+    state). That is within Spark's contract — the guarantee is
+    one-directional (in-bound data WILL aggregate; out-of-bound data
+    MAY drop) — but an auditable lateness SLO needs MUST-drop. So
+    the operator carries the protocol itself, streaming_kmv_merge
+    style: foreachBatch over the RAW file stream keeps a tiny
+    per-epoch max-event-time ledger (crash-safe CURRENT pointer,
+    os.replace); the watermark for epoch N is max over epochs < N
+    minus the bound, so a replayed epoch recomputes the SAME
+    watermark and overwrites its own epoch-keyed output — byte-equal
+    under crash-replay, exactly-once with no dedup bookkeeping. The
+    oracle replays the whole two-batch protocol in SQL.
+
+    Determinism contract: file order pinned by explicit mtimes +
+    maxFilesPerTrigger=1 (two batches, exact membership); no window
+    boundary ever falls exactly on the computed watermark on any
+    driver dataset (measure-zero, asserted in tests), so <=-vs-<
+    edges cannot fire.
+
+    Scale shape: state is ONE number per epoch; per-batch work is a
+    scan + per-window count of that batch only; the audit join is
+    |windows| x |windows|, bounded by the time horizon, not the
+    data. At 100 TB the audit runs per ingest day with the same
+    plan."""
+    import glob
+    import os
+    import shutil
+
+    ev = _events(spark, sf_dir)
+    indir = _scratch_path(spark, sf_dir, "late_in")
+    ckpt = _scratch_path(spark, sf_dir, "late_ck")
+    outp = _scratch_path(spark, sf_dir, "late_out")
+    state = _scratch_path(spark, sf_dir, "late_state")
+    for p in (indir, ckpt, outp, state):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(indir)
+    os.makedirs(outp)
+    os.makedirs(state)
+
+    # 2024-01-16T00:00:00Z as epoch micros — tz-proof (matches the
+    # oracle's integer split constant exactly, whatever the session tz)
+    split = F.timestamp_micros(F.lit(1705363200000000))
+    on_time = (F.col("ts") < split) & (F.col("user_id") % 11 != 0)
+    for i, b in enumerate((ev.where(on_time), ev.where(~on_time))):
+        stage = os.path.join(indir, f"_stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(indir, f"b{i}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)  # pin order
+
+    delay_us = 1_801 * 1_000_000  # 30m1s lateness bound
+    hour_us = 3_600 * 1_000_000
+
+    def audit(batch: DataFrame, epoch: int) -> None:
+        # epoch-keyed idempotent protocol — see the helper's docstring
+        streaming_events.late_audit_process_batch(
+            batch, epoch, state, outp, delay_us)
+
+    schema = spark.read.parquet(os.path.join(indir, "b0.parquet")).schema
+    src = (spark.readStream.schema(schema).format("parquet")
+           .option("maxFilesPerTrigger", 1)
+           .option("recursiveFileLookup", "false")
+           .load(indir))
+    q = (src.writeStream.foreachBatch(audit)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    eps = [os.path.join(outp, d) for d in sorted(os.listdir(outp))]
+    acc = (spark.read.parquet(*eps)
+           .groupBy("wh").agg(F.sum("n_accepted").cast("long")
+                              .alias("n_accepted")))
+    total = (ev.groupBy(F.floor(F.unix_micros(F.col("ts")) / hour_us)
+                        .cast("long").alias("wh"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_total")))
+    n_acc = F.coalesce(F.col("n_accepted"), F.lit(0)).cast("long")
+    ws = F.date_format(F.timestamp_micros(F.col("wh") * hour_us),
+                       "yyyy-MM-dd HH:mm:ss")
+    return (total.join(acc, "wh", "left")
+            .select(ws.alias("ws"), "n_total", n_acc.alias("n_accepted"),
+                    (F.col("n_total") - n_acc).cast("long")
+                    .alias("n_dropped_late"))
+            .orderBy("ws"))

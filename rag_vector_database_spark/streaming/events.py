@@ -356,3 +356,60 @@ def read_parquet_stream(spark: SparkSession, sf_dir: str, table: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(load_path)
+
+
+def late_audit_epoch_maxes(state_dir: str) -> dict:
+    """Read the late-data audit's committed per-epoch max-event-time
+    ledger ({epoch: max_ts_us}); empty if nothing committed yet. The
+    CURRENT pointer names the last fully-written ledger file
+    (streaming_kmv_merge's crash-safe store discipline)."""
+    import json
+    import os
+    try:
+        with open(os.path.join(state_dir, "CURRENT")) as f:
+            with open(os.path.join(state_dir, f.read().strip())) as g:
+                return json.load(g)
+    except OSError:
+        return {}
+
+
+def late_audit_process_batch(batch: DataFrame, epoch: int, state_dir: str,
+                             out_dir: str, delay_us: int,
+                             window_us: int = 3_600_000_000) -> None:
+    """One micro-batch of the sink-enforced lateness protocol (see
+    plans.registry.q_streaming_late_data_audit for why the sink, not
+    withWatermark, carries the eviction rule on this Spark).
+
+    The watermark for epoch N is max event time over epochs < N minus
+    the bound — a pure function of PRIOR epochs — and the batch's
+    accepted per-window counts overwrite an epoch-keyed output dir, so
+    a crash-replayed epoch recomputes the identical accepted set and
+    rewrites identical bytes: exactly-once with no dedup bookkeeping.
+    State is one integer per epoch, committed via fresh-file +
+    os.replace of a CURRENT pointer (never an in-place rewrite a
+    reader may hold open)."""
+    import json
+    import os
+    import uuid
+
+    maxes = late_audit_epoch_maxes(state_dir)
+    prior = [v for e, v in maxes.items() if int(e) < epoch]
+    wm = (max(prior) - delay_us) if prior else None
+    tsu = F.unix_micros(F.col("ts"))
+    wend = (F.floor(tsu / window_us) + 1) * window_us
+    acc = batch if wm is None else batch.where(wend > F.lit(wm))
+    counts = (acc.groupBy(F.floor(F.unix_micros(F.col("ts")) / window_us)
+                          .cast("long").alias("wh"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_accepted")))
+    counts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"ep{epoch}"))
+    row = batch.agg(F.max(F.unix_micros(F.col("ts")))).first()
+    if row[0] is not None:
+        maxes[str(epoch)] = int(row[0])
+    name = f"epoch_{epoch}_{uuid.uuid4().hex[:8]}"
+    with open(os.path.join(state_dir, name), "w") as f:
+        json.dump(maxes, f)
+    tmp = os.path.join(state_dir, f"CURRENT.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(name)
+    os.replace(tmp, os.path.join(state_dir, "CURRENT"))

@@ -701,3 +701,50 @@ def test_containment_matrix_plan_shape(spark):
     # candidate pairs enumerate bucket-locally from ONE groupBy
     # (the shared _lsh_candidates shape), never a band self-join
     assert plan.count("SortMergeJoin") <= 2  # the two shingle fetches
+
+
+def test_semantic_decontaminate_broadcast_and_invariants(spark, sf_dir):
+    """The eval side broadcasts (a benchmark, not a corpus); the
+    ledger's rates are consistent and the eval vectors themselves are
+    excluded from the corpus being screened."""
+    from rag_vector_database_spark.plans import registry
+    sd = registry.q_semantic_decontaminate(spark, sf_dir)
+    plan = sd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    rows = sd.collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_corpus = emb.where(F.col("vec_id") >= 10).count()
+    assert sum(r["n_vecs"] for r in rows) == n_corpus
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_vecs"]
+        assert abs(r["contamination_rate"]
+                   - round(r["n_contaminated"] / r["n_vecs"], 6)) < 1e-9
+        assert r["max_cosine"] <= 1.000001
+
+
+def test_export_shard_manifest_balance_and_no_funnel(spark, sf_dir):
+    """LPT round-robin sharding: shard sizes within one doc of each
+    other, loads near-even, and the global size rank comes from the
+    range-partition + offsets pattern (no Exchange SinglePartition)."""
+    from rag_vector_database_spark.plans import registry
+    sm = registry.q_export_shard_manifest(spark, sf_dir)
+    plan = sm._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE SinglePartition exchange — the balance window over
+    # the 8-row shard aggregate. The corpus-side rank must be the
+    # _pid-partitioned window (zipWithIndex pattern), never a global
+    # row_number funnel.
+    assert plan.count("SinglePartition") == 1
+    assert plan.index("SinglePartition") < plan.index(
+        "HashAggregate(keys=[shard")  # sits ABOVE the 8-row agg only
+    assert "_pid" in plan
+    rows = sm.collect()
+    assert [r["shard"] for r in rows] == list(range(8))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # round-robin exactness
+    ratios = [r["balance_ratio"] for r in rows]
+    assert abs(sum(ratios) - 8.0) < 1e-3
+    # LPT on size keeps loads near-even: every shard within 25% of
+    # the ideal split at the driver SFs
+    assert all(0.75 <= x <= 1.25 for x in ratios)

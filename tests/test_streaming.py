@@ -595,3 +595,116 @@ def test_streaming_lifecycle_pipeline_kappa_parity(spark, sf_dir):
     again = _rows(q_streaming_lifecycle_pipeline(spark, sf_dir),
                   ["vec_id", "cluster"])
     assert again == got  # re-run rebuilds, never double-appends
+
+
+def test_builtin_agg_late_row_filter_is_run_scoped(spark, tmp_path):
+    """The empirical pin behind q_streaming_late_data_audit's design:
+    on this Spark (4.1), the windowed-aggregation late-row filter uses
+    the watermark loaded at QUERY START — a late row arriving in a
+    later micro-batch of the SAME run is accepted even though the
+    in-run watermark has advanced past its window, while the same row
+    arriving after a restart (watermark reloaded from the checkpoint)
+    is dropped. Both directions asserted, so a Spark upgrade that
+    changes either flips this test and the audit's docstring gets
+    revisited."""
+    import glob
+    import os
+    import shutil
+
+    base = str(tmp_path)
+    os.makedirs(base + "/in")
+
+    def write(i, rows):
+        df = (spark.createDataFrame(rows, "id int, ts string")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+        stage = f"{base}/stage{i}"
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dst = f"{base}/in/b{i}.parquet"
+        os.replace(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+    def run():
+        schema = spark.read.parquet(f"{base}/in/b0.parquet").schema
+        src = (spark.readStream.schema(schema).format("parquet")
+               .option("maxFilesPerTrigger", 1).load(f"{base}/in"))
+        agg = (src.withWatermark("ts", "60 seconds")
+               .groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n")))
+        q = (agg.writeStream.format("noop").outputMode("update")
+             .option("checkpointLocation", base + "/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return q.recentProgress
+
+    def dropped(ps):
+        return sum(op.get("numRowsDroppedByWatermark", 0)
+                   for p in ps for op in p["stateOperators"])
+
+    write(0, [(1, "2024-01-01 10:00:00")])
+    # same run: batch 1's watermark is 09:59 (visible in progress) but
+    # the 01:00:05 row — window end 02:00, far behind it — is accepted
+    write(1, [(2, "2024-01-01 01:00:05"), (3, "2024-01-01 10:30:00")])
+    p1 = run()
+    wm_batch1 = [p["eventTime"].get("watermark") for p in p1
+                 if p["batchId"] == 1]
+    assert wm_batch1 == ["2024-01-01T09:59:00.000Z"]
+    assert dropped(p1) == 0
+    # restart: the same-shaped late row is now dropped (watermark came
+    # from the checkpoint at query start)
+    write(2, [(4, "2024-01-01 01:00:06")])
+    p2 = run()
+    assert dropped(p2) >= 1
+
+
+def test_late_audit_reconciles_and_drops(spark, sf_dir):
+    """q_streaming_late_data_audit at sf0.001: the ledger reconciles
+    exactly (accepted + dropped == total per window and in sum) and
+    the straggler batch really loses rows to the lateness bound."""
+    res = registry.queries()["streaming_late_data_audit"](
+        spark, sf_dir).toPandas()
+    ev_n = read_events(spark, sf_dir).count()
+    assert res.n_total.sum() == ev_n
+    assert (res.n_accepted + res.n_dropped_late == res.n_total).all()
+    assert (res.n_accepted >= 0).all() and (res.n_dropped_late >= 0).all()
+    assert res.n_dropped_late.sum() > 0
+    # drops can only exist in windows that ended before the split
+    # (stragglers are first-half rows); every second-half window clean
+    late_ws = res[res.n_dropped_late > 0].ws
+    assert (late_ws < "2024-01-16").all()
+
+
+def test_late_audit_replayed_epoch_is_idempotent(spark, tmp_path):
+    """Crash-replay contract of the sink-enforced protocol: re-running
+    an epoch AFTER its state commit (the at-least-once worst case —
+    output written, CURRENT repointed, checkpoint commit lost) leaves
+    byte-identical accepted counts, because epoch N's watermark is a
+    function of epochs < N only and the output is epoch-keyed
+    overwrite."""
+    import os
+
+    state = str(tmp_path / "state")
+    outp = str(tmp_path / "out")
+    os.makedirs(state)
+    os.makedirs(outp)
+    mk = lambda rows: (spark.createDataFrame(rows, "id int, ts string")
+                       .withColumn("ts", F.col("ts").cast("timestamp")))
+    b0 = mk([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 09:10:00")])
+    b1 = mk([(3, "2024-01-01 01:00:05"), (4, "2024-01-01 10:30:00")])
+    delay = 1_801 * 1_000_000
+    se.late_audit_process_batch(b0, 0, state, outp, delay)
+    se.late_audit_process_batch(b1, 1, state, outp, delay)
+    first = sorted(map(tuple, spark.read.parquet(outp + "/ep1").collect()))
+    # wm after epoch 0 = 10:00 - 30m1s -> the 01:00:05 row (window end
+    # 02:00) is rejected, the 10:30 row survives (wh = epoch-hour
+    # index; 2024-01-01 00:00Z is hour 473352)
+    h0 = 1704067200 // 3600
+    assert first == [(h0 + 10, 1)]
+    # replay epoch 1 (same batch, state already contains epoch 1's max)
+    se.late_audit_process_batch(b1, 1, state, outp, delay)
+    again = sorted(map(tuple, spark.read.parquet(outp + "/ep1").collect()))
+    assert again == first
+    # and epoch 0's output is untouched by the replays
+    ep0 = sorted(map(tuple, spark.read.parquet(outp + "/ep0").collect()))
+    assert ep0 == [(h0 + 9, 1), (h0 + 10, 1)]
