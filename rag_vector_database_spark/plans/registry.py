@@ -431,6 +431,7 @@ WINDOW_PRIORITY: list[str] = [
     "semantic_decontaminate",
     "export_shard_manifest",
     "streaming_late_data_audit",
+    "ivf_rebalance_planner",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -12989,3 +12990,98 @@ def q_streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_total") - n_acc).cast("long")
                     .alias("n_dropped_late"))
             .orderBy("ws"))
+
+@register(
+    "ivf_rebalance_planner",
+    oracle=_dd_kmeans_cte(k=5) + """
+, stats AS (
+  SELECT f.cl AS cluster, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM f GROUP BY f.cl
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+sib AS (
+  SELECT a.cl, b.cl AS sib_cl,
+         round(list_reduce(list_transform(generate_series(1, len(a.cv)),
+               i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])),
+               (acc, v) -> acc + v), 6) AS d2
+  FROM c2 a JOIN c2 b ON a.cl <> b.cl
+),
+best_sib AS (
+  SELECT cl, sib_cl FROM (
+    SELECT cl, sib_cl,
+           row_number() OVER (PARTITION BY cl ORDER BY d2, sib_cl) AS rn
+    FROM sib) WHERE rn = 1
+)
+SELECT s.cluster, s.n_vecs,
+       round(s.n_vecs / CAST(t.n AS DOUBLE), 6) AS share,
+       CASE WHEN 50 * s.n_vecs > 11 * t.n THEN 'split'
+            WHEN 50 * s.n_vecs < 9 * t.n THEN 'merge'
+            ELSE 'ok' END AS action,
+       CAST(CASE WHEN 50 * s.n_vecs > 11 * t.n
+                 THEN (s.n_vecs * 5 + t.n - 1) // t.n
+                 ELSE 1 END AS BIGINT) AS n_subcells,
+       CASE WHEN 50 * s.n_vecs < 9 * t.n THEN b.sib_cl END AS merge_into
+FROM stats s CROSS JOIN tot t
+LEFT JOIN best_sib b ON b.cl = s.cluster
+ORDER BY s.cluster
+""")
+def q_ivf_rebalance_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION layer on ivf_cell_stats' monitoring: per cell, the
+    rebalance decision — SPLIT a cell whose share exceeds 1.1x the
+    even split into ceil(share x k) children (hot cells make probes
+    scan-heavy: tail latency), MERGE a cell under 0.9x into its
+    nearest-centroid sibling (micro-cells waste probe fan-out), OK
+    otherwise. Thresholds compare as pure integers (50*n_vecs vs
+    11*n / 9*n) so no float boundary can flip an action between
+    engines; subcell counts are exact integer ceilings (div, not
+    float floor). The nearest-sibling table is the k x k centroid
+    grid — driver-side arithmetic over the plan-literal quantizer,
+    mirrored in SQL from the same 6dp-rounded c2 centroids.
+
+    Scale shape: identical to ivf_cell_stats (scan-local literal
+    assignment, k-row map-combined groupBy, 1-row total broadcast) —
+    the decision layer adds only k^2 driver arithmetic. Output is k
+    rows; executing a split (re-training within one partition) is
+    ivf_delta_assign's partition-scoped discipline applied to the
+    flagged cell only."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = CL.kmeans_centroids(emb, k=5, iters=2)
+    # nearest sibling on the k x k grid: strict left-to-right float64
+    # fold + 6dp round + (d2, cl) tiebreak — the SQL sib CTE verbatim
+    sib = {}
+    for cl_a, va in cents:
+        best = None
+        for cl_b, vb in cents:
+            if cl_b == cl_a:
+                continue
+            acc = 0.0
+            for x, y in zip(va, vb):
+                acc = acc + (x - y) * (x - y)
+            key = (round(acc, 6), cl_b)
+            if best is None or key < best:
+                best = key
+        sib[cl_a] = best[1]
+    assigned = emb.select(
+        CL._argmin_centroid(cents, "embedding", 6)
+        .getField("cl").alias("cluster"))
+    tot = assigned.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = (assigned.groupBy("cluster")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs")))
+    sibmap = F.create_map(*[F.lit(x) for cl in sorted(sib)
+                            for x in (cl, sib[cl])])
+    split_c = 50 * F.col("n_vecs") > 11 * F.col("n")
+    merge_c = 50 * F.col("n_vecs") < 9 * F.col("n")
+    return (stats.crossJoin(F.broadcast(tot))
+            .select("cluster", "n_vecs",
+                    F.round(F.col("n_vecs") / F.col("n").cast("double"),
+                            6).alias("share"),
+                    F.when(split_c, F.lit("split"))
+                    .when(merge_c, F.lit("merge"))
+                    .otherwise(F.lit("ok")).alias("action"),
+                    F.when(split_c,
+                           F.expr("(n_vecs * 5 + n - 1) div n"))
+                    .otherwise(F.lit(1)).cast("long").alias("n_subcells"),
+                    F.when(merge_c, sibmap[F.col("cluster")])
+                    .cast("long").alias("merge_into"))
+            .orderBy("cluster"))

@@ -748,3 +748,25 @@ def test_export_shard_manifest_balance_and_no_funnel(spark, sf_dir):
     # LPT on size keeps loads near-even: every shard within 25% of
     # the ideal split at the driver SFs
     assert all(0.75 <= x <= 1.25 for x in ratios)
+
+
+def test_ivf_rebalance_planner_actions_consistent(spark, sf_dir):
+    """Action thresholds are integer-exact on (n_vecs, n): every
+    split row's share really exceeds 0.22, every merge row's is
+    under 0.18, subcell counts are exact ceilings, and merge targets
+    name a DIFFERENT existing cell."""
+    from rag_vector_database_spark.plans import registry
+    rows = registry.q_ivf_rebalance_planner(spark, sf_dir).collect()
+    n = sum(r["n_vecs"] for r in rows)
+    cells = {r["cluster"] for r in rows}
+    for r in rows:
+        if r["action"] == "split":
+            assert 50 * r["n_vecs"] > 11 * n
+            assert r["n_subcells"] == -(-r["n_vecs"] * 5 // n) >= 2
+            assert r["merge_into"] is None
+        elif r["action"] == "merge":
+            assert 50 * r["n_vecs"] < 9 * n
+            assert r["n_subcells"] == 1
+            assert r["merge_into"] in cells - {r["cluster"]}
+        else:
+            assert r["n_subcells"] == 1 and r["merge_into"] is None
