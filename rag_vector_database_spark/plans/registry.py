@@ -12762,23 +12762,26 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap is the standard second screen).
 
     Scale shape: the eval set is small by construction (a benchmark,
-    not a corpus) so it BROADCASTS; the corpus side is one scan with
-    the |eval| dot products fused into it (whole-stage codegen, no
-    Python), the per-vector max folds map-side, and the only shuffle
-    is the |labels|-row final aggregate. At 100 TB this is strictly
-    scan-bound — same plan family as knn_batch/hard_negatives, which
-    the kernel composes (retrieval.py knn_batch_topk's broadcast
-    side)."""
+    not a corpus), so its vectors embed as PLAN LITERALS — the same
+    discipline as the k-means centroid literals — and the per-vector
+    max cosine is a scan-local greatest() over the |eval| fused dot
+    products (whole-stage codegen, no Python). No join, no broadcast
+    exchange, no per-vector shuffle: the ONLY exchange in the plan is
+    the |labels|-row final aggregate (map-side combined). At 100 TB
+    this is strictly scan-bound; an earlier broadcast-crossJoin
+    formulation paid a |corpus|-row exchange for the per-vector max
+    for no information gain (plan pinned in test_perf_shapes)."""
     from ..functions import vectors as V
     emb = _t(spark, sf_dir, "embeddings")
-    ev = (emb.where(F.col("vec_id") < 10)
-          .select(F.col("embedding").alias("qv")))
+    ev = [[float(x) for x in r["embedding"]]
+          for r in emb.where(F.col("vec_id") < 10)
+          .select("embedding").orderBy("vec_id").collect()]
     corpus = emb.where(F.col("vec_id") >= 10)
-    scored = (corpus.crossJoin(F.broadcast(ev))
-              .select("vec_id", "label",
-                      F.round(V.dot("embedding", "qv"), 6).alias("cos")))
-    per_vec = (scored.groupBy("vec_id", "label")
-               .agg(F.max("cos").alias("max_cos")))
+    dots = [F.round(V.dot(F.col("embedding"),
+                          F.array(*[F.lit(x) for x in v])), 6)
+            for v in ev]
+    max_cos = F.greatest(*dots) if len(dots) > 1 else dots[0]
+    per_vec = corpus.select("label", max_cos.alias("max_cos"))
     contam = F.when(F.col("max_cos") >= 0.30, 1).otherwise(0)
     return (per_vec.groupBy("label")
             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),

@@ -703,14 +703,16 @@ def test_containment_matrix_plan_shape(spark):
     assert plan.count("SortMergeJoin") <= 2  # the two shingle fetches
 
 
-def test_semantic_decontaminate_broadcast_and_invariants(spark, sf_dir):
-    """The eval side broadcasts (a benchmark, not a corpus); the
-    ledger's rates are consistent and the eval vectors themselves are
-    excluded from the corpus being screened."""
+def test_semantic_decontaminate_literal_fold_and_invariants(spark, sf_dir):
+    """The eval set enters as plan literals (centroid-literal
+    discipline): NO join of any kind, and the only exchange is the
+    |labels|-row aggregate; the ledger's rates are consistent and the
+    eval vectors themselves are excluded from the corpus screen."""
     from rag_vector_database_spark.plans import registry
     sd = registry.q_semantic_decontaminate(spark, sf_dir)
     plan = sd._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1  # the label aggregate only
     rows = sd.collect()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_corpus = emb.where(F.col("vec_id") >= 10).count()
