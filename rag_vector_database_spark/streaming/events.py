@@ -362,15 +362,29 @@ def late_audit_epoch_maxes(state_dir: str) -> dict:
     """Read the late-data audit's committed per-epoch max-event-time
     ledger ({epoch: max_ts_us}); empty if nothing committed yet. The
     CURRENT pointer names the last fully-written ledger file
-    (streaming_kmv_merge's crash-safe store discipline)."""
+    (streaming_kmv_merge's crash-safe store discipline).
+
+    Only a MISSING CURRENT means fresh state. If CURRENT exists but
+    the ledger it names cannot be read, that is a corrupted store —
+    raise, never return {}: an empty dict silently resets the
+    watermark to accept-everything, under-reporting drops in an audit
+    whose contract is MUST-drop."""
     import json
     import os
     try:
         with open(os.path.join(state_dir, "CURRENT")) as f:
-            with open(os.path.join(state_dir, f.read().strip())) as g:
-                return json.load(g)
-    except OSError:
+            name = f.read().strip()
+    except FileNotFoundError:
         return {}
+    try:
+        with open(os.path.join(state_dir, name)) as g:
+            return json.load(g)
+    except OSError as e:
+        raise RuntimeError(
+            f"late-data audit state store corrupted: CURRENT names "
+            f"{name!r} but it cannot be read under {state_dir!r} — "
+            "refusing to reset the watermark to accept-everything"
+        ) from e
 
 
 def late_audit_process_batch(batch: DataFrame, epoch: int, state_dir: str,

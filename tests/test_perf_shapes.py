@@ -704,15 +704,21 @@ def test_containment_matrix_plan_shape(spark):
 
 
 def test_semantic_decontaminate_literal_fold_and_invariants(spark, sf_dir):
-    """The eval set enters as plan literals (centroid-literal
-    discipline): NO join of any kind, and the only exchange is the
-    |labels|-row aggregate; the ledger's rates are consistent and the
-    eval vectors themselves are excluded from the corpus screen."""
+    """Literal branch (|eval| <= literal_max): the eval set enters as
+    plan literals (centroid-literal discipline) — NO join of any kind,
+    and the only HASH exchange is the |labels|-row aggregate (the
+    final orderBy adds a rangepartitioning exchange over |labels|
+    rows, which is not a shuffle of the corpus); the ledger's rates
+    are consistent and the eval vectors are excluded from the
+    screen."""
     from rag_vector_database_spark.plans import registry
     sd = registry.q_semantic_decontaminate(spark, sf_dir)
     plan = sd._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
-    assert plan.count("Exchange") == 1  # the label aggregate only
+    # the label aggregate only; the orderBy's rangepartitioning over
+    # |labels| rows is the one other exchange in the plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") == 2
     rows = sd.collect()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_corpus = emb.where(F.col("vec_id") >= 10).count()
@@ -722,6 +728,23 @@ def test_semantic_decontaminate_literal_fold_and_invariants(spark, sf_dir):
         assert abs(r["contamination_rate"]
                    - round(r["n_contaminated"] / r["n_vecs"], 6)) < 1e-9
         assert r["max_cosine"] <= 1.000001
+
+
+def test_semantic_decontaminate_broadcast_branch_same_answer(
+        spark, sf_dir):
+    """Large-eval branch (|eval| > literal_max, forced here with
+    literal_max=0): the eval set rides a BroadcastNestedLoopJoin —
+    never literal folding (plan size must stay independent of |eval|)
+    and never a shuffled/cartesian join — and the ledger is
+    row-identical to the literal branch's."""
+    from rag_vector_database_spark.plans import registry
+    lit = registry.q_semantic_decontaminate(spark, sf_dir)
+    bc = registry.q_semantic_decontaminate(spark, sf_dir, literal_max=0)
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert lit.collect() == bc.collect()
 
 
 def test_export_shard_manifest_balance_and_no_funnel(spark, sf_dir):

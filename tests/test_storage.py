@@ -533,17 +533,32 @@ def test_takedown_cascade_partial_rewrite(spark, sf_dir):
     store = _scratch_path(spark, sf_dir, "takedown_store")
     parts = [d for d in os.listdir(store) if d.startswith("source=")]
     assert len(parts) == n_sources
-    # the builder asserted partitions_rewritten == doomed-source count;
-    # re-derive that bound from disk: the trash/staging lifecycle left
-    # every partition in place, and at this sf the seed touches only a
-    # strict subset of sources, so a full-store rewrite would be a
-    # shape regression caught by the builder assert itself. Here we
-    # pin the ground truth the assert depends on:
-    import duckdb
+    # EXACT partition-scope pin (moved out of the query path per the
+    # r09 advisor — recomputing 'affected' inline doubled the
+    # chunking work): re-derive the doomed chunk-bearing source set
+    # independently and require partitions_rewritten to equal it.
+    from rag_vector_database_spark.operators import chunking
+    from rag_vector_database_spark.plans import registry
+    from rag_vector_database_spark.plans.registry import (
+        _CHUNK_OVERLAP, _CHUNK_SIZE, q_dedup_drop_provenance)
 
-    con = duckdb.connect()
-    doomed_sources = con.execute(
-        f"SELECT count(DISTINCT source) FROM "
-        f"'{sf_dir}/documents.parquet' WHERE doc_id % 37 = 0"
-    ).fetchone()[0]
-    assert doomed_sources < len(parts)
+    res = registry._LAST_TAKEDOWN_DELETE
+    assert res is not None and res["partitions_rewritten"] >= 1
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    trail = q_dedup_drop_provenance(spark, sf_dir) \
+        .select("dropped_id", "kept_id")
+    seed = (docs.where(F.col("doc_id") % 37 == 0)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+    cascade = (trail.join(seed, trail["dropped_id"] == seed["doc_id"])
+               .select(F.col("kept_id").alias("doc_id")))
+    doomed = seed.unionByName(cascade).distinct()
+    surviving = docs.join(
+        trail.select(F.col("dropped_id").alias("doc_id")),
+        "doc_id", "left_anti")
+    chunks = chunking.chunk_documents(
+        surviving, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP,
+        keep_cols=("source",))
+    affected = (chunks.join(doomed, "doc_id")
+                .select("source").distinct().count())
+    assert res["partitions_rewritten"] == affected
+    assert affected < len(parts)  # strictly partition-scoped

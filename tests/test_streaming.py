@@ -708,3 +708,22 @@ def test_late_audit_replayed_epoch_is_idempotent(spark, tmp_path):
     # and epoch 0's output is untouched by the replays
     ep0 = sorted(map(tuple, spark.read.parquet(outp + "/ep0").collect()))
     assert ep0 == [(h0 + 9, 1), (h0 + 10, 1)]
+
+
+def test_late_audit_corrupted_store_raises(tmp_path):
+    """A missing CURRENT means fresh state ({}); but a CURRENT that
+    names an unreadable ledger is a corrupted store and MUST raise —
+    silently returning {} would reset the watermark to
+    accept-everything, under-reporting drops in a MUST-drop audit
+    (r09 advisor finding)."""
+    import os
+
+    import pytest
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    assert se.late_audit_epoch_maxes(state) == {}  # fresh store
+    with open(os.path.join(state, "CURRENT"), "w") as f:
+        f.write("epoch_0_deadbeef")  # names a file that doesn't exist
+    with pytest.raises(RuntimeError, match="corrupted"):
+        se.late_audit_epoch_maxes(state)

@@ -50,7 +50,13 @@ outs = [json.loads(line) for line in sys.argv[2:]]
 if len(outs) == 1 and outs[0].get("legacy_10_reps"):
     reps = outs[0]["legacy_10_reps"]  # rep-aware bench: one JVM, N reps
 else:
-    reps = [o["legacy_10_subtotal"] for o in outs]
+    # fallback path: rep 1 may itself carry several in-JVM reps (a
+    # rep-aware bench that under-delivered the requested count) —
+    # flatten them into the reps list instead of collapsing rep 1 to
+    # its min, so the recorded rep count is symmetric across entries
+    reps = []
+    for o in outs:
+        reps.extend(o.get("legacy_10_reps") or [o["legacy_10_subtotal"]])
 print(json.dumps({
     "ab_prev_commit": sha,
     "ab_prev_subtotal": min(reps),
