@@ -152,9 +152,61 @@ WINDOW_PRIORITY: list[str] = [
     "exact_dedup",
     "minhash_neardup",
     "pricing_summary",
-    # -- r09 window (round-8 verdict task 1): drain the never-graded
-    #    queue — all 21 round-8 additions (dedup decision ledgers,
-    #    sketch family, PQ/quantizer QA, the recall ladder). --------
+    # -- r10 window: (a) the 4-query r09 addition queue, drained
+    #    (round-9 verdict task 3); (b) the round-10 composed export
+    #    flagship, graded at birth (task 5). ----------------------
+    "semantic_decontaminate",
+    "export_shard_manifest",
+    "streaming_late_data_audit",
+    "ivf_rebalance_planner",
+    "training_export_pipeline",
+    # -- staleness re-grades: the r04 cohort (last graded in round
+    #    4 -- the oldest un-regraded names; 39 of its 41, with
+    #    time_weighted_avg + ttl_dedup_events deferred to the r11
+    #    window for the 50-slot budget). --------------------------
+    "adaptive_quality_threshold",
+    "attribution_first_touch",
+    "cdc_apply_changelog",
+    "centroid_similarity_matrix",
+    "cuped_adjusted_metric",
+    "curriculum_interleave",
+    "data_quality_checks",
+    "dedup_tokens_keep_first",
+    "event_transition_matrix",
+    "footer_agg_stats",
+    "forecast_backtest_eval",
+    "freshness_by_type",
+    "funnel_step_latency",
+    "hash_reservoir_sample",
+    "k_anonymity_audit",
+    "lang_jsd_matrix",
+    "largest_remainder_alloc",
+    "manifest_time_travel",
+    "map_literal_enrich",
+    "maxsim_doc_knn",
+    "minhash_delta_clusters",
+    "mmr_rerank",
+    "ngram_novelty",
+    "normalized_text_dedup",
+    "observed_ingest",
+    "postings_delta_merge",
+    "psi_value_drift",
+    "quarantine_split",
+    "range_sorted_scan",
+    "rolling_anomaly_days",
+    "salted_join_skewed",
+    "seasonal_decompose_daily",
+    "snapshot_diff",
+    "streaming_idle_timeouts",
+    "streaming_upsert_partitioned",
+    "time_decayed_sum",
+    "triangle_count",
+    "vocab_prune_coverage",
+    "zorder_topk",
+    # ----- end of the graded 50-prefix (6 canaries + 4 queue
+    #       + 1 r10 flagship + 39 r04 staleness re-grades) --------
+    # -- previously graded (r01-r09 green rows); listed so the two
+    #    no-oracle entries below can never float into the prefix. ----
     "cross_source_overlap",
     "unique_token_yield",
     "minhash_band_yield",
@@ -176,14 +228,7 @@ WINDOW_PRIORITY: list[str] = [
     "lsh_banding_planner",
     "quantizer_staleness_audit",
     "ann_recall_ladder",
-    # -- round-9 addition (judge task 5): graded at birth. ----------
     "takedown_provenance_cascade",
-    # -- staleness re-grades, oldest cohorts first: the r02
-    #    relational names deferred last round, then the whole r03
-    #    cohort (sinks, listing API, RAG turns, UDF/UDAF/UDTF
-    #    surfaces), then three r04 names — gdpr_delete_partitioned
-    #    (the takedown query's kernel sibling) and the two oldest
-    #    headline queries. -----------------------------------------
     "cube_lineitem",
     "rollup_orders",
     "grouping_sets_orders",
@@ -206,10 +251,6 @@ WINDOW_PRIORITY: list[str] = [
     "gdpr_delete_partitioned",
     "merkle_reconcile",
     "trajectory_knn",
-    # ----- end of the graded 50-prefix (6 canaries + 21 r08 queue
-    #       + 1 r09 addition + 22 staleness re-grades) --------------
-    # -- previously graded (r01-r08 green rows); listed so the two
-    #    no-oracle entries below can never float into the prefix. ----
     "streaming_ivf_append",
     "score_calibration_bins",
     "ivf_cell_stats",
@@ -385,53 +426,8 @@ WINDOW_PRIORITY: list[str] = [
     "repetition_stats",
     "pack_sequences",
     "key_skew_profile",
-    "minhash_delta_clusters",
-    "observed_ingest",
-    "footer_agg_stats",
-    "streaming_idle_timeouts",
-    "zorder_topk",
-    "range_sorted_scan",
-    "mmr_rerank",
-    "maxsim_doc_knn",
-    "data_quality_checks",
-    "freshness_by_type",
-    "snapshot_diff",
-    "forecast_backtest_eval",
-    "funnel_step_latency",
-    "seasonal_decompose_daily",
-    "postings_delta_merge",
-    "triangle_count",
-    "k_anonymity_audit",
-    "cuped_adjusted_metric",
-    "psi_value_drift",
-    "centroid_similarity_matrix",
-    "rolling_anomaly_days",
-    "lang_jsd_matrix",
-    "map_literal_enrich",
-    "hash_reservoir_sample",
-    "ngram_novelty",
-    "vocab_prune_coverage",
-    "dedup_tokens_keep_first",
-    "attribution_first_touch",
-    "normalized_text_dedup",
     "time_weighted_avg",
     "ttl_dedup_events",
-    "quarantine_split",
-    "largest_remainder_alloc",
-    "time_decayed_sum",
-    "curriculum_interleave",
-    "manifest_time_travel",
-    "adaptive_quality_threshold",
-    "cdc_apply_changelog",
-    "salted_join_skewed",
-    "event_transition_matrix",
-    "streaming_upsert_partitioned",
-    # -- round-9 additions (r10 grading queue; registered post-window
-    #    per the r08 verdict's addition cap) -------------------------
-    "semantic_decontaminate",
-    "export_shard_manifest",
-    "streaming_late_data_audit",
-    "ivf_rebalance_planner",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -13139,3 +13135,271 @@ def q_ivf_rebalance_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(merge_c, sibmap[F.col("cluster")])
                     .cast("long").alias("merge_into"))
             .orderBy("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# Round-10 flagship: the composed EXPORT pipeline — the assembly-layer
+# steps (quality gates -> dedup drops -> decontamination screen ->
+# token-budget mixture -> LPT shard manifest) proven to agree on ONE
+# corpus, the way daily_drop_pipeline composes the maintenance loop.
+
+_TEP_ORACLE = ("WITH " + _DD_MH_CTES + ",\n"
+               + "p AS (" + _DD_MH_PAIRS_SELECT + "),\n" + """
+fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM documents),
+ex AS (SELECT doc_id,
+              min(doc_id) OVER (PARTITION BY fingerprint) AS canonical
+       FROM fp),
+trail AS (SELECT doc_id AS dropped_id FROM ex WHERE doc_id <> canonical
+          UNION
+          SELECT id_b AS dropped_id FROM p),
+corpus AS (
+  SELECT doc_id, source, n_chars, text,
+         CAST(len({tok}) AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id >= 10
+),
+m AS (
+  SELECT doc_id,
+         {ltok} AS t,
+         len({ltok}) AS n_words,
+         len(text) - len(replace(text, '#', '')) AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell
+  FROM corpus
+),
+x AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN
+           list_reduce(list_transform(t, s -> len(s)), (a, b) -> a + b)
+             / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN
+           (n_hash + n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0
+         END AS symbol_ratio,
+         CASE WHEN n_words > 0 THEN
+           len(list_filter(t, s -> regexp_matches(s, '[A-Za-z]')))
+             / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_frac,
+         len(list_intersect(list_distinct(list_transform(t, s -> lower(s))),
+                            {stops})) AS n_stop
+  FROM m
+),
+qf AS (
+  SELECT doc_id,
+         CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+         * CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+         * CAST(symbol_ratio <= 0.1 AS INT)
+         * CAST(alpha_frac >= 0.8 AS INT)
+         * CAST(n_stop >= 2 AS INT) AS pass_q
+  FROM x
+),
+bsh AS (SELECT DISTINCT unnest({shb}) AS g
+        FROM documents WHERE doc_id < 10),
+cg AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, unnest(sh) AS g
+       FROM (SELECT doc_id, {shc} AS sh FROM corpus)),
+ov AS (SELECT doc_id FROM cg JOIN bsh USING (g)
+       GROUP BY doc_id, n_shingles
+       HAVING round(count(*) / CAST(n_shingles AS DOUBLE), 6) >= 0.5),
+pd AS (
+  SELECT c.doc_id, c.source, c.n_chars, c.n_tok, qf.pass_q,
+         CAST(c.doc_id IN (SELECT dropped_id FROM trail) AS INT) AS dup,
+         CAST(c.doc_id IN (SELECT doc_id FROM ov) AS INT) AS contam
+  FROM corpus c JOIN qf USING (doc_id)
+),
+clean AS (SELECT * FROM pd WHERE pass_q = 1 AND dup = 0 AND contam = 0),
+s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM clean GROUP BY source),
+b AS (SELECT source, n_tokens,
+             (100000 * n_tokens) // (SELECT sum(n_tokens) FROM s) AS base,
+             (100000 * n_tokens) % (SELECT sum(n_tokens) FROM s) AS rem
+      FROM s),
+r AS (SELECT source, n_tokens, base,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             (SELECT 100000 - sum(base) FROM b) AS leftover
+      FROM b),
+rates AS (
+  SELECT source,
+         round(least(1.0,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS DOUBLE) / n_tokens), 6) AS rate
+  FROM r
+),
+samp AS (
+  SELECT c.doc_id, c.n_chars
+  FROM clean c JOIN rates USING (source)
+  WHERE round((('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))
+                 ::BIGINT + 1) / 4294967296.0, 6) <= rate
+),
+rn AS (SELECT doc_id, n_chars,
+              row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rn
+       FROM samp),
+sh8 AS (SELECT CAST(rn % 8 AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM rn GROUP BY 1)
+SELECT shard, n_docs, total_chars,
+       round(total_chars / (sum(total_chars) OVER () / 8.0), 6)
+         AS balance_ratio,
+       (SELECT CAST(count(*) AS BIGINT) FROM pd) AS n_start,
+       (SELECT CAST(sum(pass_q) AS BIGINT) FROM pd) AS n_pass_quality,
+       (SELECT CAST(sum(CAST(pass_q = 1 AND dup = 0 AS INT)) AS BIGINT)
+        FROM pd) AS n_after_dedup,
+       (SELECT CAST(count(*) AS BIGINT) FROM clean) AS n_clean,
+       (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sampled
+FROM sh8 ORDER BY shard
+""").format(norm=DD_NORM.format(c="text"),
+            tok=DD_TOKENS.format(c="text"),
+            ltok=DD_TOKENS.format(c="text"),
+            stops=_DD_GOPHER_STOPS,
+            shb=dd_shingles("text", 3),
+            shc=dd_shingles("text", 3))
+
+
+@register("training_export_pipeline", oracle=_TEP_ORACLE)
+def q_training_export_pipeline(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """THE COMPOSED EXPORT FLAGSHIP — one pass through the
+    training-set assembly layer, every leg the separately-graded
+    operator, proven to agree on one corpus (the export-side mirror
+    of daily_drop_pipeline's maintenance loop; reference analog: the
+    ingest funnel discipline, ingest_chunks_to_chromadb.py:110-238,
+    extended to the export side):
+
+    1. **Quality gate** (textstats.gopher_quality_flags): the Gopher
+       rule conjunction, computed SCAN-LOCAL by threading
+       (doc_id, source, n_chars, n_tok) through the kernel as one
+       struct key — no join to recover the corpus columns.
+    2. **Dedup drops** (the dedup_drop_provenance trail): exact
+       fingerprints + verified MinHash pairs name every dropped id;
+       the trail is delete-set-sized and BROADCASTs onto the corpus.
+    3. **Decontamination screen** (dedup.contamination_overlap): word
+       3-gram overlap vs the held-out set (docs 0-9, which never
+       enter the export); docs at overlap_frac >= 0.5 drop. The
+       flagged set is benchmark-neighborhood-sized -> broadcast.
+    4. **Token-budget mixture** (token_budget_mixture's exact
+       largest-remainder allocation, decimal(38,0) discipline): a
+       100k-token budget over the CLEAN corpus yields per-source
+       sample rates; application is a DETERMINISTIC Bernoulli via the
+       md5 uniform (weighted_domain_sample's u), so the oracle
+       replays membership exactly — no rand(), no seed drift.
+    5. **LPT shard manifest** (export_shard_manifest's
+       range-partition + offsets global rank — never a single-task
+       row_number funnel): survivors round-robin over 8 shards in
+       descending size order.
+
+    Output: the 8-row shard manifest plus the funnel ledger
+    (n_start -> n_pass_quality -> n_after_dedup -> n_clean ->
+    n_sampled) as constant columns — the end-to-end accountability a
+    training-run datasheet records. The oracle replays the whole
+    chain in SQL, so the five stages are value-pinned AS A
+    COMPOSITION, not just in isolation.
+
+    Scale shape: two corpus-wide scan+broadcast-join passes (flags +
+    funnel), the detector-bounded pair table, one |sources|-row
+    mixture plan, and a 16-byte/doc manifest rank. No corpus
+    self-join, no global sort of payloads, no per-row Python."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(F.col("doc_id") >= 10)
+
+    # 1. quality flags, corpus columns threaded through the kernel as
+    # a struct key (kernels pass key_col verbatim -> stays scan-local)
+    packed = corpus.select(
+        F.struct(F.col("doc_id"), F.col("source"), F.col("n_chars"),
+                 F.size(T.tokens(F.col("text"))).cast("long")
+                 .alias("n_tok")).alias("__k"),
+        "text")
+    base = (textstats.gopher_quality_flags(packed, key_col="__k")
+            .select(F.col("__k.doc_id").alias("doc_id"),
+                    F.col("__k.source").alias("source"),
+                    F.col("__k.n_chars").alias("n_chars"),
+                    F.col("__k.n_tok").alias("n_tok"),
+                    F.col("pass_gopher").alias("pass_q")))
+
+    # 2. + 3. drop sets (both bounded: duplicates / near-benchmark)
+    trail = (q_dedup_drop_provenance(spark, sf_dir)
+             .select(F.col("dropped_id").alias("doc_id"))
+             .distinct().withColumn("__dup", F.lit(1)))
+    contam = (dedup.contamination_overlap(corpus, bench, shingle_n=3)
+              .where(F.col("overlap_frac") >= 0.5)
+              .select("doc_id").withColumn("__ct", F.lit(1)))
+    per_doc = (base
+               .join(F.broadcast(trail), "doc_id", "left")
+               .join(F.broadcast(contam), "doc_id", "left")
+               .select("doc_id", "source", "n_chars", "n_tok", "pass_q",
+                       F.coalesce(F.col("__dup"), F.lit(0)).alias("dup"),
+                       F.coalesce(F.col("__ct"), F.lit(0)).alias("contam")))
+    clean = per_doc.where((F.col("pass_q") == 1) & (F.col("dup") == 0)
+                          & (F.col("contam") == 0))
+
+    # 4. largest-remainder token mixture over the clean corpus
+    # (token_budget_mixture verbatim: decimal(38,0) so 100000 *
+    # n_tokens can never wrap a long), applied as a deterministic
+    # md5-uniform Bernoulli per doc
+    s = clean.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("n_tokens"))
+    b = s.select(
+        "source", "n_tokens",
+        F.expr("(cast(100000 as decimal(38,0)) * n_tokens)"
+               " div sum(n_tokens) over ()").alias("base"),
+        F.expr("cast((cast(100000 as decimal(38,0)) * n_tokens)"
+               " % sum(n_tokens) over () as bigint)").alias("rem"))
+    r = b.select(
+        "source", "n_tokens", "base",
+        F.row_number().over(W.partitionBy().orderBy(
+            F.desc("rem"), F.col("source"))).alias("rk"),
+        (F.lit(100000) - F.sum("base").over(W.partitionBy()))
+        .alias("leftover"))
+    alloc = (F.col("base")
+             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)) \
+        .cast("long")
+    rates = r.select(
+        "source",
+        F.round(F.least(F.lit(1.0),
+                        alloc.cast("double") / F.col("n_tokens")), 6)
+        .alias("rate"))
+    u = F.round((hashing.md5_long(F.col("doc_id").cast("string")) + 1)
+                / F.lit(4294967296.0), 6)
+    samp = (clean.join(F.broadcast(rates), "source")
+            .where(u <= F.col("rate"))
+            .select("doc_id", "n_chars"))
+
+    # 5. LPT shard manifest: range-partition + offsets global rank
+    # (export_shard_manifest's zipWithIndex pattern)
+    order = [F.desc("n_chars"), F.col("doc_id")]
+    n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "32")) // 4)
+    ranged = (samp.repartitionByRange(n_parts, *order)
+              .withColumn("_pid", F.spark_partition_id()))
+    local_rank = F.row_number().over(
+        W.partitionBy("_pid").orderBy(*order))
+    ranked = ranged.withColumn("_rn", local_rank).localCheckpoint()
+    counts = dict(ranked.groupBy("_pid").count().collect())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                          for x in (pid, offsets[pid])])
+    rn0 = (omap[F.col("_pid")] + F.col("_rn") - 1).cast("long")
+    shards = (ranked.withColumn("shard", rn0 % 8)
+              .groupBy("shard")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.sum("n_chars").cast("long").alias("total_chars")))
+    ideal = F.sum("total_chars").over(W.partitionBy()) / F.lit(8.0)
+    manifest = shards.withColumn(
+        "balance_ratio", F.round(F.col("total_chars") / ideal, 6))
+
+    # funnel ledger: ONE conditional aggregation over the flag frame
+    surv_dedup = (F.col("pass_q") == 1) & (F.col("dup") == 0)
+    funnel = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_start"),
+        F.sum("pass_q").cast("long").alias("n_pass_quality"),
+        F.sum(F.when(surv_dedup, 1).otherwise(0)).cast("long")
+        .alias("n_after_dedup"),
+        F.sum(F.when(surv_dedup & (F.col("contam") == 0), 1)
+              .otherwise(0)).cast("long").alias("n_clean"))
+    n_sampled = F.sum("n_docs").over(W.partitionBy()).cast("long")
+    return (manifest.crossJoin(F.broadcast(funnel))
+            .select("shard", "n_docs", "total_chars", "balance_ratio",
+                    "n_start", "n_pass_quality", "n_after_dedup",
+                    "n_clean", n_sampled.alias("n_sampled"))
+            .orderBy("shard"))

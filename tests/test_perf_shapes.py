@@ -775,6 +775,35 @@ def test_export_shard_manifest_balance_and_no_funnel(spark, sf_dir):
     assert all(0.75 <= x <= 1.25 for x in ratios)
 
 
+def test_training_export_pipeline_funnel_and_shapes(spark, sf_dir):
+    """The composed export flagship: funnel counts are monotone
+    (start >= quality >= dedup >= clean >= sampled), the manifest
+    accounts for every sampled doc, shard ids are the round-robin
+    range, the corpus-side rank uses the _pid offsets pattern (never
+    a global row_number funnel), and no unbounded join shape ever
+    appears (the drop/contamination sets ride broadcast joins)."""
+    from rag_vector_database_spark.plans import registry
+    out = registry.q_training_export_pipeline(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "_pid" in plan  # offsets rank, not a SinglePartition sort
+    rows = out.collect()
+    assert [r["shard"] for r in rows] == sorted(r["shard"] for r in rows)
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    f = rows[0]
+    assert (f["n_start"] >= f["n_pass_quality"] >= f["n_after_dedup"]
+            >= f["n_clean"] >= f["n_sampled"] >= 1)
+    assert sum(r["n_docs"] for r in rows) == f["n_sampled"]
+    # funnel constants identical on every manifest row
+    for r in rows:
+        assert (r["n_start"], r["n_clean"]) == (f["n_start"], f["n_clean"])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert f["n_start"] == docs.where(F.col("doc_id") >= 10).count()
+    # LPT balance: every shard within 25% of the even split
+    assert all(0.75 <= r["balance_ratio"] <= 1.25 for r in rows)
+    assert abs(sum(r["balance_ratio"] for r in rows) - 8.0) < 1e-3
+
+
 def test_ivf_rebalance_planner_actions_consistent(spark, sf_dir):
     """Action thresholds are integer-exact on (n_vecs, n): every
     split row's share really exceeds 0.22, every merge row's is
