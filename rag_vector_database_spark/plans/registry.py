@@ -428,6 +428,11 @@ WINDOW_PRIORITY: list[str] = [
     "key_skew_profile",
     "time_weighted_avg",
     "ttl_dedup_events",
+    # -- round-10 additions (r11 grading queue; registered post-window
+    #    per the addition cap; time_weighted_avg/ttl_dedup_events
+    #    staleness re-grades also carry to r11) ----------------------
+    "mixture_epoch_schedule",
+    "decontamination_threshold_sensitivity",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -12691,9 +12696,8 @@ def q_takedown_provenance_cascade(spark: SparkSession,
     notice actually touches. The exact partitions_rewritten ==
     doomed-chunk-bearing-source-count pin lives in
     tests/test_storage.py (recomputing it inline would double the
-    chunking work — r09 advisor); the query path keeps a cheap
-    full-store-rewrite tripwire and exposes the delete result via
-    _LAST_TAKEDOWN_DELETE. The oracle replays the whole
+    chunking work — r09 advisor); the query path exposes the delete
+    result via _LAST_TAKEDOWN_DELETE. The oracle replays the whole
     chain logically — trail, cascade, survivor chunks minus takedowns
     — proving the partition-targeted physical rewrite equals the
     global logical delete."""
@@ -12721,20 +12725,12 @@ def q_takedown_provenance_cascade(spark: SparkSession,
     # tests/test_storage.py::test_takedown_cascade_partial_rewrite
     # (it re-derives 'affected' from the chunk set, which would
     # DOUBLE the chunking work if done in the query path — r09
-    # advisor finding); the query path keeps only the cheap
-    # full-store-rewrite tripwire, as a real exception so it
-    # survives python -O.
-    import os
+    # advisor finding). No "rewrote everything" tripwire here: with a
+    # fixed source cardinality a large enough notice legitimately
+    # touches every partition (observed at the 100x probe), so
+    # all-partitions is not by itself a shape regression.
     global _LAST_TAKEDOWN_DELETE
     _LAST_TAKEDOWN_DELETE = dict(res)
-    n_parts = len([d for d in os.listdir(store)
-                   if d.startswith("source=")])
-    if res["partitions_rewritten"] >= n_parts and n_parts > 1:
-        raise RuntimeError(
-            f"takedown cascade rewrote every partition "
-            f"({res['partitions_rewritten']}/{n_parts}) — the "
-            "partition-scoped delete degenerated to a full-store "
-            "rewrite")
     post = spark.read.parquet(store)
     return (post.groupBy(F.col("source").cast("string").alias("source"))
             .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
@@ -13403,3 +13399,204 @@ def q_training_export_pipeline(spark: SparkSession,
                     "n_start", "n_pass_quality", "n_after_dedup",
                     "n_clean", n_sampled.alias("n_sampled"))
             .orderBy("shard"))
+
+
+@register(
+    "mixture_epoch_schedule",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(sum(len({tok})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS wppm
+  FROM s
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+               CAST(sum(wppm) AS HUGEINT) AS wsum FROM w),
+b AS (
+  SELECT source, n_tokens, wppm,
+         (3 * t * CAST(wppm AS HUGEINT)) // wsum AS base,
+         (3 * t * CAST(wppm AS HUGEINT)) % wsum AS rem
+  FROM w, tot
+),
+r AS (
+  SELECT source, n_tokens, wppm, base,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         (SELECT 3 * (SELECT t FROM tot) - sum(base) FROM b) AS leftover
+  FROM b
+),
+a AS (
+  SELECT source, n_tokens, wppm,
+         CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS target_tokens
+  FROM r
+)
+SELECT source, n_tokens, wppm, target_tokens,
+       CAST(target_tokens // n_tokens AS BIGINT) AS n_full_epochs,
+       round(CAST(target_tokens % n_tokens AS DOUBLE) / n_tokens, 6)
+         AS partial_rate
+FROM a ORDER BY source
+""".format(tok=DD_TOKENS.format(c="text")))
+def q_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPEAT-FACTOR schedule a data loader actually executes: a
+    3x-total-token budget is split across sources by SQUARE-ROOT
+    temperature weights (the alpha=0.5 flattening of the mC4 recipe,
+    in tokens), and each source's target is expressed as N FULL
+    epochs plus a partial-epoch sample rate — the "4 epochs of
+    Wikipedia, 0.3 of CommonCrawl" artifact of published LLM data
+    recipes. Differs from alpha_mixture_weights (per-doc rates, no
+    repeats) and token_budget_mixture (proportional, sub-1-epoch) in
+    the regime: a flattening mixture plus a multi-epoch budget makes
+    small sources REPEAT, and the schedule says exactly how often.
+
+    Cross-engine exactness: sqrt is IEEE-correctly-rounded in both
+    engines, so weight_ppm = floor(sqrt(n_tokens) * 1e6) is
+    integer-identical; everything after is pure integer Hamilton
+    (HUGEINT/decimal(38,0) products — 3T x wppm overflows a long at
+    real corpus sizes), so no float boundary can move a token between
+    sources. Scale shape: one scan-local token count folded map-side,
+    then a |sources|-row plan (two windows + one rank)."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long")
+        .alias("n_tokens"))
+    w = s.withColumn(
+        "wppm", F.floor(F.sqrt(F.col("n_tokens").cast("double"))
+                        * 1000000).cast("long"))
+    wall = W.partitionBy()
+    b = w.select(
+        "source", "n_tokens", "wppm",
+        F.expr("(cast(3 as decimal(38,0)) * sum(n_tokens) over ()"
+               " * wppm) div sum(wppm) over ()").alias("base"),
+        F.expr("(cast(3 as decimal(38,0)) * sum(n_tokens) over ()"
+               " * wppm) % sum(wppm) over ()").alias("rem"))
+    r = b.select(
+        "source", "n_tokens", "wppm", "base",
+        F.row_number().over(W.partitionBy().orderBy(
+            F.desc("rem"), F.col("source"))).alias("rk"),
+        (F.expr("cast(3 as decimal(38,0)) * sum(n_tokens) over ()")
+         - F.sum("base").over(wall)).alias("leftover"))
+    target = (F.col("base")
+              + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)) \
+        .cast("long")
+    a = r.select("source", "n_tokens", "wppm",
+                 target.alias("target_tokens"))
+    return (a.select(
+        "source", "n_tokens", "wppm", "target_tokens",
+        F.expr("target_tokens div n_tokens").cast("long")
+        .alias("n_full_epochs"),
+        F.round((F.col("target_tokens") % F.col("n_tokens"))
+                .cast("double") / F.col("n_tokens"), 6)
+        .alias("partial_rate"))
+        .orderBy("source"))
+
+
+@register(
+    "decontamination_threshold_sensitivity",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text, CAST(len({tok}) AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id >= 10
+),
+ctot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+                CAST(sum(n_tok) AS BIGINT) AS corpus_tokens FROM corpus),
+bsh AS (SELECT DISTINCT unnest({shb}) AS g
+        FROM documents WHERE doc_id < 10),
+cg AS (SELECT doc_id, n_tok, CAST(len(sh) AS BIGINT) AS n_shingles,
+              unnest(sh) AS g
+       FROM (SELECT doc_id, n_tok, {shc} AS sh FROM corpus)),
+ov AS (SELECT doc_id, n_tok,
+              round(count(*) / CAST(n_shingles AS DOUBLE), 6) AS frac
+       FROM cg JOIN bsh USING (g)
+       GROUP BY doc_id, n_tok, n_shingles),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN frac >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+    CAST(sum(CASE WHEN frac >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+    CAST(sum(CASE WHEN frac >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS d6,
+    CAST(sum(CASE WHEN frac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS d8,
+    CAST(sum(CASE WHEN frac >= 0.2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+    CAST(sum(CASE WHEN frac >= 0.4 THEN n_tok ELSE 0 END) AS BIGINT) AS t4,
+    CAST(sum(CASE WHEN frac >= 0.6 THEN n_tok ELSE 0 END) AS BIGINT) AS t6,
+    CAST(sum(CASE WHEN frac >= 0.8 THEN n_tok ELSE 0 END) AS BIGINT) AS t8
+  FROM ov
+),
+u AS (
+  SELECT CAST(0.2 AS DOUBLE) AS threshold, d2 AS n_dropped,
+         t2 AS tokens_dropped FROM agg
+  UNION ALL SELECT CAST(0.4 AS DOUBLE), d4, t4 FROM agg
+  UNION ALL SELECT CAST(0.6 AS DOUBLE), d6, t6 FROM agg
+  UNION ALL SELECT CAST(0.8 AS DOUBLE), d8, t8 FROM agg
+)
+SELECT threshold, n_dropped, tokens_dropped,
+       round(n_dropped / CAST(n_corpus AS DOUBLE), 6) AS drop_rate,
+       round(tokens_dropped / CAST(corpus_tokens AS DOUBLE), 6)
+         AS token_loss_rate
+FROM u, ctot ORDER BY threshold
+""".format(tok=DD_TOKENS.format(c="text"),
+           shb=dd_shingles("text", 3),
+           shc=dd_shingles("text", 3)))
+def q_decontamination_threshold_sensitivity(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    """The dial-setting ledger BEHIND training_export_pipeline's 0.5
+    decontamination cutoff (the decontamination twin of
+    dedup_threshold_sensitivity): for each candidate overlap
+    threshold, how many corpus documents — and what fraction of the
+    corpus's TOKENS — would the screen drop. Too low a threshold
+    burns real training data on incidental phrase overlap; too high
+    leaks eval paraphrases; this readout is how the cutoff is chosen
+    and defended.
+
+    Scale shape: the overlap table is computed ONCE (broadcast
+    benchmark dictionary, one per-doc fold) and all four thresholds
+    are conditional sums inside ONE 1-row aggregate, stack-unpivoted
+    to the 4-row ledger (lsh_banding_planner's one-pass discipline —
+    never a per-threshold re-scan); per-doc token counts ride the
+    kernel's struct key, so no corpus join. Corpus totals are one
+    1-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 10)
+    corpus = (d.where(F.col("doc_id") >= 10)
+              .select(F.struct(
+                  F.col("doc_id"),
+                  F.size(T.tokens(F.col("text"))).cast("long")
+                  .alias("n_tok")).alias("__k"),
+                  "text"))
+    ctot = (d.where(F.col("doc_id") >= 10)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"),
+                 F.sum(F.size(T.tokens(F.col("text")))).cast("long")
+                 .alias("corpus_tokens")))
+    ov = (dedup.contamination_overlap(corpus, bench, shingle_n=3,
+                                      key_col="__k")
+          .select(F.col("__k.n_tok").alias("n_tok"),
+                  F.col("overlap_frac").alias("frac")))
+    conds = []
+    for th, dn, tn in ((0.2, "d2", "t2"), (0.4, "d4", "t4"),
+                       (0.6, "d6", "t6"), (0.8, "d8", "t8")):
+        conds.append(F.sum(F.when(F.col("frac") >= th, 1).otherwise(0))
+                     .cast("long").alias(dn))
+        conds.append(F.sum(F.when(F.col("frac") >= th,
+                                  F.col("n_tok")).otherwise(0))
+                     .cast("long").alias(tn))
+    agg = ov.agg(*conds)
+    u = agg.select(F.expr(
+        "stack(4, "
+        "cast(0.2 as double), d2, t2, "
+        "cast(0.4 as double), d4, t4, "
+        "cast(0.6 as double), d6, t6, "
+        "cast(0.8 as double), d8, t8) "
+        "as (threshold, n_dropped, tokens_dropped)"))
+    return (u.crossJoin(F.broadcast(ctot))
+            .select("threshold", "n_dropped", "tokens_dropped",
+                    F.round(F.col("n_dropped")
+                            / F.col("n_corpus").cast("double"), 6)
+                    .alias("drop_rate"),
+                    F.round(F.col("tokens_dropped")
+                            / F.col("corpus_tokens").cast("double"), 6)
+                    .alias("token_loss_rate"))
+            .orderBy("threshold"))
