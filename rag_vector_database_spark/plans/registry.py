@@ -433,6 +433,8 @@ WINDOW_PRIORITY: list[str] = [
     #    staleness re-grades also carry to r11) ----------------------
     "mixture_epoch_schedule",
     "decontamination_threshold_sensitivity",
+    "dedup_survivorship_audit",
+    "shard_content_mix",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -13262,12 +13264,17 @@ def q_training_export_pipeline(spark: SparkSession,
        (doc_id, source, n_chars, n_tok) through the kernel as one
        struct key — no join to recover the corpus columns.
     2. **Dedup drops** (the dedup_drop_provenance trail): exact
-       fingerprints + verified MinHash pairs name every dropped id;
-       the trail is delete-set-sized and BROADCASTs onto the corpus.
+       fingerprints + verified MinHash pairs name every dropped id.
+       The trail is NOT force-broadcast: a dedup drop set scales
+       WITH the corpus (unlike a takedown notice), and at the 100x
+       probe an explicit broadcast of it blew the driver's broadcast
+       budget — AQE picks broadcast when the trail is actually
+       small and sort-merge when it is not.
     3. **Decontamination screen** (dedup.contamination_overlap): word
        3-gram overlap vs the held-out set (docs 0-9, which never
-       enter the export); docs at overlap_frac >= 0.5 drop. The
-       flagged set is benchmark-neighborhood-sized -> broadcast.
+       enter the export); docs at overlap_frac >= 0.5 drop. Same
+       AQE-decided join (the flagged set is usually tiny but is
+       corpus-proportional in the worst case).
     4. **Token-budget mixture** (token_budget_mixture's exact
        largest-remainder allocation, decimal(38,0) discipline): a
        100k-token budget over the CLEAN corpus yields per-source
@@ -13286,10 +13293,11 @@ def q_training_export_pipeline(spark: SparkSession,
     chain in SQL, so the five stages are value-pinned AS A
     COMPOSITION, not just in isolation.
 
-    Scale shape: two corpus-wide scan+broadcast-join passes (flags +
-    funnel), the detector-bounded pair table, one |sources|-row
-    mixture plan, and a 16-byte/doc manifest rank. No corpus
-    self-join, no global sort of payloads, no per-row Python."""
+    Scale shape: two corpus-wide scan+join passes (flags + funnel;
+    drop-set joins AQE-decided, |sources|-row tables broadcast), the
+    detector-bounded pair table, one |sources|-row mixture plan, and
+    a 16-byte/doc manifest rank. No corpus self-join, no global sort
+    of payloads, no per-row Python."""
     from pyspark.sql.window import Window as W
 
     docs = _t(spark, sf_dir, "documents")
@@ -13318,8 +13326,8 @@ def q_training_export_pipeline(spark: SparkSession,
               .where(F.col("overlap_frac") >= 0.5)
               .select("doc_id").withColumn("__ct", F.lit(1)))
     per_doc = (base
-               .join(F.broadcast(trail), "doc_id", "left")
-               .join(F.broadcast(contam), "doc_id", "left")
+               .join(trail, "doc_id", "left")
+               .join(contam, "doc_id", "left")
                .select("doc_id", "source", "n_chars", "n_tok", "pass_q",
                        F.coalesce(F.col("__dup"), F.lit(0)).alias("dup"),
                        F.coalesce(F.col("__ct"), F.lit(0)).alias("contam")))
@@ -13600,3 +13608,196 @@ def q_decontamination_threshold_sensitivity(spark: SparkSession,
                             / F.col("corpus_tokens").cast("double"), 6)
                     .alias("token_loss_rate"))
             .orderBy("threshold"))
+
+
+_DSA_TRAIL_CTES = ("WITH " + _DD_MH_CTES + ",\n"
+                   + "p AS (" + _DD_MH_PAIRS_SELECT + "),\n" + """
+fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM documents),
+ex AS (SELECT doc_id,
+              min(doc_id) OVER (PARTITION BY fingerprint) AS canonical
+       FROM fp),
+exd AS (SELECT CAST(doc_id AS BIGINT) AS dropped_id,
+               CAST(canonical AS BIGINT) AS kept_id,
+               'exact' AS reason
+        FROM ex WHERE doc_id <> canonical),
+nd AS (SELECT CAST(id_b AS BIGINT) AS dropped_id,
+              CAST(min(id_a) AS BIGINT) AS kept_id,
+              'neardup' AS reason
+       FROM p GROUP BY id_b),
+nd2 AS (SELECT * FROM nd
+        WHERE dropped_id NOT IN (SELECT dropped_id FROM exd)),
+trail AS (SELECT * FROM exd UNION ALL SELECT * FROM nd2),
+m AS (
+  SELECT doc_id,
+         {ltok} AS t,
+         len({ltok}) AS n_words,
+         len(text) - len(replace(text, '#', '')) AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN
+           list_reduce(list_transform(t, s -> len(s)), (a, b) -> a + b)
+             / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN
+           (n_hash + n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0
+         END AS symbol_ratio,
+         CASE WHEN n_words > 0 THEN
+           len(list_filter(t, s -> regexp_matches(s, '[A-Za-z]')))
+             / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_frac,
+         len(list_intersect(list_distinct(list_transform(t, s -> lower(s))),
+                            {stops})) AS n_stop
+  FROM m
+),
+qf AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+         * CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+         * CAST(symbol_ratio <= 0.1 AS INT)
+         * CAST(alpha_frac >= 0.8 AS INT)
+         * CAST(n_stop >= 2 AS INT) AS pass_q
+  FROM x
+)""").format(norm=DD_NORM.format(c="text"),
+             ltok=DD_TOKENS.format(c="text"),
+             stops=_DD_GOPHER_STOPS)
+
+
+@register(
+    "dedup_survivorship_audit",
+    oracle=_DSA_TRAIL_CTES + """
+SELECT t.reason,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(d.pass_q) AS BIGINT) AS n_dropped_pass,
+       CAST(sum(k.pass_q) AS BIGINT) AS n_kept_pass,
+       CAST(sum(CASE WHEN d.pass_q = 1 AND k.pass_q = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+       round(avg(CAST(d.n_words AS DOUBLE) - k.n_words), 6)
+         AS avg_word_delta
+FROM trail t
+JOIN qf d ON t.dropped_id = d.doc_id
+JOIN qf k ON t.kept_id = k.doc_id
+GROUP BY t.reason ORDER BY t.reason
+""")
+def q_dedup_survivorship_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Survivorship-bias audit of the keep-lowest-id dedup policy:
+    per drop reason, how often the DROPPED copy was the better
+    document — it passes the Gopher gate while its keeper fails
+    ("n_inversions"), plus pass counts on both sides and the average
+    word-count delta. A naive canonical rule that systematically
+    keeps the worse copy silently degrades the training set even
+    though dedup "worked"; this ledger is the evidence for switching
+    to dedup_keep_best (which picks by quality) when inversions are
+    material. Reference behavior class: the dedup/validation family's
+    keep-policy decision, measured rather than assumed.
+
+    Scale shape: the provenance trail joins the scan-local quality
+    frame twice (no corpus self-join; the quality kernel is per-row
+    expressions). The trail is NOT force-broadcast — dedup drop sets
+    scale with the corpus (the 100x lesson from
+    training_export_pipeline), so AQE picks the join strategy;
+    output is |reasons| rows. The oracle replays trail + rule chain
+    and joins identically."""
+    docs = _t(spark, sf_dir, "documents")
+    trail = q_dedup_drop_provenance(spark, sf_dir)
+    m = (textstats.gopher_quality_flags(docs)
+         .select("doc_id", F.col("n_words").cast("long").alias("n_words"),
+                 F.col("pass_gopher").alias("pass_q")))
+    d = m.select(F.col("doc_id").alias("dropped_id"),
+                 F.col("n_words").alias("d_words"),
+                 F.col("pass_q").alias("d_pass"))
+    k = m.select(F.col("doc_id").alias("kept_id"),
+                 F.col("n_words").alias("k_words"),
+                 F.col("pass_q").alias("k_pass"))
+    j = (d.join(trail, "dropped_id")
+         .join(k, "kept_id"))
+    return (j.groupBy("reason")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum("d_pass").cast("long").alias("n_dropped_pass"),
+                 F.sum("k_pass").cast("long").alias("n_kept_pass"),
+                 F.sum(F.when((F.col("d_pass") == 1)
+                              & (F.col("k_pass") == 0), 1).otherwise(0))
+                 .cast("long").alias("n_inversions"),
+                 F.round(F.avg(F.col("d_words").cast("double")
+                               - F.col("k_words")), 6)
+                 .alias("avg_word_delta"))
+            .orderBy("reason"))
+
+
+@register(
+    "shard_content_mix",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rn
+  FROM documents
+),
+sl AS (
+  SELECT CAST(rn % 8 AS BIGINT) AS shard, lang,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM r GROUP BY 1, 2
+),
+tots AS (
+  SELECT shard, lang, n_docs,
+         sum(n_docs) OVER (PARTITION BY shard) AS shard_docs,
+         sum(n_docs) OVER (PARTITION BY lang) AS lang_docs,
+         sum(n_docs) OVER () AS all_docs
+  FROM sl
+)
+SELECT shard, lang, n_docs,
+       round(n_docs / CAST(shard_docs AS DOUBLE), 6) AS share_in_shard,
+       round(lang_docs / CAST(all_docs AS DOUBLE), 6) AS corpus_share,
+       round(n_docs / CAST(shard_docs AS DOUBLE)
+             - lang_docs / CAST(all_docs AS DOUBLE), 6) AS skew
+FROM tots ORDER BY shard, lang
+""")
+def q_shard_content_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification QA for the LPT export shards: per (shard, lang),
+    the language share INSIDE the shard vs the corpus-wide share, and
+    their difference. Size-ordered round-robin should scatter every
+    language near-uniformly across shards — a shard whose mix skews
+    from the corpus trains a data-parallel worker on a biased slice
+    (momentum sees language A before B), and this ledger is the check
+    that the cheap LPT rule did not smuggle that in. Complements
+    export_shard_manifest (byte balance) with CONTENT balance.
+
+    Scale shape: the same range-partition + offsets global rank as
+    the manifest (only (doc_id, n_chars, lang) is ranked, never
+    payloads), one (shard, lang) map-combined groupBy, and three
+    window passes over the 8 x |langs| result — everything after the
+    rank runs on ledger-sized data."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    order = [F.desc("n_chars"), F.col("doc_id")]
+    n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "32")) // 4)
+    ranged = (d.repartitionByRange(n_parts, *order)
+              .withColumn("_pid", F.spark_partition_id()))
+    local_rank = F.row_number().over(
+        W.partitionBy("_pid").orderBy(*order))
+    ranked = ranged.withColumn("_rn", local_rank).localCheckpoint()
+    counts = dict(ranked.groupBy("_pid").count().collect())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                          for x in (pid, offsets[pid])])
+    rn0 = (omap[F.col("_pid")] + F.col("_rn") - 1).cast("long")
+    sl = (ranked.withColumn("shard", rn0 % 8)
+          .groupBy("shard", "lang")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    shard_docs = F.sum("n_docs").over(W.partitionBy("shard"))
+    lang_docs = F.sum("n_docs").over(W.partitionBy("lang"))
+    all_docs = F.sum("n_docs").over(W.partitionBy())
+    return (sl.select(
+        "shard", "lang", "n_docs",
+        F.round(F.col("n_docs") / shard_docs.cast("double"), 6)
+        .alias("share_in_shard"),
+        F.round(lang_docs / all_docs.cast("double"), 6)
+        .alias("corpus_share"),
+        F.round(F.col("n_docs") / shard_docs.cast("double")
+                - lang_docs / all_docs.cast("double"), 6).alias("skew"))
+        .orderBy("shard", "lang"))

@@ -28,7 +28,20 @@ DEFAULT_CONF = {
     # at 100 TB this yields ~1.6M splits, which the listing layer and AQE
     # handle; raise to 256m on a real cluster if file count dominates.
     "spark.sql.files.maxPartitionBytes": "67108864",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Broadcast thresholds are SPLIT on purpose (round-10 scale
+    # lesson, caught by the flagship's 100x probe): the STATIC
+    # planner's size estimates are compressed-file-size based, and a
+    # text/array derivation (e.g. the exploded shingle table) expands
+    # 10-20x into a driver-side HashedRelation — a 57 MB parquet
+    # became a ~1 GiB broadcast build and OOMed. AQE can NEVER demote
+    # a statically-chosen broadcast (there is no shuffle to re-read
+    # sizes from), so the static threshold must be conservative; the
+    # ADAPTIVE threshold works on actual post-projection shuffle
+    # bytes and stays aggressive — runtime-small tables still
+    # broadcast, which is where the bench wins come from.
+    "spark.sql.autoBroadcastJoinThreshold": str(16 * 1024 * 1024),
+    "spark.sql.adaptive.autoBroadcastJoinThreshold":
+        str(64 * 1024 * 1024),
     "spark.driver.memory": "8g",
 }
 

@@ -408,7 +408,11 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                     F.col("id").alias("v")))
     dim = spark.range(0, 1000).select(F.col("id").alias("k"),
                                       (F.col("id") * 10).alias("w"))
+    # both thresholds: the engine splits static vs adaptive broadcast
+    # thresholds (session.py), and AQE would convert this join to
+    # broadcast at runtime if only the static one were off
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
     spark.conf.set(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
@@ -426,6 +430,7 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
         assert "skew=true" in final
     finally:
         for c in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold",
                   "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
                   "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
                   "spark.sql.adaptive.advisoryPartitionSizeInBytes"):
@@ -781,7 +786,8 @@ def test_training_export_pipeline_funnel_and_shapes(spark, sf_dir):
     accounts for every sampled doc, shard ids are the round-robin
     range, the corpus-side rank uses the _pid offsets pattern (never
     a global row_number funnel), and no unbounded join shape ever
-    appears (the drop/contamination sets ride broadcast joins)."""
+    appears (drop/contamination joins are AQE-decided equi-joins —
+    never forced broadcast, which OOMed at the 100x probe)."""
     from rag_vector_database_spark.plans import registry
     out = registry.q_training_export_pipeline(spark, sf_dir)
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -802,6 +808,45 @@ def test_training_export_pipeline_funnel_and_shapes(spark, sf_dir):
     # LPT balance: every shard within 25% of the even split
     assert all(0.75 <= r["balance_ratio"] <= 1.25 for r in rows)
     assert abs(sum(r["balance_ratio"] for r in rows) - 8.0) < 1e-3
+
+
+def test_mixture_epoch_schedule_exact_budget(spark, sf_dir):
+    """Hamilton exactness: the per-source targets sum to EXACTLY the
+    3x-token budget (no token lost or invented by rounding), epochs
+    and partial rates are consistent with the targets, and the
+    sqrt-temperature flattening upsamples the smallest source at a
+    strictly higher rate than the largest."""
+    from rag_vector_database_spark.plans import registry
+    rows = registry.q_mixture_epoch_schedule(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert sum(r["target_tokens"] for r in rows) == 3 * total
+    for r in rows:
+        assert r["n_full_epochs"] == r["target_tokens"] // r["n_tokens"]
+        assert 0.0 <= r["partial_rate"] < 1.0
+    lo = min(rows, key=lambda r: r["n_tokens"])
+    hi = max(rows, key=lambda r: r["n_tokens"])
+    if lo["n_tokens"] < hi["n_tokens"]:
+        assert (lo["target_tokens"] / lo["n_tokens"]
+                > hi["target_tokens"] / hi["n_tokens"])
+
+
+def test_decontamination_threshold_sensitivity_monotone(spark, sf_dir):
+    """Raising the cutoff can only shrink the drop set: n_dropped and
+    tokens_dropped are non-increasing in threshold, and rates are
+    consistent with the corpus totals."""
+    from rag_vector_database_spark.plans import registry
+    rows = (registry.q_decontamination_threshold_sensitivity(spark, sf_dir)
+            .collect())
+    assert [r["threshold"] for r in rows] == [0.2, 0.4, 0.6, 0.8]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_dropped"] >= b["n_dropped"]
+        assert a["tokens_dropped"] >= b["tokens_dropped"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_corpus = docs.where(F.col("doc_id") >= 10).count()
+    for r in rows:
+        assert 0 <= r["n_dropped"] <= n_corpus
+        assert abs(r["drop_rate"]
+                   - round(r["n_dropped"] / n_corpus, 6)) < 1e-9
 
 
 def test_ivf_rebalance_planner_actions_consistent(spark, sf_dir):
