@@ -197,12 +197,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sh, bands = _minhash_shingle_bands(df, text_col, key_col, shingle_n,
                                        n_hashes, n_bands)
     cand = _lsh_candidates(bands, max_bucket)
-    # Verification: candidate pairs are a small fraction of the corpus
-    # (bounded by max_bucket * n_bands per doc); AQE broadcasts them
-    # into the persisted shingle table, which then never shuffles.
+    # Verification: the pair side is hinted SHUFFLE_HASH (build side =
+    # cand, the narrow id-pair table). Rationale from the round-10
+    # scale audit: candidate pairs are corpus-PROPORTIONAL (a small
+    # fraction, but a fraction), so neither side is broadcastable at
+    # 100 TB, and without the hint the planner picks a sort-merge that
+    # SORTS the shingle-array table — the most expensive possible
+    # treatment of the widest table in the plan. A shuffled hash join
+    # shuffles both sides on the id but sorts neither and builds its
+    # hash from the narrow pair partitions; when cand is runtime-tiny
+    # AQE still upgrades it to a broadcast of cand.
     sa = sh.select(F.col("k").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("k").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (cand.join(sa, "id_a").join(sb, "id_b")
+    return (cand.hint("shuffle_hash").join(sa, "id_a")
+            .hint("shuffle_hash").join(sb, "id_b")
             .select("id_a", "id_b",
                     jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
             .where(F.col("jaccard") >= F.lit(jaccard_threshold)))

@@ -625,8 +625,19 @@ def rank_normalize(df: DataFrame, signal_cols: list[str],
     sides (quality_blend_rank does) or mirror the ordering."""
     out = df
     for c in signal_cols:
-        hist = df.groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
-        w = Window.orderBy(F.col(c).asc())  # distinct values only: tiny
+        # the quantization the docstring promises is ENFORCED here,
+        # not assumed of the caller (round-10 broadcast audit): a raw
+        # continuous signal has ~N distinct values, which would make
+        # this histogram corpus-sized — the exact
+        # bounded-thing-turns-out-corpus-proportional class the 100x
+        # probe caught in the export flagship. Rounding both the
+        # histogram key and the lookup key keeps the domain bounded
+        # and is a no-op for callers that already pass
+        # ndigits-rounded signals (all graded callers do).
+        qc = F.round(F.col(c), ndigits)
+        hist = df.groupBy(qc.alias("__v")) \
+                 .agg(F.count(F.lit(1)).alias("__cnt"))
+        w = Window.orderBy(F.col("__v").asc())  # distinct values: bounded
         ranks = (hist
                  .withColumn("__below",
                              F.coalesce(
@@ -637,12 +648,13 @@ def rank_normalize(df: DataFrame, signal_cols: list[str],
                  .withColumn("__n", F.sum("__cnt").over(
                      Window.rowsBetween(Window.unboundedPreceding,
                                         Window.unboundedFollowing)))
-                 .select(F.col(c).alias("__v"),
+                 .select("__v",
                          F.round(F.col("__below")
                                  / F.greatest(F.col("__n") - 1, F.lit(1))
                                    .cast("double"), ndigits)
                           .alias(f"pr_{c}")))
-        out = out.join(F.broadcast(ranks), out[c].eqNullSafe(ranks["__v"])) \
+        out = out.join(F.broadcast(ranks),
+                       F.round(out[c], ndigits).eqNullSafe(ranks["__v"])) \
                  .drop("__v")
     return out
 
