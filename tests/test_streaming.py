@@ -727,3 +727,10 @@ def test_late_audit_corrupted_store_raises(tmp_path):
         f.write("epoch_0_deadbeef")  # names a file that doesn't exist
     with pytest.raises(RuntimeError, match="corrupted"):
         se.late_audit_epoch_maxes(state)
+    # a TORN ledger (file exists but is truncated mid-write — invalid
+    # JSON) is the same corrupted-store condition and must raise the
+    # same diagnostic, not leak a bare JSONDecodeError (r10 advisor)
+    with open(os.path.join(state, "epoch_0_deadbeef"), "w") as f:
+        f.write('{"0": 123')  # truncated
+    with pytest.raises(RuntimeError, match="corrupted"):
+        se.late_audit_epoch_maxes(state)
