@@ -430,6 +430,9 @@ WINDOW_PRIORITY: list[str] = [
     "token_entropy",
     "token_collocations",
     "cross_modal_retrieval",
+    # -- round-11 addition (r12 grading queue; registered post-window
+    #    per the addition cap) ---------------------------------------
+    "training_export_keep_best",
     # -- r05-cohort staleness remainder (carries to the r12 window) --
     "large_orders",
     "small_order_revenue",
@@ -13261,55 +13264,18 @@ FROM sh8 ORDER BY shard
             shc=dd_shingles("text", 3))
 
 
-@register("training_export_pipeline", oracle=_TEP_ORACLE)
-def q_training_export_pipeline(spark: SparkSession,
-                               sf_dir: str) -> DataFrame:
-    """THE COMPOSED EXPORT FLAGSHIP — one pass through the
-    training-set assembly layer, every leg the separately-graded
-    operator, proven to agree on one corpus (the export-side mirror
-    of daily_drop_pipeline's maintenance loop; reference analog: the
-    ingest funnel discipline, ingest_chunks_to_chromadb.py:110-238,
-    extended to the export side):
-
-    1. **Quality gate** (textstats.gopher_quality_flags): the Gopher
-       rule conjunction, computed SCAN-LOCAL by threading
-       (doc_id, source, n_chars, n_tok) through the kernel as one
-       struct key — no join to recover the corpus columns.
-    2. **Dedup drops** (the dedup_drop_provenance trail): exact
-       fingerprints + verified MinHash pairs name every dropped id.
-       The trail is NOT force-broadcast: a dedup drop set scales
-       WITH the corpus (unlike a takedown notice), and at the 100x
-       probe an explicit broadcast of it blew the driver's broadcast
-       budget — AQE picks broadcast when the trail is actually
-       small and sort-merge when it is not.
-    3. **Decontamination screen** (dedup.contamination_overlap): word
-       3-gram overlap vs the held-out set (docs 0-9, which never
-       enter the export); docs at overlap_frac >= 0.5 drop. Same
-       AQE-decided join (the flagged set is usually tiny but is
-       corpus-proportional in the worst case).
-    4. **Token-budget mixture** (token_budget_mixture's exact
-       largest-remainder allocation, decimal(38,0) discipline): a
-       100k-token budget over the CLEAN corpus yields per-source
-       sample rates; application is a DETERMINISTIC Bernoulli via the
-       md5 uniform (weighted_domain_sample's u), so the oracle
-       replays membership exactly — no rand(), no seed drift.
-    5. **LPT shard manifest** (export_shard_manifest's
-       range-partition + offsets global rank — never a single-task
-       row_number funnel): survivors round-robin over 8 shards in
-       descending size order.
-
-    Output: the 8-row shard manifest plus the funnel ledger
-    (n_start -> n_pass_quality -> n_after_dedup -> n_clean ->
-    n_sampled) as constant columns — the end-to-end accountability a
-    training-run datasheet records. The oracle replays the whole
-    chain in SQL, so the five stages are value-pinned AS A
-    COMPOSITION, not just in isolation.
-
-    Scale shape: two corpus-wide scan+join passes (flags + funnel;
-    drop-set joins AQE-decided, |sources|-row tables broadcast), the
-    detector-bounded pair table, one |sources|-row mixture plan, and
-    a 16-byte/doc manifest rank. No corpus self-join, no global sort
-    of payloads, no per-row Python."""
+def _training_export_chain(spark: SparkSession, sf_dir: str,
+                           drop_ids: DataFrame) -> DataFrame:
+    """Stages 1 + 3-5 of the export funnel, PARAMETRIC in the dedup
+    drop set (stage 2): ``drop_ids`` is a 1-column (doc_id) DataFrame
+    naming every document the canonical-pick policy decided to drop.
+    q_training_export_pipeline passes the keep-lowest-id provenance
+    trail; q_training_export_keep_best passes the quality-ranked
+    keep-best drop set — the funnel itself (quality gate,
+    decontamination, mixture, LPT shards, ledger) is policy-blind,
+    which is what dedup_survivorship_audit's evidence is FOR. Body is
+    the round-10 flagship verbatim; see q_training_export_pipeline's
+    docstring for the stage-by-stage contract and scale shape."""
     from pyspark.sql.window import Window as W
 
     docs = _t(spark, sf_dir, "documents")
@@ -13330,10 +13296,9 @@ def q_training_export_pipeline(spark: SparkSession,
                     F.col("__k.n_tok").alias("n_tok"),
                     F.col("pass_gopher").alias("pass_q")))
 
-    # 2. + 3. drop sets (both bounded: duplicates / near-benchmark)
-    trail = (q_dedup_drop_provenance(spark, sf_dir)
-             .select(F.col("dropped_id").alias("doc_id"))
-             .distinct().withColumn("__dup", F.lit(1)))
+    # 2. + 3. drop sets (policy-decided dedup drops + near-benchmark)
+    trail = drop_ids.select("doc_id").distinct() \
+        .withColumn("__dup", F.lit(1))
     contam = (dedup.contamination_overlap(corpus, bench, shingle_n=3)
               .where(F.col("overlap_frac") >= 0.5)
               .select("doc_id").withColumn("__ct", F.lit(1)))
@@ -13419,6 +13384,60 @@ def q_training_export_pipeline(spark: SparkSession,
                     "n_start", "n_pass_quality", "n_after_dedup",
                     "n_clean", n_sampled.alias("n_sampled"))
             .orderBy("shard"))
+
+
+@register("training_export_pipeline", oracle=_TEP_ORACLE)
+def q_training_export_pipeline(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """THE COMPOSED EXPORT FLAGSHIP — one pass through the
+    training-set assembly layer, every leg the separately-graded
+    operator, proven to agree on one corpus (the export-side mirror
+    of daily_drop_pipeline's maintenance loop; reference analog: the
+    ingest funnel discipline, ingest_chunks_to_chromadb.py:110-238,
+    extended to the export side):
+
+    1. **Quality gate** (textstats.gopher_quality_flags): the Gopher
+       rule conjunction, computed SCAN-LOCAL by threading
+       (doc_id, source, n_chars, n_tok) through the kernel as one
+       struct key — no join to recover the corpus columns.
+    2. **Dedup drops** (the dedup_drop_provenance trail): exact
+       fingerprints + verified MinHash pairs name every dropped id.
+       The trail is NOT force-broadcast: a dedup drop set scales
+       WITH the corpus (unlike a takedown notice), and at the 100x
+       probe an explicit broadcast of it blew the driver's broadcast
+       budget — AQE picks broadcast when the trail is actually
+       small and sort-merge when it is not.
+    3. **Decontamination screen** (dedup.contamination_overlap): word
+       3-gram overlap vs the held-out set (docs 0-9, which never
+       enter the export); docs at overlap_frac >= 0.5 drop. Same
+       AQE-decided join (the flagged set is usually tiny but is
+       corpus-proportional in the worst case).
+    4. **Token-budget mixture** (token_budget_mixture's exact
+       largest-remainder allocation, decimal(38,0) discipline): a
+       100k-token budget over the CLEAN corpus yields per-source
+       sample rates; application is a DETERMINISTIC Bernoulli via the
+       md5 uniform (weighted_domain_sample's u), so the oracle
+       replays membership exactly — no rand(), no seed drift.
+    5. **LPT shard manifest** (export_shard_manifest's
+       range-partition + offsets global rank — never a single-task
+       row_number funnel): survivors round-robin over 8 shards in
+       descending size order.
+
+    Output: the 8-row shard manifest plus the funnel ledger
+    (n_start -> n_pass_quality -> n_after_dedup -> n_clean ->
+    n_sampled) as constant columns — the end-to-end accountability a
+    training-run datasheet records. The oracle replays the whole
+    chain in SQL, so the five stages are value-pinned AS A
+    COMPOSITION, not just in isolation.
+
+    Scale shape: two corpus-wide scan+join passes (flags + funnel;
+    drop-set joins AQE-decided, |sources|-row tables broadcast), the
+    detector-bounded pair table, one |sources|-row mixture plan, and
+    a 16-byte/doc manifest rank. No corpus self-join, no global sort
+    of payloads, no per-row Python."""
+    drop_ids = (q_dedup_drop_provenance(spark, sf_dir)
+                .select(F.col("dropped_id").alias("doc_id")))
+    return _training_export_chain(spark, sf_dir, drop_ids)
 
 
 @register(
@@ -13813,3 +13832,148 @@ def q_shard_content_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs") / shard_docs.cast("double")
                 - lang_docs / all_docs.cast("double"), 6).alias("skew"))
         .orderBy("shard", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# Round-11 addition: the export funnel made POLICY-PARAMETRIC.
+# dedup_survivorship_audit measures how often keep-lowest-id drops the
+# better copy; this is the operator that verdict feeds — the same
+# five-stage export chain with dedup_keep_best's quality-ranked
+# canonical pick swapped in as stage 2. Registered in the
+# WINDOW_PRIORITY tail (the r12 grading queue) per the addition cap.
+
+# Keep-best drop-set CTEs: quality score (dedup_keep_best's kq chain,
+# 6dp-rounded so both engines rank identical values), exact groups
+# keep the best-quality member, then connected components over the
+# verified pairs RESTRICTED to exact survivors keep the best member
+# per cluster. Ends with the same `trail AS (... dropped_id ...)`
+# contract the flagship tail consumes.
+_TEKB_TRAIL = """
+fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM documents),
+kq0 AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len({tok}) > 0
+              THEN CAST(len(list_intersect(list_distinct({ltok}), {en})) AS DOUBLE) / len({tok})
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len({tok}) > 0
+              THEN CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok})
+              ELSE 0.0 END AS ttr,
+         least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) AS len_sat
+  FROM documents
+),
+kq AS (
+  SELECT doc_id,
+         round(greatest(least(0.4 * len_sat + 0.3 * ttr
+               + 0.3 * least(stop_ratio * 5.0, 1.0)
+               - 0.2 * punct_ratio, 1.0), 0.0), 6) AS quality
+  FROM kq0
+),
+exr AS (
+  SELECT f.doc_id,
+         row_number() OVER (PARTITION BY f.fingerprint
+                            ORDER BY k.quality DESC, f.doc_id) AS rn
+  FROM fp f JOIN kq k ON k.doc_id = f.doc_id
+),
+exd AS (SELECT doc_id AS dropped_id FROM exr WHERE rn > 1),
+sp AS (SELECT id_a, id_b FROM p
+       WHERE id_a NOT IN (SELECT dropped_id FROM exd)
+         AND id_b NOT IN (SELECT dropped_id FROM exd)),
+edges AS (SELECT id_a AS src, id_b AS dst FROM sp
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM sp),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+clusters AS (
+  SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id
+),
+ndr AS (
+  SELECT c.id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY k.quality DESC, c.id) AS rn
+  FROM clusters c JOIN kq k ON k.doc_id = c.id
+),
+trail AS (SELECT dropped_id FROM exd
+          UNION
+          SELECT id AS dropped_id FROM ndr WHERE rn > 1),
+""".format(norm=DD_NORM.format(c="text"),
+           tok=DD_TOKENS.format(c="text"),
+           ltok=DD_TOKENS.format(c="lower(text)"),
+           en=_dd_stoplist("en"))
+
+# Compose: the flagship oracle's head (minhash CTEs + verified pairs)
+# and tail (corpus/quality-gate/contamination/mixture/shards, which
+# consumes only `trail`) are REUSED by slicing the already-formatted
+# _TEP_ORACLE — the two variants can never drift apart on the shared
+# stages. RECURSIVE is required by the `reach` CC closure.
+_TEKB_ORACLE = ("WITH RECURSIVE "
+                + _TEP_ORACLE[len("WITH "):_TEP_ORACLE.index("\nfp AS (")]
+                + _TEKB_TRAIL
+                + _TEP_ORACLE[_TEP_ORACLE.index("corpus AS ("):])
+
+
+@register("training_export_keep_best", oracle=_TEKB_ORACLE)
+def q_training_export_keep_best(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The export flagship under the KEEP-BEST canonical rule — the
+    action dedup_survivorship_audit's inversion evidence argues for
+    (reference analog: the ingest funnel's keep/skip discipline,
+    ingest_chunks_to_chromadb.py:175-186, with the keep side chosen
+    by measured quality instead of arrival order). Stage 2 only:
+
+    - exact groups keep their highest-quality member (quality_score's
+      6dp composite; ties to the lowest id), not the lowest id;
+    - verified MinHash pairs are restricted to exact survivors, then
+      connected components (dedup_keep_best's cluster closure) keep
+      the best member per cluster.
+
+    Stages 1 + 3-5 and the funnel ledger are _training_export_chain
+    VERBATIM — the same code object the graded flagship runs — so a
+    value-green row here proves the funnel is policy-parametric
+    rather than keep-lowest-id-only. Output schema identical to
+    training_export_pipeline (8 shard rows + funnel constants).
+
+    Scale shape vs the flagship: one extra corpus-scan quality pass
+    (scan-local expressions), one fingerprint-partition window (the
+    same single shuffle exact_duplicates always pays), and the CC
+    closure over the detector-bounded pair graph (O(diameter) rounds
+    of join+groupBy on pair-sized tables — dup clusters are shallow).
+    The drop set stays corpus-proportional and is never broadcast by
+    hand; AQE decides the trail joins, exactly as in the flagship."""
+    docs = _t(spark, sf_dir, "documents")
+    kq = textstats.quality_score(docs).select("doc_id", "quality")
+
+    ex = dedup.exact_duplicates(docs).join(kq, "doc_id")
+    wfp = Window.partitionBy("fingerprint").orderBy(
+        F.desc("quality"), F.col("doc_id"))
+    exd = (ex.withColumn("rn", F.row_number().over(wfp))
+           .where(F.col("rn") > 1)
+           .select(F.col("doc_id").cast("long").alias("dropped_id")))
+
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+    sp = (pairs
+          .join(exd.select(F.col("dropped_id").alias("id_a")),
+                "id_a", "left_anti")
+          .join(exd.select(F.col("dropped_id").alias("id_b")),
+                "id_b", "left_anti"))
+    cc = dedup.connected_components(sp)
+    wcl = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.col("id"))
+    ndd = (cc.join(kq, cc.id == kq.doc_id)
+           .withColumn("rn", F.row_number().over(wcl))
+           .where(F.col("rn") > 1)
+           .select(F.col("id").cast("long").alias("dropped_id")))
+
+    drop_ids = (exd.unionByName(ndd).distinct()
+                .select(F.col("dropped_id").alias("doc_id")))
+    return _training_export_chain(spark, sf_dir, drop_ids)

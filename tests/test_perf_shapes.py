@@ -982,3 +982,82 @@ def test_broadcast_threshold_split_pinned(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(static))
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
                        str(adaptive))
+
+
+def test_training_export_keep_best_policy_and_shapes(spark, sf_dir):
+    """The policy-parametric export variant: same funnel/manifest
+    contract as the flagship (shared _training_export_chain), stage
+    1's totals IDENTICAL to the flagship (the policy only changes WHO
+    is dropped in stage 2), and the keep-best pick verified against
+    an independent union-find re-derivation — in every near-dup
+    cluster of the exact-survivor pair graph, the one member NOT in
+    the drop set is the (quality DESC, id ASC) maximum."""
+    from rag_vector_database_spark.operators import dedup, textstats
+    from rag_vector_database_spark.plans import registry
+
+    out = registry.q_training_export_keep_best(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "_pid" in plan  # offsets rank, not a SinglePartition sort
+    rows = out.collect()
+    base = registry.q_training_export_pipeline(spark, sf_dir).collect()
+    f, g = rows[0], base[0]
+    # stage-1 totals are policy-independent; later funnel stages are
+    # monotone under either policy
+    assert (f["n_start"], f["n_pass_quality"]) == \
+        (g["n_start"], g["n_pass_quality"])
+    assert (f["n_start"] >= f["n_pass_quality"] >= f["n_after_dedup"]
+            >= f["n_clean"] >= f["n_sampled"] >= 1)
+    assert sum(r["n_docs"] for r in rows) == f["n_sampled"]
+    assert [r["shard"] for r in rows] == sorted(r["shard"] for r in rows)
+
+    # independent re-derivation of the keep-best pick (python
+    # union-find over the exact-survivor pair graph, tiny at sf0.001)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = {r["doc_id"]: r["quality"]
+         for r in textstats.quality_score(docs).collect()}
+    ex = dedup.exact_duplicates(docs).collect()
+    groups = {}
+    for r in ex:
+        groups.setdefault(r["fingerprint"], []).append(r["doc_id"])
+    ex_drops = set()
+    for ids in groups.values():
+        best = min(ids, key=lambda i: (-q[i], i))
+        ex_drops |= set(ids) - {best}
+    pairs = [(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+        docs, shingle_n=registry._MH["shingle_n"],
+        n_hashes=registry._MH["n_hashes"],
+        n_bands=registry._MH["n_bands"],
+        jaccard_threshold=registry._MH["threshold"],
+        max_bucket=registry._MH["max_bucket"]).collect()
+        if r["id_a"] not in ex_drops and r["id_b"] not in ex_drops]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    clusters = {}
+    for x in list(parent):
+        clusters.setdefault(find(x), []).append(x)
+    nd_drops = set()
+    for ids in clusters.values():
+        best = min(ids, key=lambda i: (-q[i], i))
+        nd_drops |= set(ids) - {best}
+    want_dropped = ex_drops | nd_drops
+    # the funnel's dedup stage must have dropped exactly this set:
+    # n_after_dedup counts quality-passing docs not in the drop set
+    flags = {r["doc_id"]: r["pass_gopher"] for r in
+             textstats.gopher_quality_flags(
+                 docs.where(F.col("doc_id") >= 10)).collect()}
+    expect_after_dedup = sum(
+        1 for d, p in flags.items() if p == 1 and d not in want_dropped)
+    assert f["n_after_dedup"] == expect_after_dedup
+    dedup.release_caches()
