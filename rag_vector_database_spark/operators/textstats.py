@@ -66,6 +66,43 @@ def token_stats(df: DataFrame, text_col: str = "text",
                 .otherwise(0.0), 6).alias("chars_per_token"))
 
 
+def _quality_parts(text: Column) -> dict[str, Column]:
+    """The quality composite's ingredient expressions, shared by
+    quality_score (the DataFrame view) and quality_expr (the
+    embeddable column)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = (F.length(text)
+             - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")))
+    return {
+        "n_chars": n_chars,
+        "punct_ratio": F.when(n_chars > 0,
+                              punct.cast("double") / n_chars).otherwise(0.0),
+        "stop_ratio": F.when(n_tok > 0,
+                             stopword_hits(text, "en").cast("double")
+                             / n_tok).otherwise(0.0),
+        "ttr": F.when(n_tok > 0,
+                      F.size(F.array_distinct(toks)).cast("double")
+                      / n_tok).otherwise(0.0),
+        "len_sat": F.least(n_chars.cast("double") / 400.0, F.lit(1.0)),
+    }
+
+
+def quality_expr(text: Column) -> Column:
+    """The composite quality score in [0, 1] as a COLUMN EXPRESSION
+    (6dp-rounded), so callers can thread it through another kernel's
+    struct key — kernels pass key_col verbatim, which yields
+    one-scan/zero-join compositions (see
+    quality_gate_calibration_matrix). quality_score is the DataFrame
+    wrapper over the same formula."""
+    p = _quality_parts(text)
+    score = (F.lit(0.4) * p["len_sat"] + F.lit(0.3) * p["ttr"]
+             + F.lit(0.3) * F.least(p["stop_ratio"] * 5.0, F.lit(1.0))
+             - F.lit(0.2) * p["punct_ratio"])
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   key_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features + composite score in [0,1]:
@@ -73,27 +110,14 @@ def quality_score(df: DataFrame, text_col: str = "text",
     penalty — the shape of production quality filters (exact weights
     are a policy knob, not a semantic)."""
     text = F.col(text_col)
-    toks = tokens(text)
-    n_tok = F.size(toks)
-    n_chars = F.length(text)
-    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
-    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
-    stop_ratio = F.when(n_tok > 0,
-                        stopword_hits(text, "en").cast("double") / n_tok).otherwise(0.0)
-    ttr = F.when(n_tok > 0,
-                 F.size(F.array_distinct(toks)).cast("double") / n_tok).otherwise(0.0)
-    len_sat = F.least(n_chars.cast("double") / 400.0, F.lit(1.0))
-    score = (F.lit(0.4) * len_sat + F.lit(0.3) * ttr
-             + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
-             - F.lit(0.2) * punct_ratio)
+    p = _quality_parts(text)
     return df.select(
         F.col(key_col),
-        n_chars.alias("n_chars_q"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(ttr, 6).alias("ttr"),
-        F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
-         .alias("quality"))
+        p["n_chars"].alias("n_chars_q"),
+        F.round(p["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(p["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(p["ttr"], 6).alias("ttr"),
+        quality_expr(text).alias("quality"))
 
 
 def doc_fingerprints(df: DataFrame, text_col: str = "text",

@@ -430,9 +430,11 @@ WINDOW_PRIORITY: list[str] = [
     "token_entropy",
     "token_collocations",
     "cross_modal_retrieval",
-    # -- round-11 addition (r12 grading queue; registered post-window
+    # -- round-11 additions (r12 grading queue; registered post-window
     #    per the addition cap) ---------------------------------------
     "training_export_keep_best",
+    "quality_gate_calibration_matrix",
+    "stratified_shard_content_mix",
     # -- r05-cohort staleness remainder (carries to the r12 window) --
     "large_orders",
     "small_order_revenue",
@@ -4038,17 +4040,54 @@ SELECT quartile, CAST(count(*) AS BIGINT) AS n_orders,
 FROM q GROUP BY quartile ORDER BY quartile
 """)
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth quartile bucketing via NTILE — the profiling shape
-    behind outlier capping and curriculum binning. The global-order
-    window is the one legitimately expensive step (single-partition
-    sort); at 100 TB the approx path (value_percentiles'
-    percentile_approx cutpoints + a scan-local CASE) replaces it —
-    this query is the exact twin the approx path is checked against.
-    Ordering is tie-broken on o_orderkey so the bucket assignment is
-    deterministic across engines."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+    """Equi-depth quartile bucketing with EXACT NTILE semantics —
+    the profiling shape behind outlier capping and curriculum
+    binning — computed WITHOUT the single-partition global window a
+    bare ``ntile(4) OVER (ORDER BY ...)`` compiles to (r11 staleness
+    fix: the r05 version paid that single-task sort and scaled 3.7x
+    at 10x data). The global rank comes from the range-partition +
+    per-partition row_number + driver offsets pattern
+    (export_shard_manifest's kernel; the collect is bounded by
+    shuffle-partition count), and NTILE's bucket rule is replayed
+    integer-exactly from (rank, N): the first N mod 4 buckets take
+    ceil(N/4) rows, the rest floor(N/4) — so the result is
+    value-identical to the window form (the oracle still uses SQL
+    ntile) while every stage stays parallel. Ordering is tie-broken
+    on o_orderkey so the bucket assignment is deterministic across
+    engines. value_percentiles remains the approx cutpoint twin."""
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    order = [F.col("o_totalprice"), F.col("o_orderkey")]
+    n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "32")) // 4)
+    ranged = (o.repartitionByRange(n_parts, *order)
+              .withColumn("_pid", F.spark_partition_id()))
+    local_rank = F.row_number().over(W.partitionBy("_pid").orderBy(*order))
+    ranked = ranged.withColumn("_rn", local_rank).localCheckpoint()
+    counts = dict(ranked.groupBy("_pid").count().collect())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    n = acc
+    omap = F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                          for x in (pid, offsets[pid])])
+    ranked = ranked.select(
+        "o_totalprice",
+        (omap[F.col("_pid")] + F.col("_rn")).cast("long").alias("rnk"))
+    q, r = divmod(n, 4)
+    if q == 0:  # fewer rows than buckets: NTILE gives bucket = rank
+        quartile = F.col("rnk").cast("int")
+    else:
+        big = r * (q + 1)  # rows living in the ceil-sized buckets
+        # integer-exact ceilings: ceil(a/b) == (a + b - 1) div b
+        quartile = F.when(
+            F.col("rnk") <= big,
+            F.expr(f"CAST((rnk + {q}) DIV {q + 1} AS INT)"),
+        ).otherwise(
+            F.expr(f"CAST({r} + (rnk - {big} + {q - 1}) DIV {q} AS INT)"))
+    return (ranked.select("o_totalprice", quartile.alias("quartile"))
             .groupBy("quartile")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.round(F.min("o_totalprice"), 6).alias("lo"),
@@ -13977,3 +14016,258 @@ def q_training_export_keep_best(spark: SparkSession,
     drop_ids = (exd.unionByName(ndd).distinct()
                 .select(F.col("dropped_id").alias("doc_id")))
     return _training_export_chain(spark, sf_dir, drop_ids)
+
+
+@register(
+    "quality_gate_calibration_matrix",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         {ltok} AS t,
+         len({ltok}) AS n_words,
+         len(text) - len(replace(text, '#', '')) AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN
+           list_reduce(list_transform(t, s -> len(s)), (a, b) -> a + b)
+             / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN
+           (n_hash + n_ell) / CAST(n_words AS DOUBLE) ELSE 0.0
+         END AS symbol_ratio,
+         CASE WHEN n_words > 0 THEN
+           len(list_filter(t, s -> regexp_matches(s, '[A-Za-z]')))
+             / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_frac,
+         len(list_intersect(list_distinct(list_transform(t, s -> lower(s))),
+                            {stops})) AS n_stop
+  FROM m
+),
+gf AS (
+  SELECT doc_id,
+         CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+         * CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+         * CAST(symbol_ratio <= 0.1 AS INT)
+         * CAST(alpha_frac >= 0.8 AS INT)
+         * CAST(n_stop >= 2 AS INT) AS g
+  FROM x
+),
+kq0 AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len({tok}) > 0
+              THEN CAST(len(list_intersect(list_distinct({ltok2}), {en})) AS DOUBLE) / len({tok})
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len({tok}) > 0
+              THEN CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok})
+              ELSE 0.0 END AS ttr,
+         least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) AS len_sat
+  FROM documents
+),
+kq AS (
+  SELECT doc_id,
+         round(greatest(least(0.4 * len_sat + 0.3 * ttr
+               + 0.3 * least(stop_ratio * 5.0, 1.0)
+               - 0.2 * punct_ratio, 1.0), 0.0), 6) AS q
+  FROM kq0
+),
+j AS (SELECT kq.q, gf.g FROM kq JOIN gf USING (doc_id)),
+agg AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(g) AS BIGINT) AS n_gate_pass,
+    CAST(sum(CASE WHEN q >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+    CAST(sum(CASE WHEN q >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+    CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS p5,
+    CAST(sum(CASE WHEN q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS p6,
+    CAST(sum(CASE WHEN q >= 0.3 AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp3,
+    CAST(sum(CASE WHEN q >= 0.4 AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp4,
+    CAST(sum(CASE WHEN q >= 0.5 AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp5,
+    CAST(sum(CASE WHEN q >= 0.6 AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp6
+  FROM j
+),
+u AS (
+  SELECT CAST(0.3 AS DOUBLE) AS threshold, p3 AS n_pred_pass, tp3 AS tp,
+         n_gate_pass, n_docs FROM agg
+  UNION ALL SELECT CAST(0.4 AS DOUBLE), p4, tp4, n_gate_pass, n_docs FROM agg
+  UNION ALL SELECT CAST(0.5 AS DOUBLE), p5, tp5, n_gate_pass, n_docs FROM agg
+  UNION ALL SELECT CAST(0.6 AS DOUBLE), p6, tp6, n_gate_pass, n_docs FROM agg
+)
+SELECT threshold, n_pred_pass, n_gate_pass, tp,
+       CAST(n_pred_pass - tp AS BIGINT) AS fp,
+       CAST(n_gate_pass - tp AS BIGINT) AS fn,
+       round(CASE WHEN n_pred_pass > 0
+                  THEN tp / CAST(n_pred_pass AS DOUBLE) ELSE 0.0 END, 6)
+         AS precision_vs_gate,
+       round(CASE WHEN n_gate_pass > 0
+                  THEN tp / CAST(n_gate_pass AS DOUBLE) ELSE 0.0 END, 6)
+         AS recall_vs_gate
+FROM u ORDER BY threshold
+""".format(ltok=DD_TOKENS.format(c="text"),
+           ltok2=DD_TOKENS.format(c="lower(text)"),
+           tok=DD_TOKENS.format(c="text"),
+           stops=_DD_GOPHER_STOPS,
+           en=_dd_stoplist("en")))
+def q_quality_gate_calibration_matrix(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Can the CHEAP composite quality score stand in for the full
+    Gopher rule set at 100 TB? For each candidate score cutoff, the
+    confusion counts and precision/recall of "score >= cutoff"
+    predicting the gate's verdict — the measured evidence for
+    swapping a multi-rule filter for a one-expression screen (or for
+    refusing to). The acquisition-side twin of
+    quality_gate_source_matrix (which compares gates to each other;
+    this calibrates a scorer AGAINST a gate). Reference behavior
+    class: the validation-filter discipline, measured rather than
+    assumed.
+
+    Scale shape: ONE corpus scan — the quality composite rides the
+    Gopher kernel's struct key (textstats.quality_expr; kernels pass
+    key_col verbatim), so there is NO corpus self-join; all four
+    cutoffs are conditional sums in ONE 1-row aggregate,
+    stack-unpivoted to the 4-row ledger (the one-pass banding-planner
+    discipline). Division-by-zero guarded identically in both
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    packed = docs.select(
+        F.struct(F.col("doc_id"),
+                 textstats.quality_expr(F.col("text")).alias("q"))
+        .alias("__k"), "text")
+    flags = (textstats.gopher_quality_flags(packed, key_col="__k")
+             .select(F.col("__k.q").alias("q"),
+                     F.col("pass_gopher").alias("g")))
+    conds = [F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("g").cast("long").alias("n_gate_pass")]
+    for th, pn, tn in ((0.3, "p3", "tp3"), (0.4, "p4", "tp4"),
+                       (0.5, "p5", "tp5"), (0.6, "p6", "tp6")):
+        conds.append(F.sum(F.when(F.col("q") >= th, 1).otherwise(0))
+                     .cast("long").alias(pn))
+        conds.append(F.sum(F.when((F.col("q") >= th) & (F.col("g") == 1),
+                                  1).otherwise(0)).cast("long").alias(tn))
+    agg = flags.agg(*conds)
+    u = agg.select(F.expr(
+        "stack(4, "
+        "cast(0.3 as double), p3, tp3, "
+        "cast(0.4 as double), p4, tp4, "
+        "cast(0.5 as double), p5, tp5, "
+        "cast(0.6 as double), p6, tp6) "
+        "as (threshold, n_pred_pass, tp)"),
+        "n_gate_pass", "n_docs")
+    prec = F.when(F.col("n_pred_pass") > 0,
+                  F.col("tp") / F.col("n_pred_pass").cast("double")) \
+        .otherwise(0.0)
+    rec = F.when(F.col("n_gate_pass") > 0,
+                 F.col("tp") / F.col("n_gate_pass").cast("double")) \
+        .otherwise(0.0)
+    return (u.select(
+        "threshold", "n_pred_pass", "n_gate_pass", "tp",
+        (F.col("n_pred_pass") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_gate_pass") - F.col("tp")).cast("long").alias("fn"),
+        F.round(prec, 6).alias("precision_vs_gate"),
+        F.round(rec, 6).alias("recall_vs_gate"))
+        .orderBy("threshold"))
+
+
+@register(
+    "stratified_shard_content_mix",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) - 1 AS rn
+  FROM documents
+),
+sl AS (
+  SELECT CAST(rn % 8 AS BIGINT) AS shard, lang,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM r GROUP BY 1, 2
+),
+tots AS (
+  SELECT shard, lang, n_docs,
+         sum(n_docs) OVER (PARTITION BY shard) AS shard_docs,
+         sum(n_docs) OVER (PARTITION BY lang) AS lang_docs,
+         sum(n_docs) OVER () AS all_docs
+  FROM sl
+)
+SELECT shard, lang, n_docs,
+       round(n_docs / CAST(shard_docs AS DOUBLE), 6) AS share_in_shard,
+       round(lang_docs / CAST(all_docs AS DOUBLE), 6) AS corpus_share,
+       round(n_docs / CAST(shard_docs AS DOUBLE)
+             - lang_docs / CAST(all_docs AS DOUBLE), 6) AS skew
+FROM tots ORDER BY shard, lang
+""")
+def q_stratified_shard_content_mix(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The REPAIR for the skew shard_content_mix measures: LPT
+    sharding stratified BY LANGUAGE — each language's docs round-robin
+    over the 8 shards in their own descending-size order, so every
+    shard receives each language's share by construction (per-shard
+    language mix deviates from the corpus mix by at most 1 doc per
+    language; the plain LPT rule can smuggle in real skew because a
+    language's docs cluster in the global size order). Output is the
+    same (shard, lang) mix ledger as shard_content_mix, so the two
+    policies are directly comparable; the invariant test pins
+    stratified max|skew| <= plain max|skew|.
+
+    Scale shape — the interesting kernel is the GROUPED global rank
+    without a grouped single-task window: a bare ``row_number() OVER
+    (PARTITION BY lang ORDER BY size)`` puts each language in ONE
+    task, and at 100 TB the dominant language IS the corpus (the
+    exact single-partition funnel the offsets pattern exists to
+    kill). Instead: range-partition on (lang, size-order) — each
+    partition holds a contiguous slice of one-or-more languages —
+    rank partition-locally, then add per-(lang, partition) offsets
+    from one bounded collect (|langs| x shuffle-partition rows, never
+    payloads; the same driver-boundedness contract as
+    export_shard_manifest's _pid offsets). Everything after the rank
+    runs on the 8 x |langs| ledger."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    order = [F.col("lang"), F.desc("n_chars"), F.col("doc_id")]
+    n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "32")) // 4)
+    ranged = (d.repartitionByRange(n_parts, *order)
+              .withColumn("_pid", F.spark_partition_id()))
+    local_rank = F.row_number().over(
+        W.partitionBy("_pid", "lang").orderBy(F.desc("n_chars"),
+                                              F.col("doc_id")))
+    ranked = ranged.withColumn("_rn", local_rank).localCheckpoint()
+    # bounded collect: one (lang, pid, count) row per language slice
+    # per partition — |langs| x n_parts worst case, never doc rows
+    counts = {(row["lang"], row["_pid"]): row["count"]
+              for row in ranked.groupBy("lang", "_pid").count().collect()}
+    offsets, acc = {}, {}
+    for lang, pid in sorted(counts, key=lambda k: (str(k[0]), k[1])):
+        offsets[(lang, pid)] = acc.get(lang, 0)
+        acc[lang] = acc.get(lang, 0) + counts[(lang, pid)]
+    # NULL-safe key: concat_ws SKIPS null args, which would collide
+    # ("en"#3 vs NULL-lang partition 3) — coalesce to a sentinel on
+    # both the literal-map side and the lookup side
+    _NULL_LANG = "\x00null"
+    omap = F.create_map(*[
+        F.lit(x) for (lang, pid) in sorted(
+            offsets, key=lambda k: (str(k[0]), k[1]))
+        for x in (F.lit(f"{_NULL_LANG if lang is None else lang}#{pid}"),
+                  F.lit(offsets[(lang, pid)]))])
+    key = F.concat_ws("#", F.coalesce(F.col("lang"), F.lit(_NULL_LANG)),
+                      F.col("_pid").cast("string"))
+    rn0 = (omap[key] + F.col("_rn") - 1).cast("long")
+    sl = (ranked.withColumn("shard", rn0 % 8)
+          .groupBy("shard", "lang")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    shard_docs = F.sum("n_docs").over(W.partitionBy("shard"))
+    lang_docs = F.sum("n_docs").over(W.partitionBy("lang"))
+    all_docs = F.sum("n_docs").over(W.partitionBy())
+    return (sl.select(
+        "shard", "lang", "n_docs",
+        F.round(F.col("n_docs") / shard_docs.cast("double"), 6)
+        .alias("share_in_shard"),
+        F.round(lang_docs / all_docs.cast("double"), 6)
+        .alias("corpus_share"),
+        F.round(F.col("n_docs") / shard_docs.cast("double")
+                - lang_docs / all_docs.cast("double"), 6).alias("skew"))
+        .orderBy("shard", "lang"))

@@ -241,8 +241,11 @@ def test_tpch_shape_plans(spark):
 
 def test_curation_shape_plans(spark):
     """stratified_sample and doc_length_histogram must stay scan-local
-    (one agg shuffle, no join, no window); quantile_buckets is the one
-    query allowed a global-order window (documented exact twin)."""
+    (one agg shuffle, no join, no window); quantile_buckets — which
+    until round 11 was the one query allowed a global-order window —
+    must now carry NO SinglePartition exchange: its exact NTILE rides
+    the range-partition + offsets rank (window only partition-local,
+    over _pid)."""
     from rag_vector_database_spark.plans import registry
 
     sf = "/root/testdata/sf0.001"
@@ -256,6 +259,11 @@ def test_curation_shape_plans(spark):
     hplan = hist._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in hplan and "Join" not in hplan
     assert hplan.count("HashAggregate") >= 2
+
+    qb = registry.q_quantile_buckets(spark, sf)
+    qplan = qb._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in qplan
+    assert "rangepartitioning" in qplan
 
 
 def test_approx_percentile_brackets_exact_quartiles(spark):
@@ -1061,3 +1069,60 @@ def test_training_export_keep_best_policy_and_shapes(spark, sf_dir):
         1 for d, p in flags.items() if p == 1 and d not in want_dropped)
     assert f["n_after_dedup"] == expect_after_dedup
     dedup.release_caches()
+
+
+def test_quality_gate_calibration_is_single_scan(spark, sf_dir):
+    """The calibration matrix's whole point at 100 TB: the quality
+    composite rides the Gopher kernel's struct key, so the physical
+    plan has NO join and ONE exchange (the 1-row aggregate's); counts
+    are internally consistent and monotone in the cutoff."""
+    from rag_vector_database_spark.plans import registry
+    out = registry.q_quality_gate_calibration_matrix(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    rows = out.collect()
+    assert [r["threshold"] for r in rows] == [0.3, 0.4, 0.5, 0.6]
+    for r in rows:
+        assert 0 <= r["tp"] <= min(r["n_pred_pass"], r["n_gate_pass"])
+        assert r["fp"] == r["n_pred_pass"] - r["tp"] >= 0
+        assert r["fn"] == r["n_gate_pass"] - r["tp"] >= 0
+        assert 0.0 <= r["precision_vs_gate"] <= 1.0
+        assert 0.0 <= r["recall_vs_gate"] <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pred_pass"] >= b["n_pred_pass"]  # stricter cutoff
+        assert a["tp"] >= b["tp"]                    # recall shrinks
+        assert a["n_gate_pass"] == b["n_gate_pass"]  # gate is fixed
+
+
+def test_stratified_shard_mix_beats_plain_lpt(spark, sf_dir, tmp_path):
+    """The stratified policy's contract: per-language round-robin
+    makes every (shard, lang) count within 1 doc of the language's
+    even split (so max |skew| can never exceed plain LPT's), every
+    doc is assigned exactly once, and a NULL language is routed
+    through the sentinel key rather than colliding with a real one."""
+    from rag_vector_database_spark.plans import registry
+
+    strat = registry.q_stratified_shard_content_mix(spark, sf_dir) \
+        .collect()
+    plain = registry.q_shard_content_mix(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in strat) == docs.count()
+    # per (lang): stratified counts within 1 of the even split
+    lang_tot = {}
+    for r in strat:
+        lang_tot[r["lang"]] = lang_tot.get(r["lang"], 0) + r["n_docs"]
+    for r in strat:
+        lo, hi = lang_tot[r["lang"]] // 8, -(-lang_tot[r["lang"]] // 8)
+        assert lo <= r["n_docs"] <= hi
+    assert max(abs(r["skew"]) for r in strat) <= \
+        max(abs(r["skew"]) for r in plain) + 1e-9
+    # NULL-lang routing: a 3-language corpus with one NULL slice still
+    # accounts for every doc exactly once
+    import os
+    rows = [(i, 100 + i, ["en", "de", None][i % 3]) for i in range(60)]
+    tiny = spark.createDataFrame(rows, "doc_id long, n_chars long, lang string")
+    d = str(tmp_path / "nulldocs")
+    tiny.write.parquet(os.path.join(d, "documents.parquet"))
+    out = registry.q_stratified_shard_content_mix(spark, d).collect()
+    assert sum(r["n_docs"] for r in out) == 60
+    assert {r["lang"] for r in out} == {"en", "de", None}
