@@ -435,6 +435,7 @@ WINDOW_PRIORITY: list[str] = [
     "training_export_keep_best",
     "quality_gate_calibration_matrix",
     "stratified_shard_content_mix",
+    "epoch_sample_manifest",
     # -- r05-cohort staleness remainder (carries to the r12 window) --
     "large_orders",
     "small_order_revenue",
@@ -13537,12 +13538,24 @@ def q_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     real corpus sizes), so no float boundary can move a token between
     sources. Scale shape: one scan-local token count folded map-side,
     then a |sources|-row plan (two windows + one rank)."""
-    from pyspark.sql.window import Window as W
-
     d = _t(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(
         F.sum(F.size(T.tokens(F.col("text")))).cast("long")
         .alias("n_tokens"))
+    return (_epoch_schedule_from_counts(s)
+            .select("source", "n_tokens", "wppm", "target_tokens",
+                    "n_full_epochs", "partial_rate")
+            .orderBy("source"))
+
+
+def _epoch_schedule_from_counts(s: DataFrame) -> DataFrame:
+    """The sqrt-temperature repeat-factor schedule over a (source,
+    n_tokens) ledger — shared by q_mixture_epoch_schedule (which
+    emits it directly) and q_epoch_sample_manifest (which applies
+    it). Pure |sources|-row plan; integer Hamilton on decimal(38,0)
+    products (see q_mixture_epoch_schedule's exactness notes)."""
+    from pyspark.sql.window import Window as W
+
     w = s.withColumn(
         "wppm", F.floor(F.sqrt(F.col("n_tokens").cast("double"))
                         * 1000000).cast("long"))
@@ -13564,14 +13577,15 @@ def q_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
     a = r.select("source", "n_tokens", "wppm",
                  target.alias("target_tokens"))
-    return (a.select(
+    return a.select(
         "source", "n_tokens", "wppm", "target_tokens",
         F.expr("target_tokens div n_tokens").cast("long")
         .alias("n_full_epochs"),
+        (F.col("target_tokens") % F.col("n_tokens")).cast("long")
+        .alias("remainder_tokens"),
         F.round((F.col("target_tokens") % F.col("n_tokens"))
                 .cast("double") / F.col("n_tokens"), 6)
         .alias("partial_rate"))
-        .orderBy("source"))
 
 
 @register(
@@ -14271,3 +14285,122 @@ def q_stratified_shard_content_mix(spark: SparkSession,
         F.round(F.col("n_docs") / shard_docs.cast("double")
                 - lang_docs / all_docs.cast("double"), 6).alias("skew"))
         .orderBy("shard", "lang"))
+
+
+@register(
+    "epoch_sample_manifest",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({tok})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS wppm
+  FROM s
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+               CAST(sum(wppm) AS HUGEINT) AS wsum FROM w),
+b AS (
+  SELECT source, n_docs, n_tokens, wppm,
+         (3 * t * CAST(wppm AS HUGEINT)) // wsum AS base,
+         (3 * t * CAST(wppm AS HUGEINT)) % wsum AS rem
+  FROM w, tot
+),
+r AS (
+  SELECT source, n_docs, n_tokens, base,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         (SELECT 3 * (SELECT t FROM tot) - sum(base) FROM b) AS leftover
+  FROM b
+),
+sch AS (
+  SELECT source, n_docs, n_tokens,
+         CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+              // n_tokens AS BIGINT) AS nfe,
+         CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+              % n_tokens AS BIGINT) AS remtok
+  FROM r
+),
+fullep AS (
+  SELECT source, CAST(unnest(generate_series(1, CAST(nfe AS INT)))
+                      AS BIGINT) AS epoch,
+         'full' AS kind, n_docs, n_tokens AS n_tokens_epoch
+  FROM sch WHERE nfe >= 1
+),
+partep AS (
+  SELECT d.source, CAST(sch.nfe + 1 AS BIGINT) AS epoch,
+         'partial' AS kind,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({tok2})) AS BIGINT) AS n_tokens_epoch
+  FROM documents d JOIN sch ON d.source = sch.source
+  WHERE sch.remtok > 0
+    AND round((('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '#'
+                 || CAST(sch.nfe + 1 AS VARCHAR)), 1, 8))::BIGINT + 1)
+              / 4294967296.0, 6)
+        <= round(CAST(sch.remtok AS DOUBLE) / sch.n_tokens, 6)
+  GROUP BY d.source, sch.nfe
+)
+SELECT * FROM fullep UNION ALL SELECT * FROM partep
+ORDER BY source, epoch
+""".format(tok=DD_TOKENS.format(c="text"),
+           tok2=DD_TOKENS.format(c="d.text")))
+def q_epoch_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture_epoch_schedule APPLIED — the per-(source, epoch)
+    manifest a data loader materializes from the repeat-factor
+    schedule: each source contributes its full corpus for epochs
+    1..N, plus one partial epoch drawn by a DETERMINISTIC,
+    EPOCH-SALTED md5-Bernoulli (u(doc, epoch) <= partial rate — the
+    salt makes the partial draw independent of the export flagship's
+    mixture draw and of any other epoch, and replayable bit-for-bit;
+    no rand(), no seed drift). The schedule is the budget;
+    this ledger is the realization — n_tokens_epoch for the partial
+    row differs from remainder_tokens exactly by the Bernoulli
+    realization error, which the invariant test bounds.
+
+    Scale shape: two corpus scans — one map-combined (source ->
+    n_docs, n_tokens) fold feeding the |sources|-row schedule
+    (_epoch_schedule_from_counts, shared with the graded schedule
+    query), one Bernoulli-filtered pass for the partial epochs with
+    the |sources|-row rate table broadcast. Full-epoch rows are
+    EXPANDED FROM THE LEDGER (explode over sequence(1, N)) — no
+    corpus bytes are duplicated N times; a real exporter streams the
+    same files N times, and the manifest records that, it does not
+    materialize it."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long")
+        .alias("n_tokens"))
+    sch = (_epoch_schedule_from_counts(s.select("source", "n_tokens"))
+           .join(F.broadcast(s.select("source", "n_docs")), "source"))
+    fullep = (sch.where(F.col("n_full_epochs") >= 1)
+              .select("source",
+                      F.explode(F.sequence(F.lit(1),
+                                           F.col("n_full_epochs")))
+                      .alias("_e"),
+                      F.lit("full").alias("kind"),
+                      "n_docs",
+                      F.col("n_tokens").alias("n_tokens_epoch"))
+              .select("source", F.col("_e").cast("long").alias("epoch"),
+                      "kind", "n_docs", "n_tokens_epoch"))
+    rates = (sch.where(F.col("remainder_tokens") > 0)
+             .select("source",
+                     (F.col("n_full_epochs") + 1).cast("long").alias("pep"),
+                     F.col("partial_rate").alias("rate")))
+    salt = F.concat(F.col("doc_id").cast("string"), F.lit("#"),
+                    F.col("pep").cast("string"))
+    u = F.round((hashing.md5_long(salt) + 1) / F.lit(4294967296.0), 6)
+    partep = (d.select("source", "doc_id",
+                       F.size(T.tokens(F.col("text"))).cast("long")
+                       .alias("n_tok"))
+              .join(F.broadcast(rates), "source")
+              .where(u <= F.col("rate"))
+              .groupBy("source", "pep")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.sum("n_tok").cast("long").alias("n_tokens_epoch"))
+              .select("source", F.col("pep").alias("epoch"),
+                      F.lit("partial").alias("kind"),
+                      "n_docs", "n_tokens_epoch"))
+    return fullep.unionByName(partep).orderBy("source", "epoch")

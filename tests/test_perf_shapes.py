@@ -1126,3 +1126,40 @@ def test_stratified_shard_mix_beats_plain_lpt(spark, sf_dir, tmp_path):
     out = registry.q_stratified_shard_content_mix(spark, d).collect()
     assert sum(r["n_docs"] for r in out) == 60
     assert {r["lang"] for r in out} == {"en", "de", None}
+
+
+def test_epoch_sample_manifest_realizes_schedule(spark, sf_dir):
+    """The manifest is the schedule REALIZED: per source exactly
+    n_full_epochs 'full' rows each carrying the exact corpus counts,
+    at most one 'partial' row at epoch N+1 with a strict-subset draw,
+    and total realized tokens within ONE epoch of the Hamilton target
+    (|partial_realized - remainder| < n_tokens is a theorem, not a
+    statistical bound). The epoch-salted Bernoulli is deterministic:
+    a second run returns identical rows."""
+    from rag_vector_database_spark.plans import registry
+
+    sched = {r["source"]: r for r in
+             registry.q_mixture_epoch_schedule(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs_by_src = {r["source"]: r["n"] for r in
+                     docs.groupBy("source").agg(
+                         F.count(F.lit(1)).alias("n")).collect()}
+    rows = registry.q_epoch_sample_manifest(spark, sf_dir).collect()
+    again = registry.q_epoch_sample_manifest(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    for src, s in sched.items():
+        mine = [r for r in rows if r["source"] == src]
+        full = [r for r in mine if r["kind"] == "full"]
+        part = [r for r in mine if r["kind"] == "partial"]
+        assert len(full) == s["n_full_epochs"]
+        assert sorted(r["epoch"] for r in full) == \
+            list(range(1, s["n_full_epochs"] + 1))
+        for r in full:
+            assert r["n_docs"] == n_docs_by_src[src]
+            assert r["n_tokens_epoch"] == s["n_tokens"]
+        assert len(part) <= 1
+        realized = sum(r["n_tokens_epoch"] for r in mine)
+        assert abs(realized - s["target_tokens"]) < s["n_tokens"]
+        if part:
+            assert part[0]["epoch"] == s["n_full_epochs"] + 1
+            assert part[0]["n_docs"] <= n_docs_by_src[src]
