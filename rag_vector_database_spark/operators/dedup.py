@@ -612,6 +612,33 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
 
     Returns (key, n_shingles, n_shared, overlap_frac) for documents
     with at least one shared n-gram, so downstream can threshold."""
+    b = benchmark_shingle_dict(benchmark, text_col, shingle_n)
+    return contamination_overlap_dict(corpus, b, text_col, key_col,
+                                      shingle_n)
+
+
+def benchmark_shingle_dict(benchmark: DataFrame, text_col: str = "text",
+                           shingle_n: int = 3) -> DataFrame:
+    """The benchmark side of decontamination as a standalone artifact:
+    the distinct word n-gram dictionary (one ``__g`` column). Exposed
+    so incremental screens can set-subtract dictionaries (probe only
+    the n-grams a NEW eval release adds — see
+    decontamination_delta_screen)."""
+    tok = F.col("__toks")
+    return (benchmark
+            .withColumn("__toks", tokens(F.col(text_col)))
+            .select(F.explode(
+                shingles_from_tokens(tok, shingle_n)).alias("__g"))
+            .distinct())
+
+
+def contamination_overlap_dict(corpus: DataFrame, dictionary: DataFrame,
+                               text_col: str = "text",
+                               key_col: str = "doc_id",
+                               shingle_n: int = 3) -> DataFrame:
+    """contamination_overlap against a PREBUILT broadcast n-gram
+    dictionary (a 1-column ``__g`` DataFrame) — the probe half of the
+    kernel, shared by the one-shot screen and the delta screen."""
     tok = F.col("__toks")
     c = (corpus
          .withColumn("__toks", tokens(F.col(text_col)))
@@ -620,12 +647,7 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
          .withColumn("n_shingles", F.size("__sh").cast("long"))
          .select(key_col, "n_shingles",
                  F.explode("__sh").alias("__g")))
-    b = (benchmark
-         .withColumn("__toks", tokens(F.col(text_col)))
-         .select(F.explode(
-             shingles_from_tokens(tok, shingle_n)).alias("__g"))
-         .distinct())
-    return (c.join(F.broadcast(b), "__g")
+    return (c.join(F.broadcast(dictionary), "__g")
             .groupBy(key_col, "n_shingles")
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
             .withColumn("overlap_frac",

@@ -436,6 +436,7 @@ WINDOW_PRIORITY: list[str] = [
     "quality_gate_calibration_matrix",
     "stratified_shard_content_mix",
     "epoch_sample_manifest",
+    "decontamination_delta_screen",
     # -- r05-cohort staleness remainder (carries to the r12 window) --
     "large_orders",
     "small_order_revenue",
@@ -14404,3 +14405,119 @@ def q_epoch_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.lit("partial").alias("kind"),
                       "n_docs", "n_tokens_epoch"))
     return fullep.unionByName(partep).orderBy("source", "epoch")
+
+
+@register(
+    "decontamination_delta_screen",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, source, text, CAST(len({tok}) AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id >= 10
+),
+b1 AS (SELECT DISTINCT unnest({shb}) AS g
+       FROM documents WHERE doc_id < 5),
+b2 AS (SELECT DISTINCT unnest({shb}) AS g
+       FROM documents WHERE doc_id < 10),
+cg AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, unnest(sh) AS g
+       FROM (SELECT doc_id, {shc} AS sh FROM corpus)),
+ov1 AS (SELECT doc_id, round(count(*) / CAST(n_shingles AS DOUBLE), 6) AS f
+        FROM cg JOIN b1 USING (g) GROUP BY doc_id, n_shingles),
+ov2 AS (SELECT doc_id, round(count(*) / CAST(n_shingles AS DOUBLE), 6) AS f
+        FROM cg JOIN b2 USING (g) GROUP BY doc_id, n_shingles),
+pd AS (
+  SELECT c.source, c.n_tok,
+         CAST(coalesce(o1.f, 0.0) >= 0.5 AS INT) AS c1,
+         CAST(coalesce(o2.f, 0.0) >= 0.5 AS INT) AS c2
+  FROM corpus c
+  LEFT JOIN ov1 o1 ON o1.doc_id = c.doc_id
+  LEFT JOIN ov2 o2 ON o2.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c1) AS BIGINT) AS n_contam_v1,
+       CAST(sum(c2) AS BIGINT) AS n_contam_v2,
+       CAST(sum(CASE WHEN c2 = 1 AND c1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_newly,
+       CAST(sum(CASE WHEN c2 = 1 AND c1 = 0 THEN n_tok ELSE 0 END)
+            AS BIGINT) AS tokens_newly
+FROM pd GROUP BY source ORDER BY source
+""".format(tok=DD_TOKENS.format(c="text"),
+           shb=dd_shingles("text", 3),
+           shc=dd_shingles("text", 3)))
+def q_decontamination_delta_screen(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """INCREMENTAL benchmark decontamination — the operational shape
+    at 100 TB, where eval suites are RELEASED OVER TIME and the
+    corpus must never be rescanned against dictionaries it has
+    already been screened by. A new release (docs 5-9 here, on top of
+    the v1 suite docs 0-4) contributes only its NOVEL n-grams: the
+    probe dictionary is set-subtracted (delta = shingles(v2 docs)
+    anti-join shingles(v1)), and the merged verdict is EXACT by the
+    identity |A ∩ (B1 ∪ B2)| = |A ∩ B1| + |A ∩ (B2 \\ B1)| — matched
+    counts ADD because the two dictionaries are disjoint by
+    construction. The oracle recomputes the v2 verdict from scratch
+    against the union dictionary, so a green row IS the proof that
+    the incremental combine equals the full rescan (the
+    minhash_delta_pairs delta==full discipline, applied to
+    decontamination).
+
+    Output: per source, total docs, contaminated-at-0.5 under v1 and
+    v2, newly contaminated docs and their token loss — the ledger a
+    monthly eval-release review reads.
+
+    Scale shape: this query recomputes the v1 pass to SIMULATE the
+    stored verdict table (production reads yesterday's (doc,
+    n_shared_v1) from disk and runs only the delta probe); both
+    probes are broadcast-dictionary scan-local folds with corpus
+    columns threaded through the kernel's struct key (no corpus
+    join to recover source/n_tok), the delta dictionary anti-join is
+    eval-suite-sized, and the v1/delta merge is a full-outer
+    equi-join of two detector-output tables (corpus-proportional in
+    the worst case, AQE-decided — never force-broadcast)."""
+    d = _t(spark, sf_dir, "documents")
+    v1 = d.where(F.col("doc_id") < 5)
+    delta = d.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+    corpus = (d.where(F.col("doc_id") >= 10)
+              .select(F.struct(
+                  F.col("doc_id"), F.col("source"),
+                  F.size(T.tokens(F.col("text"))).cast("long")
+                  .alias("n_tok")).alias("__k"), "text"))
+    dict_v1 = dedup.benchmark_shingle_dict(v1, shingle_n=3)
+    dict_delta = (dedup.benchmark_shingle_dict(delta, shingle_n=3)
+                  .join(dict_v1, "__g", "left_anti"))
+    p1 = (dedup.contamination_overlap_dict(corpus, dict_v1, key_col="__k",
+                                           shingle_n=3)
+          .select(F.col("__k").alias("__k1"),
+                  F.col("n_shingles").alias("ns1"),
+                  F.col("n_shared").alias("s1")))
+    p2 = (dedup.contamination_overlap_dict(corpus, dict_delta,
+                                           key_col="__k", shingle_n=3)
+          .select(F.col("__k").alias("__k2"),
+                  F.col("n_shingles").alias("ns2"),
+                  F.col("n_shared").alias("s2")))
+    merged = (p1.join(p2, p1["__k1"] == p2["__k2"], "full_outer")
+              .select(F.coalesce(F.col("__k1"), F.col("__k2")).alias("__k"),
+                      F.coalesce("ns1", "ns2").alias("n_shingles"),
+                      F.coalesce("s1", F.lit(0)).alias("s1"),
+                      F.coalesce("s2", F.lit(0)).alias("s2")))
+    base = corpus.select("__k")
+    pd_ = (base.join(merged, "__k", "left")
+           .select(F.col("__k.source").alias("source"),
+                   F.col("__k.n_tok").alias("n_tok"),
+                   F.when(F.round(F.coalesce(F.col("s1"), F.lit(0))
+                                  / F.col("n_shingles"), 6) >= 0.5, 1)
+                   .otherwise(0).alias("c1"),
+                   F.when(F.round((F.coalesce(F.col("s1"), F.lit(0))
+                                   + F.coalesce(F.col("s2"), F.lit(0)))
+                                  / F.col("n_shingles"), 6) >= 0.5, 1)
+                   .otherwise(0).alias("c2")))
+    return (pd_.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("c1").cast("long").alias("n_contam_v1"),
+                 F.sum("c2").cast("long").alias("n_contam_v2"),
+                 F.sum(F.when((F.col("c2") == 1) & (F.col("c1") == 0), 1)
+                       .otherwise(0)).cast("long").alias("n_newly"),
+                 F.sum(F.when((F.col("c2") == 1) & (F.col("c1") == 0),
+                              F.col("n_tok")).otherwise(0))
+                 .cast("long").alias("tokens_newly"))
+            .orderBy("source"))

@@ -1163,3 +1163,27 @@ def test_epoch_sample_manifest_realizes_schedule(spark, sf_dir):
         if part:
             assert part[0]["epoch"] == s["n_full_epochs"] + 1
             assert part[0]["n_docs"] <= n_docs_by_src[src]
+
+
+def test_decontamination_delta_screen_monotone_and_disjoint(spark, sf_dir):
+    """Theorems of the delta construction, pinned: the v2 dictionary
+    only GROWS the verdict (c1=1 implies c2=1, so n_newly ==
+    n_contam_v2 - n_contam_v1 per source), the delta dictionary is
+    disjoint from v1's, and totals account for every corpus doc."""
+    from rag_vector_database_spark.operators import dedup
+    from rag_vector_database_spark.plans import registry
+
+    rows = registry.q_decontamination_delta_screen(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == \
+        docs.where(F.col("doc_id") >= 10).count()
+    for r in rows:
+        assert 0 <= r["n_contam_v1"] <= r["n_contam_v2"] <= r["n_docs"]
+        assert r["n_newly"] == r["n_contam_v2"] - r["n_contam_v1"]
+        assert (r["tokens_newly"] == 0) == (r["n_newly"] == 0)
+    v1 = docs.where(F.col("doc_id") < 5)
+    delta = docs.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+    d1 = dedup.benchmark_shingle_dict(v1, shingle_n=3)
+    dd_ = (dedup.benchmark_shingle_dict(delta, shingle_n=3)
+           .join(d1, "__g", "left_anti"))
+    assert dd_.join(d1, "__g").count() == 0  # disjoint by construction
