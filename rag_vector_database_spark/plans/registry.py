@@ -437,6 +437,8 @@ WINDOW_PRIORITY: list[str] = [
     "stratified_shard_content_mix",
     "epoch_sample_manifest",
     "decontamination_delta_screen",
+    "effective_token_budget",
+    "eval_contamination_attribution",
     # -- r05-cohort staleness remainder (carries to the r12 window) --
     "large_orders",
     "small_order_revenue",
@@ -14521,3 +14523,190 @@ def q_decontamination_delta_screen(spark: SparkSession,
                               F.col("n_tok")).otherwise(0))
                  .cast("long").alias("tokens_newly"))
             .orderBy("source"))
+
+
+@register(
+    "effective_token_budget",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(sum(len({tok})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS wppm
+  FROM s
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+               CAST(sum(wppm) AS HUGEINT) AS wsum FROM w),
+b AS (
+  SELECT source, n_tokens, wppm,
+         (3 * t * CAST(wppm AS HUGEINT)) // wsum AS base,
+         (3 * t * CAST(wppm AS HUGEINT)) % wsum AS rem
+  FROM w, tot
+),
+r AS (
+  SELECT source, n_tokens, base,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         (SELECT 3 * (SELECT t FROM tot) - sum(base) FROM b) AS leftover
+  FROM b
+),
+sch AS (
+  SELECT source, n_tokens,
+         CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS target_tokens
+  FROM r
+),
+fp AS (SELECT doc_id, source, CAST(len({tok}) AS BIGINT) AS n_tok,
+              md5({norm}) AS fingerprint
+       FROM documents),
+keepers AS (
+  SELECT source, n_tok
+  FROM (SELECT source, n_tok, doc_id,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS canonical
+        FROM fp)
+  WHERE doc_id = canonical
+),
+u AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS unique_tokens
+      FROM keepers GROUP BY source)
+SELECT sch.source, sch.n_tokens,
+       CAST(coalesce(u.unique_tokens, 0) AS BIGINT) AS unique_tokens,
+       round(1.0 - coalesce(u.unique_tokens, 0)
+                   / CAST(sch.n_tokens AS DOUBLE), 6) AS dup_token_frac,
+       round(CAST(sch.target_tokens AS DOUBLE) / sch.n_tokens, 6)
+         AS epochs_total,
+       round(least(CAST(sch.target_tokens AS DOUBLE) / sch.n_tokens,
+                   4.0), 6) AS effective_epochs,
+       round(coalesce(u.unique_tokens, 0)
+             * round(least(CAST(sch.target_tokens AS DOUBLE)
+                           / sch.n_tokens, 4.0), 6), 6)
+         AS effective_tokens
+FROM sch LEFT JOIN u ON sch.source = u.source
+ORDER BY sch.source
+""".format(tok=DD_TOKENS.format(c="text"),
+           norm=DD_NORM.format(c="text")))
+def q_effective_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-constrained-scaling readout (Muennighoff et al. 2023:
+    repeated data stops paying after ~4 epochs): per source, raw vs
+    UNIQUE tokens (global exact-fingerprint keep-first — duplicated
+    bytes repeat implicitly before the loader even re-epochs), the
+    repeat factor the sqrt-temperature schedule assigns, and the
+    EFFECTIVE token budget = unique_tokens x min(epochs, 4) — the
+    number a scaling-law planner should plug in, not the raw target.
+    A source whose dup_token_frac is high AND whose schedule repeats
+    it is double-counting the same bytes twice over; this ledger is
+    where that shows up as a small effective_tokens.
+
+    Scale shape: one scan-local token fold feeding the |sources|-row
+    schedule (_epoch_schedule_from_counts, shared with the graded
+    schedule query), plus the exact-dedup keeper pass (ONE shuffle on
+    the 32-byte fingerprint — dedup.exact_duplicates' window shape);
+    everything after is |sources|-row arithmetic on 6dp-rounded
+    doubles computed identically in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(T.tokens(F.col("text"))).cast("long")
+    s = d.groupBy("source").agg(F.sum(toks).alias("n_tokens"))
+    sch = _epoch_schedule_from_counts(s)
+    fp = d.select("doc_id", "source", toks.alias("n_tok"),
+                  dedup.fingerprint(F.col("text")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    keepers = (fp.withColumn("canonical", F.min("doc_id").over(w))
+               .where(F.col("doc_id") == F.col("canonical")))
+    u = keepers.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("unique_tokens"))
+    epochs = F.round(F.col("target_tokens").cast("double")
+                     / F.col("n_tokens"), 6)
+    eff_ep = F.round(F.least(F.col("target_tokens").cast("double")
+                             / F.col("n_tokens"), F.lit(4.0)), 6)
+    return (sch.join(u, "source", "left")
+            .select("source", "n_tokens",
+                    F.coalesce("unique_tokens", F.lit(0)).cast("long")
+                    .alias("unique_tokens"),
+                    F.round(F.lit(1.0)
+                            - F.coalesce("unique_tokens", F.lit(0))
+                            / F.col("n_tokens").cast("double"), 6)
+                    .alias("dup_token_frac"),
+                    epochs.alias("epochs_total"),
+                    eff_ep.alias("effective_epochs"),
+                    F.round(F.coalesce("unique_tokens", F.lit(0))
+                            * eff_ep, 6).alias("effective_tokens"))
+            .orderBy("source"))
+
+
+@register(
+    "eval_contamination_attribution",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+),
+bsh AS (
+  SELECT doc_id AS eval_id, unnest(sh) AS g
+  FROM (SELECT doc_id, list_distinct({shb}) AS sh
+        FROM documents WHERE doc_id < 10)
+),
+cg AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, unnest(sh) AS g
+       FROM (SELECT doc_id, {shc} AS sh FROM corpus)),
+pair AS (
+  SELECT cg.doc_id, b.eval_id,
+         round(count(*) / CAST(cg.n_shingles AS DOUBLE), 6) AS frac
+  FROM cg JOIN bsh b USING (g)
+  GROUP BY cg.doc_id, b.eval_id, cg.n_shingles
+)
+SELECT eval_id,
+       CAST(count(*) AS BIGINT) AS n_docs_overlapping,
+       CAST(sum(CASE WHEN frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_contaminated,
+       round(max(frac), 6) AS max_frac
+FROM pair GROUP BY eval_id ORDER BY eval_id
+""".format(shb=dd_shingles("text", 3),
+           shc=dd_shingles("text", 3)))
+def q_eval_contamination_attribution(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The OTHER side of the decontamination ledger: per BENCHMARK
+    item, how many corpus documents overlap it at all, how many cross
+    the 0.5 drop threshold against ITS n-grams specifically, and the
+    worst per-doc overlap — i.e. which eval questions are burned
+    (an eval item most of the corpus paraphrases measures
+    memorization, not capability; this is the readout an eval-suite
+    owner reads before trusting a score). decontamination drops
+    docs; attribution tells you which ITEMS still need replacing.
+
+    Scale shape: the dictionary keeps its eval-doc id — (eval_id,
+    n-gram) rows, still eval-suite-sized, still broadcast; the
+    corpus side is the same scan-local shingle explode as the
+    screen; the only new shuffle is the groupBy (corpus doc, eval
+    item), bounded by MATCHED pairs (corpus docs that share >= 1
+    n-gram with >= 1 item), and the final fold runs on <= |eval|
+    rows. Per-doc fracs use the corpus doc's shingle count — the
+    same containment definition the screen thresholds on, so
+    n_docs_contaminated sums across items >= the screen's drop
+    count (a doc can burn several items)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 10)
+    toks = F.col("__toks")
+    bsh = (d.where(F.col("doc_id") < 10)
+           .withColumn("__toks", T.tokens(F.col("text")))
+           .select(F.col("doc_id").alias("eval_id"),
+                   F.explode(dedup.shingles_from_tokens(toks, 3))
+                   .alias("__g"))
+           .distinct())
+    cg = (corpus
+          .withColumn("__toks", T.tokens(F.col("text")))
+          .select("doc_id",
+                  dedup.shingles_from_tokens(toks, 3).alias("__sh"))
+          .withColumn("n_shingles", F.size("__sh").cast("long"))
+          .select("doc_id", "n_shingles", F.explode("__sh").alias("__g")))
+    pair = (cg.join(F.broadcast(bsh), "__g")
+            .groupBy("doc_id", "eval_id", "n_shingles")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .select("eval_id",
+                    F.round(F.col("n_shared")
+                            / F.col("n_shingles").cast("double"), 6)
+                    .alias("frac")))
+    return (pair.groupBy("eval_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs_overlapping"),
+                 F.sum(F.when(F.col("frac") >= 0.5, 1).otherwise(0))
+                 .cast("long").alias("n_docs_contaminated"),
+                 F.round(F.max("frac"), 6).alias("max_frac"))
+            .orderBy("eval_id"))

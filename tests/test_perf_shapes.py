@@ -1187,3 +1187,55 @@ def test_decontamination_delta_screen_monotone_and_disjoint(spark, sf_dir):
     dd_ = (dedup.benchmark_shingle_dict(delta, shingle_n=3)
            .join(d1, "__g", "left_anti"))
     assert dd_.join(d1, "__g").count() == 0  # disjoint by construction
+
+
+def test_effective_token_budget_invariants(spark, sf_dir):
+    """unique <= raw tokens per source; unique sums to the global
+    keep-first total; effective_epochs = min(epochs_total, 4); and
+    effective_tokens = unique x effective_epochs (6dp)."""
+    from rag_vector_database_spark.plans import registry
+
+    rows = registry.q_effective_token_budget(spark, sf_dir).collect()
+    sched = {r["source"]: r for r in
+             registry.q_mixture_epoch_schedule(spark, sf_dir).collect()}
+    for r in rows:
+        assert 0 <= r["unique_tokens"] <= r["n_tokens"]
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        s = sched[r["source"]]
+        assert abs(r["epochs_total"]
+                   - round(s["target_tokens"] / s["n_tokens"], 6)) < 1e-9
+        assert r["effective_epochs"] == min(r["epochs_total"], 4.0)
+        assert abs(r["effective_tokens"]
+                   - round(r["unique_tokens"] * r["effective_epochs"], 6)) \
+            < 1e-6
+    # cross-source: unique tokens sum to the keep-first global total
+    from rag_vector_database_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = dedup.exact_duplicates(docs)
+    keep = {r["doc_id"] for r in ex.collect()
+            if r["doc_id"] == r["canonical_id"]}
+    want = sum(len(r["text"].split()) for r in docs.collect()
+               if r["doc_id"] in keep and r["text"].strip())
+    assert sum(r["unique_tokens"] for r in rows) == want
+
+
+def test_eval_contamination_attribution_consistency(spark, sf_dir):
+    """Attribution is the screen's transpose: every eval item row is
+    internally consistent (contaminated <= overlapping, max_frac in
+    (0, 1]), and the number of DISTINCT corpus docs burned at 0.5
+    across items is at least the screen's per-doc drop count for the
+    same dictionary (a doc can burn several items, never fewer)."""
+    from rag_vector_database_spark.operators import dedup
+    from rag_vector_database_spark.plans import registry
+
+    rows = registry.q_eval_contamination_attribution(spark, sf_dir) \
+        .collect()
+    assert rows and all(0 < r["max_frac"] <= 1.0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_docs_contaminated"] <= r["n_docs_overlapping"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(F.col("doc_id") >= 10)
+    screen_drops = (dedup.contamination_overlap(corpus, bench, shingle_n=3)
+                    .where(F.col("overlap_frac") >= 0.5).count())
+    assert sum(r["n_docs_contaminated"] for r in rows) >= screen_drops
