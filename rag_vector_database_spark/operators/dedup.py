@@ -210,20 +210,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # one array each, and |pairs| << |docs| by construction (banding +
     # bucket cap). Candidate pairs are corpus-PROPORTIONAL (a small
     # fraction, but a fraction), so neither side is broadcastable at
-    # 100 TB. The SHUFFLE_HASH hint on the exploded pair side makes it
-    # the build side (two longs + a byte per row — the narrowest
-    # relation in the plan) and keeps the planner from sort-merging,
-    # which would SORT the shingle arrays. Note a hinted SHJ is NEVER
-    # upgraded to broadcast at runtime (JoinSelection honors the hint
-    # before AQE's size checks) — the hint is a commitment, which is
-    # why it sits on the side that is narrow by construction.
+    # 100 TB. The join strategy is deliberately LEFT TO THE PLANNER:
+    # a SHUFFLE_HASH hint was measured here and REMOVED after the
+    # 300x probe — a hinted SHJ is a commitment with two failure
+    # modes the planner's own choice does not have: (a) it is never
+    # upgraded to broadcast at runtime (JoinSelection honors hints
+    # before AQE's size checks), and (b) when the build partition
+    # cannot acquire memory (32 concurrent per-task builds in one
+    # local-mode JVM at 300x; any memory-pressured executor on a
+    # real cluster) the TASK DIES — "Can't acquire ... bytes to
+    # build hash relation" — where sort-merge would have spilled and
+    # finished. Measured wall was equal anyway (100x interleaved
+    # A/B: SMJ-within-noise; the cost is the shingle-table shuffle
+    # WRITE, not the sort).
     probes = cand.select(
         "id_a", "id_b",
         F.explode(F.array(
             F.struct(F.col("id_a").alias("k"), F.lit(0).alias("side")),
             F.struct(F.col("id_b").alias("k"), F.lit(1).alias("side")),
         )).alias("m")).select("id_a", "id_b", "m.k", "m.side")
-    return (probes.hint("shuffle_hash").join(sh.select("k", "sh"), "k")
+    return (probes.join(sh.select("k", "sh"), "k")
             .groupBy("id_a", "id_b")
             .agg(F.max(F.when(F.col("side") == 0, F.col("sh"))).alias("sh_a"),
                  F.max(F.when(F.col("side") == 1, F.col("sh"))).alias("sh_b"))

@@ -1239,3 +1239,36 @@ def test_eval_contamination_attribution_consistency(spark, sf_dir):
     screen_drops = (dedup.contamination_overlap(corpus, bench, shingle_n=3)
                     .where(F.col("overlap_frac") >= 0.5).count())
     assert sum(r["n_docs_contaminated"] for r in rows) >= screen_drops
+
+
+def test_quantile_bucket_rule_matches_ntile_for_all_n(spark, tmp_path):
+    """The integer-exact NTILE replay ((rank + q) DIV (q + 1) for the
+    first r*(q+1) ranks, else r + ceil-div by q) must agree with
+    Spark's own ntile(4) window for EVERY table size, including the
+    q == 0 degenerate branch (n < buckets) and exact-multiple sizes.
+    Checked across the boundary-heavy sizes rather than a sample."""
+    import os
+
+    from pyspark.sql.window import Window as W
+
+    from rag_vector_database_spark.plans import registry
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 9, 31, 32, 33, 100):
+        rows = [(float(1000 - i), i) for i in range(n)]
+        df = spark.createDataFrame(rows,
+                                   "o_totalprice double, o_orderkey int")
+        d = str(tmp_path / f"orders_{n}")
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        got = {(r["quartile"], r["n_orders"], r["lo"], r["hi"])
+               for r in registry.q_quantile_buckets(spark, d).collect()}
+        w = W.orderBy("o_totalprice", "o_orderkey")
+        want = {(r["quartile"], r["n_orders"], r["lo"], r["hi"])
+                for r in (df.select(
+                    "o_totalprice",
+                    F.ntile(4).over(w).alias("quartile"))
+                    .groupBy("quartile")
+                    .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                         F.round(F.min("o_totalprice"), 6).alias("lo"),
+                         F.round(F.max("o_totalprice"), 6).alias("hi"))
+                    .collect())}
+        assert got == want, (n, got, want)
