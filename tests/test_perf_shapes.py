@@ -1272,3 +1272,32 @@ def test_quantile_bucket_rule_matches_ntile_for_all_n(spark, tmp_path):
                          F.round(F.max("o_totalprice"), 6).alias("hi"))
                     .collect())}
         assert got == want, (n, got, want)
+
+
+def test_r11_ledger_plan_shapes(spark, sf_dir):
+    """The r11 additions' scale claims, pinned on physical plans:
+    stratified sharding never funnels into a SinglePartition stage
+    before its ledger-sized windows; the delta screen broadcasts its
+    dictionaries (never a shuffled join against an eval-sized side)
+    and keeps exactly one corpus-key merge join; attribution
+    broadcasts its (eval_id, n-gram) dictionary."""
+    from rag_vector_database_spark.plans import registry
+
+    strat = registry.q_stratified_shard_content_mix(spark, sf_dir)
+    splan = strat._jdf.queryExecution().executedPlan().toString()
+    # the doc-level rank is materialized behind a localCheckpoint
+    # (the offsets pattern), so the visible plan must start from the
+    # checkpointed RDD carrying the partition-local rank columns —
+    # NOT re-derive a global rank with a one-partition window
+    assert "Scan ExistingRDD" in splan and "_rn" in splan
+    assert "row_number" not in splan  # no re-ranking after the fold
+
+    dds = registry.q_decontamination_delta_screen(spark, sf_dir)
+    dplan = dds._jdf.queryExecution().executedPlan().toString()
+    assert dplan.count("BroadcastHashJoin") >= 2  # v1 + delta probes
+    assert "CartesianProduct" not in dplan
+
+    eca = registry.q_eval_contamination_attribution(spark, sf_dir)
+    eplan = eca._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in eplan
+    assert "SortMergeJoin" not in eplan  # the dictionary never SMJs
