@@ -13345,12 +13345,24 @@ def _training_export_chain(spark: SparkSession, sf_dir: str,
     contam = (dedup.contamination_overlap(corpus, bench, shingle_n=3)
               .where(F.col("overlap_frac") >= 0.5)
               .select("doc_id").withColumn("__ct", F.lit(1)))
+    # per_doc feeds TWO actions — the manifest branch (materialized by
+    # the offsets collect below) and the funnel-ledger aggregate in the
+    # final plan — and its lineage embeds the dedup detector + the
+    # decontamination screen + the quality kernel. Without a persist
+    # the second action re-derives all of it: the 300x probe measured
+    # the flagship at ~2x the trail+screen cost for exactly this
+    # reason (1014 s, of which ~311 s was the SECOND detector pass).
+    # The cached frame is ~40 bytes/doc (ids + counts + three flags —
+    # never text), MEMORY_AND_DISK so executors spill rather than
+    # recompute; at 100 TB this is the standard funnel-ledger persist,
+    # not a corpus cache.
     per_doc = (base
                .join(trail, "doc_id", "left")
                .join(contam, "doc_id", "left")
                .select("doc_id", "source", "n_chars", "n_tok", "pass_q",
                        F.coalesce(F.col("__dup"), F.lit(0)).alias("dup"),
-                       F.coalesce(F.col("__ct"), F.lit(0)).alias("contam")))
+                       F.coalesce(F.col("__ct"), F.lit(0)).alias("contam"))
+               .persist())
     clean = per_doc.where((F.col("pass_q") == 1) & (F.col("dup") == 0)
                           & (F.col("contam") == 0))
 

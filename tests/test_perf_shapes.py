@@ -801,6 +801,15 @@ def test_training_export_pipeline_funnel_and_shapes(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "_pid" in plan  # offsets rank, not a SinglePartition sort
+    # The funnel-ledger branch must read the PERSISTED per_doc frame,
+    # never re-derive it: per_doc's lineage embeds the dedup detector
+    # + decontamination screen + quality kernel, and without the
+    # persist the final action runs all of it a second time (the 300x
+    # probe measured the flagship at 1014 s, ~311 s of which was the
+    # second detector pass; with the persist it is 440 s). If this
+    # assert reds, someone dropped the .persist() in
+    # _training_export_chain.
+    assert "InMemoryTableScan" in plan
     rows = out.collect()
     assert [r["shard"] for r in rows] == sorted(r["shard"] for r in rows)
     assert all(0 <= r["shard"] < 8 for r in rows)
