@@ -27,8 +27,13 @@ Growth semantics (why not naive replication):
   per-user event density, so sessionization state grows in KEY COUNT
   (the dimension that matters for a shuffle/state backend), not in
   per-key chain length.
-- ``embeddings``: ``vec_id`` shifted; vectors kept (kNN cost is
-  value-independent; ties break deterministically on vec_id).
+- ``embeddings``: ``vec_id`` shifted; each copy's vectors are
+  multiplied element-wise by a deterministic per-copy ±1 pattern
+  (scheme v2, see _sign_pattern): within-copy dot products — and so
+  each copy's kNN/near-dup structure — are numerically unchanged,
+  while cross-copy cosines collapse to noise, so similarity-pair
+  queries see 10x as MANY clusters of the same size rather than a
+  quadratic wall of byte-identical cross-copy vectors.
 
 Usage:
   python scale_probe.py build   # materialize /tmp/rvdb_scale_sf1.0
@@ -85,10 +90,47 @@ def _rotated(i: int) -> tuple[str, str]:
     return lo + up, rlo + rup
 
 
+# Growth-semantics version, written into the completion marker: a
+# cached dataset built under an older scheme is rebuilt, not silently
+# reused. v2 = per-copy sign-flipped embeddings (see _sign_pattern).
+PROBE_SCHEME = "v2"
+
+
+def _sign_pattern(i: int, dim: int = 64) -> list[float]:
+    """Deterministic per-copy ±1 pattern (splitmix64 bits of the copy
+    index). Applying the SAME pattern to every vector of a copy leaves
+    every within-copy dot product — and therefore the copy's entire
+    near-dup/kNN structure — numerically identical to the original,
+    while cross-copy cosines collapse to ~N(0, 1/sqrt(dim)) ≈ ±0.125,
+    far below any near-dup threshold. This is the embedding analog of
+    the alphabet rotation on documents.text: without it every copy's
+    vectors are byte-identical to every other copy's, and
+    embedding-similarity pair queries measure an adversarial quadratic
+    cross-copy density no real corpus has (caught by the r07-cohort
+    10x pre-audit: semantic_dedup 4.6x, cosine_neardup_blocked 5.7x,
+    minhash_recall_eval 7.5x — all of it cross-copy identical-vector
+    pairs). Copy 0 keeps the identity pattern so the base corpus is
+    embedded verbatim."""
+    if i == 0:
+        return [1.0] * dim
+    x = (i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    bits = []
+    while len(bits) < dim:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        bits.extend(1.0 if (z >> b) & 1 else -1.0 for b in range(64))
+    return bits[:dim]
+
+
 def build(spark=None) -> str:
     marker = os.path.join(DST, "_PROBE_COMPLETE")
     if os.path.exists(marker):
-        return DST
+        with open(marker) as f:
+            if f.read().strip() == PROBE_SCHEME:
+                return DST
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST, exist_ok=True)
 
@@ -114,6 +156,12 @@ def build(spark=None) -> str:
                 if t == "documents":
                     frm, to = _rotated(i)
                     c = c.withColumn("text", F.translate("text", frm, to))
+                if t == "embeddings" and i > 0:
+                    signs = F.array(*[F.lit(s) for s in _sign_pattern(i)])
+                    c = c.withColumn(
+                        "embedding",
+                        F.zip_with("embedding", signs,
+                                   lambda x, s: (x * s).cast("float")))
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:
@@ -125,7 +173,7 @@ def build(spark=None) -> str:
         out.repartition(n_files).write.mode("overwrite") \
             .parquet(f"{DST}/{t}.parquet")
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(PROBE_SCHEME)
     if own_session:
         spark.stop()
     return DST
