@@ -372,9 +372,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ingest_chunks_to_chromadb.py:175-186; clustering is the corpus-scale
     completion of that contract).
 
-    Scale shape: each round is one join + one groupBy (shuffles on the
-    node id), and rounds = graph diameter — dup clusters are shallow
-    (near-clique), so this converges in a handful of rounds.
+    Scale shape: each round is one edge join + one groupBy + one
+    POINTER-JUMPING self-join (all shuffles on the node/label id).
+    Edge propagation alone needs diameter-many rounds — fine for
+    near-clique dup clusters, but a CHAIN-shaped cluster (adversarial
+    or crawl-loop data) has diameter O(N) and would exhaust any round
+    budget. The jumping step (lbl(u) <- lbl(lbl(u)), the path-halving
+    of pointer-jumping PRAM CC / large-star-small-star's shortcut)
+    compresses label paths geometrically, so convergence is
+    O(log diameter) rounds: max_iter=20 covers diameters past 10^6.
+    If the budget is still exhausted the function RAISES rather than
+    return silently-unconverged labels (a wrong dedup decision).
     ``localCheckpoint`` truncates the growing lineage per round; the
     driver sees only a converged flag, never the data. (A reliable
     ``checkpoint`` dir replaces localCheckpoint on a real cluster.)
@@ -383,8 +391,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     the round budget), not per round: labels are monotone decreasing,
     so "unchanged since the last checked anchor" IS the fixpoint, and
     the driver pays ceil(rounds/check_every) count jobs instead of one
-    per round — the difference between d and d/4 blocking round-trips
-    on a diameter-d chain.
+    per round.
     """
     # edges are joined once per round: PERSIST them so the (possibly
     # expensive — e.g. a full MinHash pipeline) upstream plan runs ONCE
@@ -399,6 +406,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = (edges.select(F.col("src").alias("id")).distinct()
                   .withColumn("lbl", F.col("id")))
         anchor = labels  # labels at the last convergence check
+        converged = False
         for r in range(1, max_iter + 1):
             prop = (edges.join(labels, edges.src == labels.id)
                     .groupBy("dst").agg(F.min("lbl").alias("nlbl")))
@@ -407,13 +415,35 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                             F.coalesce("nlbl", "lbl"))
                               .alias("lbl"))
                       .localCheckpoint())
+            # pointer jumping: lbl(u) <- lbl(lbl(u)). Labels are node
+            # ids (mins over seen nodes, all in u's component), so the
+            # lookup is a self-join of the label table — label-sized,
+            # never corpus- or edge-sized. lbl is monotone under both
+            # steps, so the anchor-compare convergence test is
+            # unaffected; what changes is rounds: path lengths halve
+            # per jump, turning diameter-d chains into O(log d).
+            jmp = labels.select(F.col("id").alias("jid"),
+                                F.col("lbl").alias("jlbl"))
+            labels = (labels.join(jmp, labels.lbl == jmp.jid, "left")
+                      .select("id", F.coalesce("jlbl", "lbl").alias("lbl"))
+                      .localCheckpoint())
             if r % check_every == 0 or r == max_iter:
                 changed = (labels.alias("n")
                            .join(anchor.alias("o"), "id")
                            .where(F.col("n.lbl") != F.col("o.lbl")).count())
                 if changed == 0:
+                    converged = True
                     break
                 anchor = labels
+        if not converged:
+            # fail loud: silently returning unconverged labels would
+            # split one duplicate cluster into several and dedup would
+            # under-drop. With pointer jumping this needs diameter >
+            # ~2^max_iter — if it fires, raise the budget consciously.
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iter} rounds (labels still changing at the "
+                f"final check); raise max_iter")
     finally:
         edges.unpersist(blocking=False)
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))

@@ -13355,7 +13355,15 @@ def _training_export_chain(spark: SparkSession, sf_dir: str,
     # The cached frame is ~40 bytes/doc (ids + counts + three flags —
     # never text), MEMORY_AND_DISK so executors spill rather than
     # recompute; at 100 TB this is the standard funnel-ledger persist,
-    # not a corpus cache.
+    # not a corpus cache. The builder can NOT unpersist it (the final
+    # action belongs to the caller), so the cache entry outlives the
+    # query: repeated-measurement harnesses must clear it between runs
+    # — bench.py and scale_probe.run_interleaved call
+    # spark.catalog.clearCache() after every measurement, which also
+    # stops reps 2+ from being served by a CacheManager
+    # plan-fingerprint hit — and one-shot callers rely on session
+    # teardown (memory blocks LRU-evict; disk blocks live to session
+    # end).
     per_doc = (base
                .join(trail, "doc_id", "left")
                .join(contam, "doc_id", "left")
@@ -13441,7 +13449,7 @@ def _training_export_chain(spark: SparkSession, sf_dir: str,
             .orderBy("shard"))
 
 
-@register("training_export_pipeline", oracle=_TEP_ORACLE)
+@register("training_export_pipeline", oracle=_TEP_ORACLE, headline=True)
 def q_training_export_pipeline(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """THE COMPOSED EXPORT FLAGSHIP — one pass through the

@@ -29,7 +29,7 @@ Growth semantics (why not naive replication):
   per-key chain length.
 - ``embeddings``: ``vec_id`` shifted; each copy's vectors are
   multiplied element-wise by a deterministic per-copy ±1 pattern
-  (scheme v2, see _sign_pattern): within-copy dot products — and so
+  (scheme v3, see _sign_pattern): within-copy dot products — and so
   each copy's kNN/near-dup structure — are numerically unchanged,
   while cross-copy cosines collapse to noise, so similarity-pair
   queries see 10x as MANY clusters of the same size rather than a
@@ -75,12 +75,16 @@ DIMS = ("region", "nation")  # fixed: dims don't scale with fact data
 
 def _rotated(i: int) -> tuple[str, str]:
     """Injective per-copy letter map with (near-)zero cross-copy
-    shingle overlap. Copies 0-25 rotate the alphabet (unchanged from
-    the original 10x scheme, so the cached 10x dataset stays valid);
-    copies 26-51 use REFLECTED rotations (x -> -x + k), a disjoint
-    family from the pure rotations, so a >26-copy build (the 30x
-    trend-line probe) never repeats a map and near-dup clusters stay
-    per-copy."""
+    shingle overlap. Copies 0-25 rotate the alphabet; copies 26-51
+    use REFLECTED rotations (x -> -x + k), a disjoint family from the
+    pure rotations, so a >26-copy build (the 30x trend-line probe)
+    never repeats a map and near-dup clusters stay per-copy. Beyond
+    52 copies the 52 maps repeat, so cross-copy EXACT text duplicates
+    appear — the 300x ladder's documented duplicate-density artifact
+    (SCALE.md); text-similarity ratios at >52 copies measure that
+    density, not just the plan. (A scheme bump — e.g. PROBE_SCHEME —
+    invalidates every cached dataset, including 10x: the marker file
+    is checked against the CURRENT scheme on every build.)"""
     lo, up = string.ascii_lowercase, string.ascii_uppercase
     k = i % 26
     if i < 26:
@@ -92,37 +96,56 @@ def _rotated(i: int) -> tuple[str, str]:
 
 # Growth-semantics version, written into the completion marker: a
 # cached dataset built under an older scheme is rebuilt, not silently
-# reused. v2 = per-copy sign-flipped embeddings (see _sign_pattern).
-PROBE_SCHEME = "v2"
+# reused (including the 10x one — any scheme bump invalidates ALL
+# cached probe datasets). v3 = per-copy (cyclic rotation, Hadamard
+# sign row) orthogonal transforms (see _sign_pattern); v2 was
+# splitmix-derived ±1 patterns, replaced because their tail pairwise
+# correlations reached 0.5 (copies 3/19) — at/above the 0.3
+# cosine_neardup threshold — and because ANY sign-only pattern leaves
+# a v_k^2-weighted cross term for energy-concentrated vectors (r11
+# advisor finding + the measured comparison in _sign_pattern).
+PROBE_SCHEME = "v3"
 
 
-def _sign_pattern(i: int, dim: int = 64) -> list[float]:
-    """Deterministic per-copy ±1 pattern (splitmix64 bits of the copy
-    index). Applying the SAME pattern to every vector of a copy leaves
-    every within-copy dot product — and therefore the copy's entire
-    near-dup/kNN structure — numerically identical to the original,
-    while cross-copy cosines collapse to ~N(0, 1/sqrt(dim)) ≈ ±0.125,
-    far below any near-dup threshold. This is the embedding analog of
-    the alphabet rotation on documents.text: without it every copy's
-    vectors are byte-identical to every other copy's, and
-    embedding-similarity pair queries measure an adversarial quadratic
-    cross-copy density no real corpus has (caught by the r07-cohort
-    10x pre-audit: semantic_dedup 4.6x, cosine_neardup_blocked 5.7x,
-    minhash_recall_eval 7.5x — all of it cross-copy identical-vector
-    pairs). Copy 0 keeps the identity pattern so the base corpus is
-    embedded verbatim."""
-    if i == 0:
-        return [1.0] * dim
-    x = (i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-    bits = []
-    while len(bits) < dim:
-        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        z = x
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        z ^= z >> 31
-        bits.extend(1.0 if (z >> b) & 1 else -1.0 for b in range(64))
-    return bits[:dim]
+def _sign_pattern(i: int, dim: int) -> list[float]:
+    """Deterministic per-copy ±1 pattern: a row of the dim x dim
+    Sylvester-Hadamard matrix, H[r][j] = (-1)^popcount(r & j), used
+    TOGETHER with the per-copy cyclic rotation (_shift, applied in
+    build). Both factors are orthogonal transforms, so applying the
+    same (rotate, sign) to every vector of a copy leaves every
+    within-copy dot product — and therefore the copy's entire
+    near-dup/kNN structure — numerically identical to the original
+    (verified: one distinct dot value across all copies).
+
+    Why BOTH factors: a sign pattern alone (v2's splitmix, or even an
+    exactly-orthogonal Hadamard row) cannot decorrelate a vector from
+    its own copy when the vector's energy concentrates in few dims —
+    the cross-copy cosine is sum(d_k * v_k^2)/|v|^2, a ±1 average
+    WEIGHTED by v_k^2, so pattern orthogonality is not enough
+    (measured on sf0.1 x 10 copies: sign-only left 3,835/90,000
+    same-base pairs >= 0.30, max 0.72). Composing a distinct cyclic
+    shift turns the cross term into a sign-scrambled LAGGED product
+    sum(± v_k v_{k+Δ})/|v|^2, which has no v_k^2 mass term: measured
+    589/90,000 >= 0.30 and 4 >= 0.45 at 10 copies (14x/85x fewer),
+    5,941/870,000 >= 0.30 at 30 copies — the residual is documented
+    noise, not a quadratic wall. Row 0 + shift 0 keep copy 0's base
+    corpus embedded verbatim.
+
+    Copy blocks beyond ``dim`` reuse rows/shifts salted by block
+    (r = (i + 23b) % dim, shift = (i + 17b) % dim): no two copies
+    within ~2000 blocks share BOTH factors, so >64-copy ladders (the
+    300x rung) keep the same residual class, like the >52-copy
+    text-map repeat. ``dim`` must be a power of two (asserted by
+    build)."""
+    r = (i + 23 * (i // dim)) % dim
+    return [1.0 if bin(r & j).count("1") % 2 == 0 else -1.0
+            for j in range(dim)]
+
+
+def _shift(i: int, dim: int) -> int:
+    """Per-copy cyclic-rotation offset composed with _sign_pattern
+    (see its docstring for why sign flips alone are insufficient)."""
+    return (i + 17 * (i // dim)) % dim
 
 
 def build(spark=None) -> str:
@@ -144,6 +167,14 @@ def build(spark=None) -> str:
 
     for t in TABLES:
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t == "embeddings":
+            # derive the dim from the data, never hardcode: zip_with
+            # against a wrong-length literal array would silently
+            # null-pad (x * NULL = NULL) instead of failing
+            dim = len(src.select("embedding").first()["embedding"])
+            assert dim & (dim - 1) == 0, \
+                f"embedding dim {dim} not a power of two: the " \
+                "Sylvester-Hadamard sign patterns need one"
         if t in DIMS:
             out = src
         else:
@@ -157,11 +188,25 @@ def build(spark=None) -> str:
                     frm, to = _rotated(i)
                     c = c.withColumn("text", F.translate("text", frm, to))
                 if t == "embeddings" and i > 0:
-                    signs = F.array(*[F.lit(s) for s in _sign_pattern(i)])
+                    signs = F.array(*[F.lit(s)
+                                      for s in _sign_pattern(i, dim)])
+                    vec = F.col("embedding")
+                    # per-copy cyclic rotation, composed with the sign
+                    # row (orthogonal — see _sign_pattern for why both
+                    # factors are needed)
+                    shift = _shift(i, dim)
+                    if shift:
+                        vec = F.concat(F.slice(vec, shift + 1, dim - shift),
+                                       F.slice(vec, 1, shift))
+                    flipped = F.zip_with(
+                        vec, signs, lambda x, s: (x * s).cast("float"))
                     c = c.withColumn(
                         "embedding",
-                        F.zip_with("embedding", signs,
-                                   lambda x, s: (x * s).cast("float")))
+                        F.when(F.size("embedding") == dim, flipped)
+                        .otherwise(F.raise_error(F.concat(
+                            F.lit("scale_probe: embedding length "),
+                            F.size("embedding").cast("string"),
+                            F.lit(f" != sampled dim {dim}")))))
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:
@@ -230,6 +275,11 @@ def run_interleaved(reps: int = 3, names: list[str] | None = None) -> dict:
                     .write.mode("overwrite").format("noop").save()
                 best[q.name][key] = min(best[q.name][key],
                                         time.perf_counter() - t0)
+                # same cache discipline as bench.py: internally
+                # persisting builders (export flagship) must not be
+                # served from the CacheManager on later reps, nor
+                # leak cached blocks across measurements
+                spark.catalog.clearCache()
     out = {
         "metric": "headline suite wall-clock, sf0.1 vs 10x data "
                   f"(min of {reps} interleaved reps)",

@@ -158,8 +158,8 @@ def test_headline_plans_push_down_and_broadcast(spark):
 
 
 def test_connected_components_chain_and_clique(spark):
-    """Min-label propagation: a 4-chain, a triangle, and a lone pair
-    collapse to their min ids; convergence needs diameter rounds."""
+    """Min-label propagation + pointer jumping: a 4-chain, a triangle,
+    and a lone pair collapse to their min ids."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
          (10, 11), (11, 12), (10, 12),  # triangle
@@ -196,6 +196,37 @@ def test_connected_components_batched_convergence_checks(spark, monkeypatch):
     assert got == {i: 0 for i in range(n + 1)}
     # per-round checks would need >= 24 counts; batched needs ~24/4 + 1
     assert calls["n"] <= 8, calls["n"]
+
+
+def test_connected_components_pathological_chain(spark):
+    """The round-11 verdict's adversarial case: a CHAIN-shaped
+    duplicate cluster (crawl-loop data) has diameter O(N). Plain
+    min-label propagation needs diameter rounds — a 200-chain under
+    the default max_iter=20 budget would previously fall out of the
+    loop and SILENTLY return split (wrong) clusters. With pointer
+    jumping (lbl <- lbl(lbl)) path lengths halve per round, so the
+    200-chain converges inside the default budget and every node
+    labels to the chain minimum. This test is red under the old
+    unbounded-diameter loop and green under the O(log d) one."""
+    n = 200  # diameter 200 >> default max_iter=20
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_budget_exhaustion_raises(spark):
+    """Exhausting the round budget must RAISE, never return
+    unconverged labels (a silently under-dropping dedup). max_iter=1
+    with check_every=1 on a 6-chain cannot converge in one combined
+    round."""
+    import pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1, check_every=1)
 
 
 def test_multiprobe_recall_dominates_single_probe(spark):
@@ -805,10 +836,10 @@ def test_training_export_pipeline_funnel_and_shapes(spark, sf_dir):
     # never re-derive it: per_doc's lineage embeds the dedup detector
     # + decontamination screen + quality kernel, and without the
     # persist the final action runs all of it a second time (the 300x
-    # probe measured the flagship at 1014 s, ~311 s of which was the
-    # second detector pass; with the persist it is 440 s). If this
-    # assert reds, someone dropped the .persist() in
-    # _training_export_chain.
+    # probe measured the flagship at 1014.2 s, ~311 s of which was the
+    # second detector pass; with the persist it is 385.5 s — SCALE.md
+    # round-11 addendum). If this assert reds, someone dropped the
+    # .persist() in _training_export_chain.
     assert "InMemoryTableScan" in plan
     rows = out.collect()
     assert [r["shard"] for r in rows] == sorted(r["shard"] for r in rows)
