@@ -445,6 +445,11 @@ WINDOW_PRIORITY: list[str] = [
     "volume_shipping",
     "returned_items",
     "promo_revenue_share",
+    # -- round-12 additions (r13 grading queue; registered post-window
+    #    per the addition cap) ---------------------------------------
+    "semantic_dedup_auto",
+    "cosine_neardup_blocked_auto",
+    "minhash_recall_eval_sampled",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -14730,3 +14735,189 @@ def q_eval_contamination_attribution(spark: SparkSession,
                  .cast("long").alias("n_docs_contaminated"),
                  F.round(F.max("frac"), 6).alias("max_frac"))
             .orderBy("eval_id"))
+
+
+# ---------------------------------------------------------------------------
+# Round-12 additions (r13 grading queue; registered post-window per
+# the addition cap): scale-parametric graded instances of the
+# block-pinned similarity queries (round-11 verdict task 2) and the
+# sampled production variant of the recall eval (task 3).
+
+@register(
+    "semantic_dedup_auto",
+    oracle=("""
+WITH kpar AS (
+  SELECT GREATEST(2, COALESCE((SELECT max(b) FROM range(2, 100000) t(b)
+    WHERE b * b <= (SELECT count(*) FROM embeddings)), 2)) AS kk
+),""" + _dd_kmeans_cte_split(k="(SELECT kk FROM kpar)", with_kw=False)
+            + """
+, p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.d2 AS da, b.d2 AS db,
+         a.cl, round({dot}, 6) AS cosine
+  FROM f a JOIN f b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({dot}, 6) >= 0.42
+)
+SELECT CASE WHEN da > db OR (da = db AND id_a > id_b)
+            THEN id_a ELSE id_b END AS vec_id,
+       cl AS cluster,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(cosine) AS max_cosine
+FROM p GROUP BY 1, 2
+""".format(dot=dd_dot("ea.embedding", "eb.embedding"))))
+def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with the SemDeDup paper's k ~ sqrt(N) rule
+    DERIVED FROM THE CORPUS instead of pinned at k=5 — the round-11
+    verdict's "pinned-block-constant artifact" fix: with k growing as
+    sqrt(N), average cluster size stays ~sqrt(N) and the within-block
+    pair term is bounded per cluster, so the graded instance runs the
+    plan a 100 TB deployment would. The quantizer is
+    clustering.kmeans_assign_scaled: Lloyd's with the centroid set
+    kept DISTRIBUTED (broadcast 1-row struct array, zero driver
+    collects, plan size O(1) in k) — the shape that survives
+    k = sqrt(10^10). The one driver scalar is count(*) (the bounded-
+    scalar discipline); the oracle recomputes the same integer sqrt
+    via GREATEST(2, max b: b*b <= count(*)) and replays Lloyd's with
+    that k, so the derivation itself is value-pinned."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    return CL.semantic_dedup_auto(emb, threshold=0.42)
+
+
+@register(
+    "cosine_neardup_blocked_auto",
+    oracle="""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM embeddings),
+bb AS (
+  SELECT COALESCE((SELECT min(b) FROM range(1, 17) t(b), nn
+                   WHERE (128 << b) >= cnt), 16) AS bits
+),
+v AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(range(0, (SELECT bits FROM bb)),
+           j -> CASE WHEN embedding[j + 1] >= 0
+                     THEN (1 << j) ELSE 0 END)) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot}, 6) AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({dot}, 6) >= 0.45
+""".format(dot=dd_dot("a.embedding", "b.embedding")))
+def q_cosine_neardup_blocked_auto(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """cosine_neardup_blocked with the sign-bit count DERIVED FROM THE
+    CORPUS: bits = min b in [1, 16] with target_bucket << b >= N
+    (i.e. ceil(log2(N / 128)), integer-exact on both engines), so the
+    expected bucket population stays ~128 as the corpus grows and the
+    within-block pair term is ~N x 128 — linear, where the pinned
+    3-bit instance is quadratic by construction (the round-11
+    verdict's watch item 1). The bucket expression grows O(log N)
+    plan nodes (a when-chain over the first ``bits`` signs), the
+    corpus-derived constant is ONE count(*) driver scalar, and the
+    oracle re-derives the same bits with a bounded range scan."""
+    from ..operators.retrieval import _sign_bucket
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = next((b for b in range(1, 17) if (128 << b) >= n), 16)
+    v = emb.withColumn("bucket", _sign_bucket(F.col("embedding"), bits))
+    a = v.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"), F.col("bucket"))
+    b = v.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"), F.col("bucket"))
+    from ..functions import vectors as V
+    return (a.join(b, ["bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(V.dot(F.col("va"), F.col("vb")), 6)
+                     .alias("cosine"))
+            .where(F.col("cosine") >= 0.45))
+
+
+@register(
+    "minhash_recall_eval_sampled",
+    oracle=("WITH " + _DD_MH_CTES + ",\n"
+            + "pairs AS (" + _DD_MH_PAIRS_SELECT + "),\n"
+            + """sdoc AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 4 = 0
+),
+shs AS (SELECT sh.* FROM sh JOIN sdoc USING (doc_id)),
+ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+        ELSE 0.0 END >= {th}
+),
+mhs AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN sdoc s1 ON s1.doc_id = p.id_a
+  JOIN sdoc s2 ON s2.doc_id = p.id_b
+),
+j AS (
+  SELECT e.id_a IS NOT NULL AS in_ex, p.id_a IS NOT NULL AS in_mh
+  FROM ex e FULL JOIN mhs p
+    ON e.id_a = p.id_a AND e.id_b = p.id_b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sdoc) AS n_sample_docs,
+       CAST(sum(CASE WHEN in_ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       CAST(sum(CASE WHEN in_ex AND in_mh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       round(sum(CASE WHEN in_ex AND in_mh THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN in_ex THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS recall,
+       round(sum(CASE WHEN in_ex AND in_mh THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS precision
+FROM j
+""".format(th=_MH["threshold"])))
+def q_minhash_recall_eval_sampled(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """THE PRODUCTION VARIANT of minhash_recall_eval (round-11 verdict
+    task 3): the exhaustive exact-Jaccard ground truth — the repo's
+    most expensive query by design (158 s at 10x) — is built over a
+    DETERMINISTIC 25% hash-sample of the corpus (md5(doc_id) % 4 = 0,
+    the same md5-uniform the mixture samplers use), so the truth
+    side's prefix-filtered set-similarity join touches ~1/16 of the
+    pair space and scales LINEARLY IN THE SAMPLE while the LSH side
+    under evaluation still runs over the FULL corpus index (recall is
+    a property of the production banding config, so the index must be
+    the production one; only the audit is sampled). Doc-sampling
+    estimates pair recall unbiasedly because both endpoints of a
+    truth pair are sampled independently of their similarity. The
+    oracle replays the identical md5 predicate, so sample membership
+    is value-pinned, not statistical."""
+    d = _t(spark, sf_dir, "documents")
+    keep4 = lambda c: hashing.md5_long(c.cast("string")) % 4 == 0  # noqa: E731
+    d_s = d.where(keep4(F.col("doc_id")))
+    ex = dedup.ngram_jaccard_pairs(
+        d_s, shingle_n=_MH["shingle_n"],
+        threshold=_MH["threshold"]).select("id_a", "id_b")
+    mh = (dedup.minhash_lsh_pairs(
+        d, shingle_n=_MH["shingle_n"], n_hashes=_MH["n_hashes"],
+        n_bands=_MH["n_bands"], jaccard_threshold=_MH["threshold"],
+        max_bucket=_MH["max_bucket"])
+        .select("id_a", "id_b")
+        .where(keep4(F.col("id_a")) & keep4(F.col("id_b"))))
+    j = (ex.withColumn("in_ex", F.lit(1))
+         .join(mh.withColumn("in_mh", F.lit(1)),
+               ["id_a", "id_b"], "full")
+         .select(F.coalesce(F.col("in_ex"), F.lit(0)).alias("in_ex"),
+                 F.coalesce(F.col("in_mh"), F.lit(0)).alias("in_mh")))
+    n_ex = F.sum("in_ex").cast("long")
+    n_mh = F.sum("in_mh").cast("long")
+    n_co = F.sum(F.col("in_ex") * F.col("in_mh")).cast("long")
+    agg = j.agg(n_ex.alias("n_exact"), n_mh.alias("n_lsh"),
+                n_co.alias("n_common"),
+                F.round(n_co / n_ex.cast("double"), 6).alias("recall"),
+                F.round(n_co / n_mh.cast("double"), 6).alias("precision"))
+    n_docs = d_s.agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_sample_docs"))
+    return agg.crossJoin(F.broadcast(n_docs)) \
+        .select("n_sample_docs", "n_exact", "n_lsh", "n_common",
+                "recall", "precision")

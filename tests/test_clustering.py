@@ -210,3 +210,56 @@ def test_ivf_delta_assign_matches_full_rebuild_and_is_idempotent(spark, sf_dir):
                    for r in registry.q_ivf_delta_assign(spark, sf_dir)
                    .collect())
     assert rows2 == rows1
+
+
+def test_kmeans_assign_scaled_matches_literal_path(spark, sf_dir):
+    """The distributed-centroid Lloyd's (broadcast struct-array
+    quantizer, zero driver collects) must be VALUE-IDENTICAL to the
+    literal-centroid path at equal k: same seeds, same 6dp rounding
+    points, same (d2, cl) tie-break. This is the oracle-identity that
+    lets semantic_dedup_auto reuse the pinned variant's DuckDB Lloyd
+    CTE with a corpus-derived k."""
+    emb = _emb(spark, sf_dir)
+    for k in (2, 7):
+        lit = {(r["vec_id"]): (r["cluster"], r["dist2"])
+               for r in clustering.kmeans_assign(emb, k=k, iters=2)
+               .collect()}
+        tab = {(r["vec_id"]): (r["cluster"], r["dist2"])
+               for r in clustering.kmeans_assign_scaled(emb, k, iters=2)
+               .collect()}
+        assert lit == tab
+
+
+def test_semantic_dedup_auto_matches_fixed_at_derived_k(spark, sf_dir):
+    """semantic_dedup_auto == semantic_dedup with k pinned to the
+    derived isqrt(N): the AUTO variant changes only where k comes
+    from (corpus count) and how the quantizer is evaluated
+    (distributed, not literal) — never the SemDeDup policy."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    k = max(2, math.isqrt(emb.count()))
+    auto = {(r["vec_id"], r["cluster"]): (r["n_pairs"], r["max_cosine"])
+            for r in clustering.semantic_dedup_auto(
+                emb, threshold=0.42).collect()}
+    fixed = {(r["vec_id"], r["cluster"]): (r["n_pairs"], r["max_cosine"])
+             for r in clustering.semantic_dedup(
+                 emb, k=k, iters=2, threshold=0.42).collect()}
+    assert auto == fixed
+    assert auto  # non-vacuous at the test SF
+
+
+def test_kmeans_assign_scaled_plan_is_k_independent(spark, sf_dir):
+    """The point of the broadcast-table quantizer: plan TEXT size must
+    not grow with k (the literal when-chain grows O(k x dim) nodes and
+    chokes past a few hundred centroids). Also: the centroid side must
+    arrive broadcast, and no shuffle of the corpus may appear below
+    the assignment (scan-local argmin)."""
+    emb = _emb(spark, sf_dir)
+    plans = {}
+    for k in (2, 40):
+        df = clustering.kmeans_assign_scaled(emb, k, iters=1)
+        plans[k] = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plans[40]
+    # identical plan shape: k only changes a literal inside a filter
+    assert abs(len(plans[40]) - len(plans[2])) < 200

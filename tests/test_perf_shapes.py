@@ -1341,3 +1341,27 @@ def test_r11_ledger_plan_shapes(spark, sf_dir):
     eplan = eca._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in eplan
     assert "SortMergeJoin" not in eplan  # the dictionary never SMJs
+
+
+def test_cosine_neardup_blocked_auto_bits_and_subset(spark, sf_dir):
+    """The corpus-derived sign-bit count must (a) match the integer
+    formula min b: 128 << b >= N on the live corpus, (b) keep the
+    expected bucket population ~128 so pair work stays ~N x 128
+    (linear — the fix for the pinned 3-bit instance's quadratic
+    term), and (c) report only pairs the exhaustive detector also
+    reports (blocking can only LOSE boundary pairs, never invent
+    one, and never change a cosine)."""
+    from rag_vector_database_spark.operators.dedup import cosine_dup_pairs
+    from rag_vector_database_spark.plans import registry
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    bits = next(b for b in range(1, 17) if (128 << b) >= n)
+    assert n <= 128 << bits < 2 * max(n, 256)
+    blocked = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+               registry.q_cosine_neardup_blocked_auto(spark, sf_dir)
+               .collect()}
+    exact = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             cosine_dup_pairs(emb, threshold=0.45).collect()}
+    assert set(blocked) <= set(exact)
+    assert all(exact[k] == v for k, v in blocked.items())

@@ -351,3 +351,39 @@ def test_salted_top_matches_window_under_ties(spark, rows):
             .where(F.col("rn") <= 3).drop("rn"))
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_minhash_recall_eval_sampled_invariants(spark, sf_dir):
+    """The sampled recall audit (round-11 verdict task 3): (a) the
+    sampled exact ground truth equals the FULL exact pair set
+    restricted to sampled endpoints (pair Jaccard depends only on the
+    pair, so doc-sampling the prefix-filter join loses nothing inside
+    the sample); (b) precision is 1.0 by construction (LSH candidates
+    are exact-verified before thresholding); (c) the counters cohere
+    (n_common <= min(n_exact, n_lsh), sample is ~25% of docs)."""
+    from rag_vector_database_spark.functions import hashing
+    from rag_vector_database_spark.plans import registry
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = hashing.md5_long(F.col("doc_id").cast("string")) % 4 == 0
+    mh = registry._MH
+    full_ex = dedup.ngram_jaccard_pairs(
+        d, shingle_n=mh["shingle_n"], threshold=mh["threshold"])
+    restricted = {(r["id_a"], r["id_b"]) for r in full_ex
+                  .where(hashing.md5_long(F.col("id_a").cast("string"))
+                         % 4 == 0)
+                  .where(hashing.md5_long(F.col("id_b").cast("string"))
+                         % 4 == 0)
+                  .select("id_a", "id_b").collect()}
+    sampled_ex = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(
+        d.where(keep), shingle_n=mh["shingle_n"],
+        threshold=mh["threshold"]).select("id_a", "id_b").collect()}
+    assert sampled_ex == restricted
+
+    row = registry.q_minhash_recall_eval_sampled(spark, sf_dir).first()
+    assert row["n_exact"] == len(sampled_ex)
+    assert row["n_common"] <= min(row["n_exact"], row["n_lsh"])
+    if row["n_lsh"] > 0:
+        assert row["precision"] == 1.0
+    n_docs = d.count()
+    assert 0.1 * n_docs <= row["n_sample_docs"] <= 0.45 * n_docs
