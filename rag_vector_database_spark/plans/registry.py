@@ -152,22 +152,70 @@ WINDOW_PRIORITY: list[str] = [
     "exact_dedup",
     "minhash_neardup",
     "pricing_summary",
-    # -- r11 window: (a) the 4-query r10 addition queue, drained
-    #    (round-10 verdict task 1); (b) the two r04 staleness
-    #    re-grades deferred from the r10 window for the 50-slot
-    #    budget. ---------------------------------------------------
+    # -- r12 window: (a) the 7-query r11 addition queue, drained
+    #    (round-11 verdict task 1); (b) the 5 r05-cohort staleness
+    #    re-grades deferred from the r11 window; (c) 32 of the 44
+    #    r06-cohort names (last graded round 6, pre-audited clean at
+    #    10x in round 11), alphabetical — including the four heavies
+    #    (daily_drop_pipeline, minhash_keep_best, phash_blob_neardup,
+    #    cross_modal_retrieval) whose 300x rungs land this round
+    #    (verdict task 6). The 12 remaining r06 names (trivial
+    #    relational scans / sink roundtrips) carry to the r13 window
+    #    for the 50-slot budget. ------------------------------------
+    "training_export_keep_best",
+    "quality_gate_calibration_matrix",
+    "stratified_shard_content_mix",
+    "epoch_sample_manifest",
+    "decontamination_delta_screen",
+    "effective_token_budget",
+    "eval_contamination_attribution",
+    "large_orders",
+    "small_order_revenue",
+    "volume_shipping",
+    "returned_items",
+    "promo_revenue_share",
+    "alpha_mixture_weights",
+    "bigram_lm_quality",
+    "bloom_prefilter_antijoin",
+    "bpe_merges",
+    "bpe_token_counts",
+    "c4_quality_flags",
+    "cms_heavy_hitters",
+    "cross_modal_retrieval",
+    "daily_drop_pipeline",
+    "domain_cap_sample",
+    "domain_mixture_weights",
+    "dsir_importance",
+    "embedding_dim_stats",
+    "embedding_outlier_topk",
+    "gopher_quality_flags",
+    "hard_negatives",
+    "incremental_agg_merge",
+    "ivf_kmeans_knn",
+    "label_centroid_spread",
+    "manifest_sink_roundtrip",
+    "minhash_keep_best",
+    "multimodal_resize_stats",
+    "pagerank_nations",
+    "phash_blob_neardup",
+    "quality_blend_rank",
+    "retrieval_ndcg_eval",
+    "schema_evolution_read",
+    "token_collocations",
+    "token_entropy",
+    "unigram_quality",
+    "video_frame_dedup",
+    "weighted_domain_sample",
+    # ----- end of the graded 50-prefix (6 canaries + 7 r11 queue
+    #       + 5 r05 deferred + 32 r06 staleness re-grades) ----------
+    # -- previously graded (r01-r11 green rows); listed so the
+    #    no-oracle entries below can never float into the prefix. ----
     "mixture_epoch_schedule",
     "decontamination_threshold_sensitivity",
     "dedup_survivorship_audit",
     "shard_content_mix",
     "time_weighted_avg",
     "ttl_dedup_events",
-    # -- staleness re-grades: the r05 cohort (last graded in round
-    #    5 -- the oldest un-regraded names; 38 of its 43, with five
-    #    trivial relational names --
-    #    large_orders, returned_items, volume_shipping,
-    #    small_order_revenue, promo_revenue_share -- deferred to
-    #    the r12 window for the 50-slot budget). --------------------
     "benchmark_decontaminate",
     "bucketed_join_colocated",
     "cheapest_line_per_part",
@@ -206,10 +254,6 @@ WINDOW_PRIORITY: list[str] = [
     "unpivot_order_metrics",
     "variant_props_shred",
     "xml_sink_roundtrip",
-    # ----- end of the graded 50-prefix (6 canaries + 4 queue
-    #       + 2 r04 deferred + 38 r05 staleness re-grades) --------
-    # -- previously graded (r01-r10 green rows); listed so the two
-    #    no-oracle entries below can never float into the prefix. ----
     "semantic_decontaminate",
     "export_shard_manifest",
     "streaming_late_data_audit",
@@ -386,65 +430,19 @@ WINDOW_PRIORITY: list[str] = [
     "knn_metadata_filtered",
     "retrieval_lifecycle_pipeline",
     "ingest_lifecycle_pipeline",
-    "daily_drop_pipeline",
-    "minhash_keep_best",
-    "phash_blob_neardup",
-    "retrieval_ndcg_eval",
-    "quality_blend_rank",
-    "domain_cap_sample",
-    "video_frame_dedup",
-    "embedding_outlier_topk",
-    "multimodal_resize_stats",
+    # -- r06-cohort staleness remainder (carries to the r13 window) --
+    "csv_sink_roundtrip",
     "customer_distribution",
+    "dominant_part_suppliers",
     "knn_batch",
-    "label_centroid_spread",
+    "orc_sink_roundtrip",
+    "part_value_concentration",
     "resample_fill_forward",
     "retention_cohorts",
-    "hard_negatives",
-    "domain_mixture_weights",
-    "ivf_kmeans_knn",
-    "weighted_domain_sample",
-    "unigram_quality",
-    "embedding_dim_stats",
-    "bpe_merges",
-    "bigram_lm_quality",
-    "gopher_quality_flags",
-    "scd2_intervals",
-    "bpe_token_counts",
-    "dsir_importance",
-    "cms_heavy_hitters",
-    "c4_quality_flags",
-    "part_value_concentration",
-    "dominant_part_suppliers",
-    "stats_correlation",
-    "alpha_mixture_weights",
-    "csv_sink_roundtrip",
-    "orc_sink_roundtrip",
-    "bloom_prefilter_antijoin",
-    "incremental_agg_merge",
-    "pagerank_nations",
-    "schema_evolution_read",
     "revenue_moving_avg",
-    "manifest_sink_roundtrip",
+    "scd2_intervals",
     "sql_api_shipping_priority",
-    "token_entropy",
-    "token_collocations",
-    "cross_modal_retrieval",
-    # -- round-11 additions (r12 grading queue; registered post-window
-    #    per the addition cap) ---------------------------------------
-    "training_export_keep_best",
-    "quality_gate_calibration_matrix",
-    "stratified_shard_content_mix",
-    "epoch_sample_manifest",
-    "decontamination_delta_screen",
-    "effective_token_budget",
-    "eval_contamination_attribution",
-    # -- r05-cohort staleness remainder (carries to the r12 window) --
-    "large_orders",
-    "small_order_revenue",
-    "volume_shipping",
-    "returned_items",
-    "promo_revenue_share",
+    "stats_correlation",
     # -- round-12 additions (r13 grading queue; registered post-window
     #    per the addition cap) ---------------------------------------
     "semantic_dedup_auto",
