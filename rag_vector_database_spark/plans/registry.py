@@ -13310,6 +13310,12 @@ FROM sh8 ORDER BY shard
             shc=dd_shingles("text", 3))
 
 
+# the export chain's persisted per_doc ledger frame, newest (and only)
+# last — cap-1 eviction so repeated chain calls never accumulate
+# cached frames (see the persist-site comment inside the chain)
+_EXPORT_PERSISTED: list[DataFrame] = []
+
+
 def _training_export_chain(spark: SparkSession, sf_dir: str,
                            drop_ids: DataFrame) -> DataFrame:
     """Stages 1 + 3-5 of the export funnel, PARAMETRIC in the dedup
@@ -13359,14 +13365,18 @@ def _training_export_chain(spark: SparkSession, sf_dir: str,
     # never text), MEMORY_AND_DISK so executors spill rather than
     # recompute; at 100 TB this is the standard funnel-ledger persist,
     # not a corpus cache. The builder can NOT unpersist it (the final
-    # action belongs to the caller), so the cache entry outlives the
-    # query: repeated-measurement harnesses must clear it between runs
-    # — bench.py and scale_probe.run_interleaved call
-    # spark.catalog.clearCache() after every measurement, which also
-    # stops reps 2+ from being served by a CacheManager
-    # plan-fingerprint hit — and one-shot callers rely on session
-    # teardown (memory blocks LRU-evict; disk blocks live to session
-    # end).
+    # action belongs to the caller), so it is TRACKED with a cap-1
+    # eviction list (the _PERSISTED / _TRI_CACHE discipline): each
+    # chain call unpersists the previous call's frame, so repeated
+    # invocations (bench reps, interleaved scale probes, both export
+    # variants in one session) hold at most ONE cached ledger frame
+    # instead of leaking one per call — and a later rep can never be
+    # silently served the earlier rep's blocks through a CacheManager
+    # plan-fingerprint hit, which would hide a detector regression
+    # from the bench. One-shot callers release the last frame at
+    # session teardown.
+    while _EXPORT_PERSISTED:
+        _EXPORT_PERSISTED.pop().unpersist()
     per_doc = (base
                .join(trail, "doc_id", "left")
                .join(contam, "doc_id", "left")
@@ -13374,6 +13384,7 @@ def _training_export_chain(spark: SparkSession, sf_dir: str,
                        F.coalesce(F.col("__dup"), F.lit(0)).alias("dup"),
                        F.coalesce(F.col("__ct"), F.lit(0)).alias("contam"))
                .persist())
+    _EXPORT_PERSISTED.append(per_doc)
     clean = per_doc.where((F.col("pass_q") == 1) & (F.col("dup") == 0)
                           & (F.col("contam") == 0))
 

