@@ -334,11 +334,21 @@ def run_cold(names: list[str]) -> dict:
             r = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True)
             if r.returncode != 0:
+                # report the completed measurements BEFORE dying: a
+                # multi-hour ladder must never discard finished rungs
+                # because a later query failed (learned the hard way:
+                # a 300x disk-exhaustion on the last of three queries
+                # threw away two completed ~20-min measurements)
+                print("PARTIAL", json.dumps(out), flush=True)
                 raise SystemExit(
                     f"cold child failed for {name} at {d}:\n"
                     + r.stderr[-2000:])
             m = re.search(r"COLD_SECONDS ([0-9.]+)", r.stdout)
             out[key][name] = float(m.group(1))
+            # stream each finished measurement (the final JSON line is
+            # unchanged; these progress lines let a monitor see rungs
+            # as they land)
+            print(f"COLD {name} {key} {out[key][name]}", flush=True)
         out["time_ratio_per_query"][name] = round(
             out["scaled_s"][name] / out["base_s"][name], 2)
     return out
