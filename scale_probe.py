@@ -126,17 +126,21 @@ def _sign_pattern(i: int, dim: int) -> list[float]:
     same-base pairs >= 0.30, max 0.72). Composing a distinct cyclic
     shift turns the cross term into a sign-scrambled LAGGED product
     sum(± v_k v_{k+Δ})/|v|^2, which has no v_k^2 mass term: measured
-    589/90,000 >= 0.30 and 4 >= 0.45 at 10 copies (14x/85x fewer),
-    5,941/870,000 >= 0.30 at 30 copies — the residual is documented
-    noise, not a quadratic wall. Row 0 + shift 0 keep copy 0's base
-    corpus embedded verbatim.
+    633/90,000 >= 0.30 and 8 >= 0.45 at 10 copies (6.1x/42x fewer
+    than sign-only's 3,835/340, max 0.49 vs 0.72), 6,027/870,000
+    >= 0.30 at 30 copies — the residual is documented noise, not a
+    quadratic wall. (Numbers re-derived exactly in numpy from the
+    sf0.1 corpus, round 13, and agree with the SCALE.md probe-v3
+    table; an earlier draft's 589/4 came from a pre-final variant.)
+    Row 0 + shift 0 keep copy 0's base corpus embedded verbatim.
 
     Copy blocks beyond ``dim`` reuse rows/shifts salted by block
-    (r = (i + 23b) % dim, shift = (i + 17b) % dim): no two copies
-    within ~2000 blocks share BOTH factors, so >64-copy ladders (the
-    300x rung) keep the same residual class, like the >52-copy
-    text-map repeat. ``dim`` must be a power of two (asserted by
-    build)."""
+    (r = (i + 23b) % dim, shift = (i + 17b) % dim): the first copy
+    pair sharing BOTH factors is Δblock = 32 — copy 2080 repeats
+    copy 0's identity transform (solve the two congruences) — so no
+    collision within ~2000 COPIES (32 blocks), far past the 300x
+    rung's ladder, like the >52-copy text-map repeat. ``dim`` must
+    be a power of two (asserted by build)."""
     r = (i + 23 * (i // dim)) % dim
     return [1.0 if bin(r & j).count("1") % 2 == 0 else -1.0
             for j in range(dim)]
@@ -171,7 +175,13 @@ def build(spark=None) -> str:
             # derive the dim from the data, never hardcode: zip_with
             # against a wrong-length literal array would silently
             # null-pad (x * NULL = NULL) instead of failing
-            dim = len(src.select("embedding").first()["embedding"])
+            row = src.select("embedding").first()
+            if row is None or row["embedding"] is None:
+                raise ValueError(
+                    f"scale_probe: {SRC}/embeddings.parquet is empty "
+                    "(or its first embedding is NULL) — cannot derive "
+                    "the dim for the sign/rotation transforms")
+            dim = len(row["embedding"])
             assert dim & (dim - 1) == 0, \
                 f"embedding dim {dim} not a power of two: the " \
                 "Sylvester-Hadamard sign patterns need one"
