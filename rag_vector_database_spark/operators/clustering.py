@@ -83,7 +83,14 @@ def kmeans_centroids(emb: DataFrame, k: int = 5, iters: int = 2,
     # Python mapInPandas kernels in sources.multimodal).
     cached = emb.select(F.col(id_col), F.col(vec_col)).persist()
     try:
-        init = (cached.where(F.col(id_col) < k)
+        # seeds = the k LOWEST-id vectors (orderBy + limit plans as
+        # TakeOrderedAndProject: per-partition top-k, one k-row merge
+        # — no full sort). Id-AGNOSTIC: on dense 0-based ids this is
+        # exactly the old ``id < k`` predicate, but on sparse/hashed
+        # id domains that predicate silently under-seeds (or empties)
+        # — r12 verdict watch item 1. Labels stay the seed ids
+        # themselves, so both engines name clusters identically.
+        init = (cached.orderBy(id_col).limit(k)
                 .select(F.col(id_col).cast("long").alias("cl"),
                         F.col(vec_col)))
         cents = sorted((r["cl"], [float(x) for x in r[vec_col]])
@@ -194,7 +201,15 @@ def semantic_dedup(emb: DataFrame, k: int = 5, iters: int = 2,
     what keeps within-block pair counts bounded on a real corpus: k
     grows with corpus size (SemDeDup uses k ~ sqrt(N)), so the
     quadratic term stays per-cluster-bounded while the cluster join
-    key co-locates each block's pairs on one executor."""
+    key co-locates each block's pairs on one executor.
+
+    DEPLOYMENT PATH: this fixed-k instance pins the oracle-checkable
+    constants (k=5) and is quadratic-at-fixed-blocks by construction
+    — at corpus scale use ``semantic_dedup_auto`` (same prune policy,
+    k ~ isqrt(N) derived from the corpus, distributed Lloyd's via
+    ``kmeans_assign_scaled``), measured 1.64 vs 4.69 at the 10x rung
+    (SCALE.md round-12), or the two-level ``semantic_dedup_two_level``
+    below N^1.5."""
     asn = kmeans_assign(emb, k=k, iters=iters, vec_col=vec_col,
                         id_col=id_col, ndigits=ndigits)
     return _semdedup_prune(asn, threshold, vec_col, id_col, ndigits)
@@ -279,7 +294,22 @@ def kmeans_assign_scaled(emb: DataFrame, k: int, iters: int = 2,
     The lazy plan scans ``emb`` once per iteration plus once for the
     final assignment (iters+2 scans including seeds) — persist the
     input upstream when it is not a cheap columnar scan."""
-    cents = (emb.where(F.col(id_col) < k)
+    cents = _lloyd_scaled(emb, k, iters, vec_col, id_col, ndigits)
+    return _assign_scaled(emb, cents, vec_col, id_col, ndigits)
+
+
+def _lloyd_scaled(emb: DataFrame, k: int, iters: int, vec_col: str,
+                  id_col: str, ndigits: int) -> DataFrame:
+    """The distributed Lloyd's loop of ``kmeans_assign_scaled``,
+    returning the learned centroid TABLE (cl, cv) as a DataFrame —
+    factored out so the two-level quantizer can run it on the coarse
+    vectors and again on the residuals without duplicating the loop."""
+    # seeds = the k LOWEST-id vectors (id-agnostic; see
+    # kmeans_centroids). TakeOrderedAndProject gathers k rows to one
+    # task — k x dim doubles, the same ~50 MB @ k=10^5 ceiling the
+    # _centroid_array broadcast already imposes, so the limit is
+    # never the binding constraint.
+    cents = (emb.orderBy(id_col).limit(k)
              .select(F.col(id_col).cast("long").alias("cl"),
                      F.transform(F.col(vec_col),
                                  lambda x: x.cast("double")).alias("cv")))
@@ -297,6 +327,14 @@ def kmeans_assign_scaled(emb: DataFrame, k: int, iters: int = 2,
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "m"))),
                      lambda s: s["m"]).alias("cv")))
+    return cents
+
+
+def _assign_scaled(emb: DataFrame, cents: DataFrame, vec_col: str,
+                   id_col: str, ndigits: int) -> DataFrame:
+    """Scan-local assignment of every row against a DISTRIBUTED
+    centroid table (broadcast as a 1-row struct array). Returns
+    (id_col, vec_col, cluster, dist2)."""
     carr = _centroid_array(cents)
     best = _argmin_centroid_table(F.col(vec_col), F.col("ca"), ndigits)
     return (emb.crossJoin(F.broadcast(carr))
@@ -318,7 +356,11 @@ def semantic_dedup_auto(emb: DataFrame, threshold: float = 0.6,
     "pinned-block-constant artifact" fix. The corpus size arrives as
     ONE driver scalar (a count job — the bounded-scalar discipline of
     the offsets-rank pattern); everything else is the distributed
-    ``kmeans_assign_scaled`` + the shared ``_semdedup_prune``."""
+    ``kmeans_assign_scaled`` + the shared ``_semdedup_prune``.
+    ``semantic_dedup`` is the pinned-k (k=5) twin that keeps the
+    quantizer oracle-literal — use it only where a test oracle fixes
+    the corpus; THIS variant (or ``semantic_dedup_two_level`` for
+    sub-N^1.5 pair work) is the deployment path."""
     import math
 
     n = emb.count()
@@ -326,6 +368,95 @@ def semantic_dedup_auto(emb: DataFrame, threshold: float = 0.6,
     asn = kmeans_assign_scaled(emb, k, iters=iters, vec_col=vec_col,
                                id_col=id_col, ndigits=ndigits)
     return _semdedup_prune(asn, threshold, vec_col, id_col, ndigits)
+
+
+def _icbrt(n: int) -> int:
+    """Integer cube root: largest b with b**3 <= n (n >= 0)."""
+    b = round(n ** (1.0 / 3.0)) + 1
+    while b > 1 and b * b * b > n:
+        b -= 1
+    return b
+
+
+def semantic_dedup_two_level(emb: DataFrame, threshold: float = 0.6,
+                             iters: int = 2, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             ndigits: int = 6) -> DataFrame:
+    """SemDeDup under a TWO-LEVEL residual quantizer — the sub-N^1.5
+    path (round-12 verdict task 2). Single-level blocking has total
+    cost N*k (assignment) + N*(N/k) (within-block pairs), minimized
+    at k ~ sqrt(N) -> N^1.5 (SCALE.md: the 300x rung lands exactly on
+    that law, 787 s at 600 k vectors — extrapolated to 10^10 the pair
+    term dominates everything else in the repo). Splitting the
+    quantizer into a coarse level and a FINE level trained on the
+    coarse residuals (the IVF+residual scheme of Jegou et al. 2011)
+    gives cost N*(k1 + k2 + B) with k1*k2*B = N; the symmetric
+    optimum k1 = k2 = B = N^(1/3) yields ~3*N^(4/3) — asymptotically
+    below N^1.5 with no change to the prune policy.
+
+    Level 1: distributed Lloyd's (``_lloyd_scaled``) at k1 = icbrt(N)
+    over the vectors. Level 2: the SAME loop at k2 = k1 over the
+    RESIDUALS v - c1(v) (one broadcast join against the k1-row
+    centroid table — residuals are where the within-cell structure
+    lives, so the (coarse, fine) cell grid is a genuine refinement
+    rather than two correlated partitions of the same directions).
+    Block key = (cluster_coarse, cluster_fine), expected population
+    N/(k1*k2) ~ N^(1/3); the prune is the SemDeDup rule verbatim:
+    within-block pairs at cosine >= threshold (on the ORIGINAL
+    vectors) mark the farther-from-block-centroid member removed
+    (fine dist2 IS the distance to the composed two-level centroid
+    c1 + c2, since |v - (c1 + c2)| = |r - c2|), ties to the higher
+    id. Returns one row per removed vector: (id_col, cluster_coarse,
+    cluster_fine, n_pairs, max_cosine).
+
+    Corpus-derived constants arrive as ONE count(*) driver scalar
+    (the bounded-scalar discipline); both Lloyd's levels keep the
+    centroid sets distributed — zero data-sized collects, plan size
+    O(1) in k1/k2. 6dp rounding at the same points as the DuckDB
+    oracle replay (centroid means, distances, residuals exact-double
+    arithmetic, cosines)."""
+    n = emb.count()
+    k = max(2, _icbrt(n))
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    cents1 = _lloyd_scaled(src, k, iters, vec_col, id_col, ndigits)
+    asn1 = _assign_scaled(src, cents1, vec_col, id_col, ndigits)
+    # residual r = v - c1 (exact double arithmetic — rounding already
+    # happened inside the centroid means), via ONE broadcast join
+    # against the k1-row centroid table
+    res = (asn1.join(F.broadcast(cents1),
+                     asn1["cluster"] == cents1["cl"])
+           .select(F.col(id_col), F.col(vec_col),
+                   F.col("cluster").alias("cl1"),
+                   F.zip_with(F.col(vec_col), F.col("cv"),
+                              lambda a, b: a.cast("double") - b)
+                   .alias("resv")))
+    cents2 = _lloyd_scaled(res, k, iters, "resv", id_col, ndigits)
+    asn2 = (_assign_scaled(res.select(id_col, "cl1", "resv"),
+                           cents2, "resv", id_col, ndigits)
+            .withColumnRenamed("cluster", "cl2"))
+    blocks = (res.select(id_col, vec_col, "cl1")
+              .join(asn2.select(id_col, "cl2", "dist2"), id_col))
+    a = blocks.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"),
+                      "cl1", "cl2", F.col("dist2").alias("da"))
+    b = blocks.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"),
+                      "cl1", "cl2", F.col("dist2").alias("db"))
+    pairs = (a.join(b, ["cl1", "cl2"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine",
+                         F.round(V.dot(F.col("va"), F.col("vb")), ndigits))
+             .where(F.col("cosine") >= threshold))
+    removed = F.when(
+        (F.col("da") > F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a")).otherwise(F.col("id_b"))
+    return (pairs.select(removed.alias(id_col), "cl1", "cl2", "cosine")
+            .groupBy(id_col, "cl1", "cl2")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.max("cosine").alias("max_cosine"))
+            .withColumnRenamed("cl1", "cluster_coarse")
+            .withColumnRenamed("cl2", "cluster_fine"))
 
 
 def pq_train(emb: DataFrame, m: int = 4, ksub: int = 4, iters: int = 1,
@@ -349,7 +480,12 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 4, iters: int = 1,
         for s in range(m)])
     sub = (emb.select(F.col(id_col), F.explode(spec).alias("e"))
            .select(id_col, F.col("e.s").alias("s"), F.col("e.sv").alias("sv")))
-    init = sub.where(F.col(id_col) < ksub)
+    # seeds = subspace slices of the ksub LOWEST-id vectors
+    # (id-agnostic; see kmeans_centroids): ksub rows via
+    # TakeOrderedAndProject, then the broadcast semi-join keeps all m
+    # slices of exactly those rows.
+    seed_ids = emb.select(F.col(id_col)).orderBy(id_col).limit(ksub)
+    init = sub.join(F.broadcast(seed_ids), id_col)
     books = {s: [] for s in range(m)}
     for r in init.collect():
         books[r["s"]].append((int(r[id_col]),

@@ -152,16 +152,78 @@ WINDOW_PRIORITY: list[str] = [
     "exact_dedup",
     "minhash_neardup",
     "pricing_summary",
-    # -- r12 window: (a) the 7-query r11 addition queue, drained
-    #    (round-11 verdict task 1); (b) the 5 r05-cohort staleness
-    #    re-grades deferred from the r11 window; (c) 32 of the 44
-    #    r06-cohort names (last graded round 6, pre-audited clean at
-    #    10x in round 11), alphabetical — including the four heavies
-    #    (daily_drop_pipeline, minhash_keep_best, phash_blob_neardup,
-    #    cross_modal_retrieval) whose 300x rungs land this round
-    #    (verdict task 6). The 12 remaining r06 names (trivial
-    #    relational scans / sink roundtrips) carry to the r13 window
-    #    for the 50-slot budget. ------------------------------------
+    # -- r13 window: (a) the 3 round-12 scale-parametric additions
+    #    (round-12 verdict task 1: the centerpiece variants, graded
+    #    first); (b) the 12 r06-cohort staleness remainder (trivial
+    #    relational scans / sink roundtrips, pre-audited at 10x in
+    #    round 11); (c) 29 of the 44 r07-cohort names (last graded
+    #    round 7, pre-audited clean at 10x under probe v3 in round
+    #    12, total ratio 2.36), alphabetical. The 15 remaining r07
+    #    names carry to the r14 window for the 50-slot budget. ------
+    "semantic_dedup_auto",
+    "cosine_neardup_blocked_auto",
+    "minhash_recall_eval_sampled",
+    "csv_sink_roundtrip",
+    "customer_distribution",
+    "dominant_part_suppliers",
+    "knn_batch",
+    "orc_sink_roundtrip",
+    "part_value_concentration",
+    "resample_fill_forward",
+    "retention_cohorts",
+    "revenue_moving_avg",
+    "scd2_intervals",
+    "sql_api_shipping_priority",
+    "stats_correlation",
+    "arrow_grouped_centroid_norm",
+    "arrow_vector_norms",
+    "binary_quant_knn",
+    "boilerplate_tile_dedup",
+    "cosine_neardup",
+    "cosine_neardup_blocked",
+    "dedup_keep_best",
+    "direct_retrieval",
+    "doc_fingerprint",
+    "edit_distance_neardup",
+    "ingest_lifecycle_pipeline",
+    "ivf_knn",
+    "ivf_knn_multiprobe",
+    "ivf_partitioned_knn",
+    "ivf_recall_eval",
+    "ivfpq_knn",
+    "kev_text_assembly",
+    "kmeans_lloyd",
+    "kmeans_silhouette",
+    "knn_metadata_filtered",
+    "knn_quantized",
+    "knn_score_stats",
+    "lang_id",
+    "langid_confusion",
+    "minhash_dedup_clusters",
+    "minhash_delta_pairs",
+    "minhash_recall_eval",
+    "mrl_truncated_knn",
+    "multimodal_audio_energy",
+    # ----- end of the graded 50-prefix (6 canaries + 3 r12
+    #       additions + 12 r06 + 29 r07 staleness re-grades) --------
+    # -- r07-cohort staleness remainder (carries to the r14 window) --
+    "multimodal_blob_meta",
+    "multimodal_frame_stats",
+    "ngram_jaccard_pairs",
+    "pivot_status_by_month",
+    "pq_adc_knn",
+    "quality_score",
+    "retrieval_funnel_ivf",
+    "retrieval_lifecycle_pipeline",
+    "semantic_dedup",
+    "shipping_priority",
+    "simhash_neardup",
+    "stats_moments",
+    "token_stats",
+    "validation_filter",
+    "zscore_by_type",
+    # -- previously graded (r01-r12 green rows); listed so the
+    #    no-oracle entries below can never float into the prefix. ----
     "training_export_keep_best",
     "quality_gate_calibration_matrix",
     "stratified_shard_content_mix",
@@ -206,10 +268,6 @@ WINDOW_PRIORITY: list[str] = [
     "unigram_quality",
     "video_frame_dedup",
     "weighted_domain_sample",
-    # ----- end of the graded 50-prefix (6 canaries + 7 r11 queue
-    #       + 5 r05 deferred + 32 r06 staleness re-grades) ----------
-    # -- previously graded (r01-r11 green rows); listed so the
-    #    no-oracle entries below can never float into the prefix. ----
     "mixture_epoch_schedule",
     "decontamination_threshold_sensitivity",
     "dedup_survivorship_audit",
@@ -386,68 +444,9 @@ WINDOW_PRIORITY: list[str] = [
     "value_percentiles",
     "window_functions",
     "word_freq",
-    "validation_filter",
-    "kev_text_assembly",
-    "direct_retrieval",
-    "pivot_status_by_month",
-    "shipping_priority",
-    "stats_moments",
-    "ivf_knn",
-    "ivf_knn_multiprobe",
-    "ivfpq_knn",
-    "pq_adc_knn",
-    "kmeans_lloyd",
-    "kmeans_silhouette",
-    "retrieval_funnel_ivf",
-    "ivf_partitioned_knn",
-    "ivf_recall_eval",
-    "knn_quantized",
-    "binary_quant_knn",
-    "mrl_truncated_knn",
-    "multimodal_blob_meta",
-    "multimodal_frame_stats",
-    "multimodal_audio_energy",
-    "arrow_vector_norms",
-    "arrow_grouped_centroid_norm",
-    "cosine_neardup",
-    "cosine_neardup_blocked",
-    "simhash_neardup",
-    "ngram_jaccard_pairs",
-    "minhash_dedup_clusters",
-    "doc_fingerprint",
-    "semantic_dedup",
-    "dedup_keep_best",
-    "boilerplate_tile_dedup",
-    "edit_distance_neardup",
-    "minhash_delta_pairs",
-    "minhash_recall_eval",
-    "quality_score",
-    "lang_id",
-    "token_stats",
-    "langid_confusion",
-    "zscore_by_type",
-    "knn_score_stats",
-    "knn_metadata_filtered",
-    "retrieval_lifecycle_pipeline",
-    "ingest_lifecycle_pipeline",
-    # -- r06-cohort staleness remainder (carries to the r13 window) --
-    "csv_sink_roundtrip",
-    "customer_distribution",
-    "dominant_part_suppliers",
-    "knn_batch",
-    "orc_sink_roundtrip",
-    "part_value_concentration",
-    "resample_fill_forward",
-    "retention_cohorts",
-    "revenue_moving_avg",
-    "scd2_intervals",
-    "sql_api_shipping_priority",
-    "stats_correlation",
-    # -- round-12 additions (r13 grading queue; registered post-window
+    # -- round-13 additions (r14 grading queue; registered post-window
     #    per the addition cap) ---------------------------------------
-    "semantic_dedup_auto",
-    "cosine_neardup_blocked_auto",
-    "minhash_recall_eval_sampled",
+    "semantic_dedup_two_level",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -3649,7 +3648,14 @@ def q_cosine_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-oracle-checkable, and with the bucket as a partition column
     the block join is partition-local. Recall loss is boundary pairs
     only (multiprobe blocks recover them; cosine_neardup remains the
-    exhaustive baseline)."""
+    exhaustive baseline).
+
+    DEPLOYMENT PATH: this instance PINS the block constant (3 sign
+    bits = 8 buckets) for the oracle, so bucket population — and the
+    within-bucket pair term — grows linearly with the corpus. At
+    scale use ``cosine_neardup_blocked_auto``: same pairing policy,
+    bits ~ log2(N/128) derived from the corpus so bucket population
+    stays ~128 (10x ratio 0.78 vs 6.98, SCALE.md round-12)."""
     from ..operators.retrieval import _sign_bucket
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.withColumn("bucket", _sign_bucket(F.col("embedding"), 3))
@@ -4815,7 +4821,8 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (training-data pipeline ops beyond the reference; SemDeDup recipe)
 
 def _dd_kmeans_cte_split(k: int = 5, train_pred: str = "TRUE",
-                         sfx: str = "", with_kw: bool = True) -> str:
+                         sfx: str = "", with_kw: bool = True,
+                         src: str = "embeddings") -> str:
     """_dd_kmeans_cte with a TRAINING predicate: Lloyd's (seeds,
     recompute, intermediate assignments) runs only over rows matching
     ``train_pred``; the final assignment ``f`` covers ALL rows against
@@ -4826,7 +4833,9 @@ def _dd_kmeans_cte_split(k: int = 5, train_pred: str = "TRUE",
     Lloyd chains can coexist in one oracle (quantizer_staleness_audit
     trains a frozen and a fresh quantizer side by side);
     ``with_kw=False`` drops the leading WITH so a suffixed chain can
-    be appended to an existing one."""
+    be appended to an existing one; ``src`` retargets the whole chain
+    at another (vec_id, embedding) relation — the two-level residual
+    quantizer points it at its residual CTE."""
     dist = ("round(list_reduce(list_transform(generate_series(1, len(e.embedding)), "
             "i -> pow(CAST(e.embedding[i] AS DOUBLE) - c.cv[i], 2)), "
             "(acc, v) -> acc + v), 6)")
@@ -4834,19 +4843,25 @@ def _dd_kmeans_cte_split(k: int = 5, train_pred: str = "TRUE",
               "SELECT vec_id, cl, d2, row_number() OVER "
               "(PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM ("
               "SELECT e.vec_id, c.cl, " + dist + " AS d2 "
-              "FROM (SELECT * FROM embeddings WHERE {w}) e "
+              f"FROM (SELECT * FROM {src} WHERE {{w}}) e "
               "CROSS JOIN {c} c)) WHERE rn = 1")
     head = "WITH " if with_kw else ""
     return f"""
 {head}u{sfx} AS (
   SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings WHERE {train_pred}
+  FROM {src} WHERE {train_pred}
 ),
 c0{sfx} AS (
+  -- seeds = the k LOWEST-id training vectors (rank, not ``id < k``:
+  -- id-agnostic, identical on dense 0-based ids) — mirrors the
+  -- Spark operators' orderBy(id).limit(k) seeding exactly
   SELECT CAST(vec_id AS BIGINT) AS cl,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM embeddings WHERE vec_id < {k} AND {train_pred}
+  FROM (SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY vec_id) AS rnseed
+        FROM {src} WHERE {train_pred})
+  WHERE rnseed <= {k}
 ),
 m1{sfx} AS ({assign.format(c="c0" + sfx, w=train_pred)}),
 c1{sfx} AS (SELECT cl, list(cx ORDER BY pos) AS cv FROM (
@@ -5505,9 +5520,12 @@ u AS (
   FROM sub
 ),
 c0 AS (
+  -- seeds = subspace slices of the 4 LOWEST-id vectors (rank, not
+  -- ``id < 4`` — id-agnostic, identical on dense 0-based ids)
   SELECT s, CAST(vec_id AS BIGINT) AS cl,
          list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
-  FROM sub WHERE vec_id < 4
+  FROM sub WHERE vec_id IN
+    (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT 4)
 ),
 m1 AS ({a0}),
 c1 AS (
@@ -5744,9 +5762,12 @@ def _dd_pq_ctes(pfx: str) -> str:
   FROM {p}sub
 ),
 {p}c0 AS (
+  -- seeds = subspace slices of the 4 LOWEST-id vectors (rank form;
+  -- see the literal PQ oracle note)
   SELECT s, CAST(vec_id AS BIGINT) AS cl,
          list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
-  FROM {p}sub WHERE vec_id < 4
+  FROM {p}sub WHERE vec_id IN
+    (SELECT DISTINCT vec_id FROM {p}sub ORDER BY vec_id LIMIT 4)
 ),
 {p}m1 AS ({a0}),
 {p}c1 AS (
@@ -11838,9 +11859,12 @@ u AS (
   FROM sub
 ),
 c0 AS (
+  -- seeds = subspace slices of the 4 LOWEST-id vectors (rank, not
+  -- ``id < 4`` — id-agnostic, identical on dense 0-based ids)
   SELECT s, CAST(vec_id AS BIGINT) AS cl,
          list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
-  FROM sub WHERE vec_id < 4
+  FROM sub WHERE vec_id IN
+    (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT 4)
 ),
 m1 AS ({a0}),
 c1 AS (
@@ -12097,9 +12121,12 @@ u AS (
   FROM sub
 ),
 c0 AS (
+  -- seeds = subspace slices of the 4 LOWEST-id vectors (rank, not
+  -- ``id < 4`` — id-agnostic, identical on dense 0-based ids)
   SELECT s, CAST(vec_id AS BIGINT) AS cl,
          list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv
-  FROM sub WHERE vec_id < 4
+  FROM sub WHERE vec_id IN
+    (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT 4)
 ),
 m1 AS ({a0}),
 c1 AS (
@@ -13514,6 +13541,12 @@ def q_training_export_pipeline(spark: SparkSession,
     of payloads, no per-row Python."""
     drop_ids = (q_dedup_drop_provenance(spark, sf_dir)
                 .select(F.col("dropped_id").alias("doc_id")))
+    # ONE LIVE CHAIN AT A TIME: the chain's cap-1 eviction unpersists
+    # the PREVIOUS call's ledger frame at the start of the next call,
+    # so act on (collect/write) this result before building the other
+    # export variant — interleaving two un-acted chain builds silently
+    # recomputes the full detector chain (results stay correct; the
+    # persist is defeated and plan-shape asserts could flake).
     return _training_export_chain(spark, sf_dir, drop_ids)
 
 
@@ -14066,6 +14099,10 @@ def q_training_export_keep_best(spark: SparkSession,
 
     drop_ids = (exd.unionByName(ndd).distinct()
                 .select(F.col("dropped_id").alias("doc_id")))
+    # ONE LIVE CHAIN AT A TIME — same contract as
+    # q_training_export_pipeline: act on this result before building
+    # the other export variant, or the cap-1 eviction defeats the
+    # ledger persist (correct results, recomputed detector chain).
     return _training_export_chain(spark, sf_dir, drop_ids)
 
 
@@ -14825,7 +14862,10 @@ def q_cosine_neardup_blocked_auto(spark: SparkSession,
     verdict's watch item 1). The bucket expression grows O(log N)
     plan nodes (a when-chain over the first ``bits`` signs), the
     corpus-derived constant is ONE count(*) driver scalar, and the
-    oracle re-derives the same bits with a bounded range scan."""
+    oracle re-derives the same bits with a bounded range scan.
+    ``cosine_neardup_blocked`` is the pinned-constant twin that keeps
+    the block count oracle-literal; choose THIS variant everywhere
+    the corpus size is not fixed by a test oracle."""
     from ..operators.retrieval import _sign_bucket
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
@@ -14930,3 +14970,71 @@ def q_minhash_recall_eval_sampled(spark: SparkSession,
     return agg.crossJoin(F.broadcast(n_docs)) \
         .select("n_sample_docs", "n_exact", "n_lsh", "n_common",
                 "recall", "precision")
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions (r14 grading queue; registered post-window per
+# the addition cap): the sub-N^1.5 two-level SemDeDup quantizer
+# (round-12 verdict task 2) and the invariant-gated sketch oracle
+# (task 5).
+
+@register(
+    "semantic_dedup_two_level",
+    oracle=("""
+WITH kpar AS (
+  SELECT GREATEST(2, COALESCE((SELECT max(b) FROM range(2, 3000) t(b)
+    WHERE b * b * b <= (SELECT count(*) FROM embeddings)), 2)) AS kk
+),""" + _dd_kmeans_cte_split(k="(SELECT kk FROM kpar)", with_kw=False)
+            + """
+, res AS (
+  -- residual r = v - c1(v): exact double arithmetic against the
+  -- final coarse centroids (c2 = after two Lloyd recomputes)
+  SELECT e.vec_id,
+         list_transform(generate_series(1, len(e.embedding)),
+           i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding,
+         f.cl AS cl1
+  FROM embeddings e
+  JOIN f ON f.vec_id = e.vec_id
+  JOIN c2 c ON c.cl = f.cl
+),""" + _dd_kmeans_cte_split(k="(SELECT kk FROM kpar)", sfx="r",
+                             with_kw=False, src="res")
+            + """
+, blk AS (
+  SELECT r.vec_id, r.cl1, fr.cl AS cl2, fr.d2
+  FROM res r JOIN fr ON fr.vec_id = r.vec_id
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.d2 AS da, b.d2 AS db,
+         a.cl1, a.cl2, round({dot}, 6) AS cosine
+  FROM blk a
+  JOIN blk b ON a.cl1 = b.cl1 AND a.cl2 = b.cl2 AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({dot}, 6) >= 0.42
+)
+SELECT CASE WHEN da > db OR (da = db AND id_a > id_b)
+            THEN id_a ELSE id_b END AS vec_id,
+       cl1 AS cluster_coarse, cl2 AS cluster_fine,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(cosine) AS max_cosine
+FROM p GROUP BY 1, 2, 3
+""".format(dot=dd_dot("ea.embedding", "eb.embedding"))))
+def q_semantic_dedup_two_level(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """SemDeDup under the TWO-LEVEL residual quantizer — the
+    sub-N^1.5 scale path past semantic_dedup_auto (round-12 verdict
+    task 2): coarse Lloyd's at k1 = icbrt(N), fine Lloyd's at
+    k2 = k1 over the residuals v - c1(v), block = (coarse, fine)
+    cell with expected population N^(1/3); total cost ~3*N^(4/3) vs
+    the single-level optimum's N^1.5 (see
+    clustering.semantic_dedup_two_level for the derivation). The
+    prune policy is SemDeDup verbatim — within-block cosine >=
+    threshold on the ORIGINAL vectors, farther-from-composed-centroid
+    member removed (fine dist2 == distance to c1 + c2), ties to the
+    higher id. The oracle replays BOTH Lloyd's levels (the shared
+    split CTE chain, retargeted at a residual CTE via ``src``) with
+    the same derived k = GREATEST(2, max b: b^3 <= count(*)), so the
+    derivation and both quantizers are value-pinned."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    return CL.semantic_dedup_two_level(emb, threshold=0.42)

@@ -263,3 +263,73 @@ def test_kmeans_assign_scaled_plan_is_k_independent(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plans[40]
     # identical plan shape: k only changes a literal inside a filter
     assert abs(len(plans[40]) - len(plans[2])) < 200
+
+
+def test_kmeans_seeding_is_id_agnostic(spark, sf_dir):
+    """r12 verdict watch item 1 / task 4: seeding must not assume a
+    dense 0-based id domain. On sparse/hashed ids the old
+    ``where(id < k)`` seed predicate under-seeds (ids scaled by 10^6
+    leave NO id below k -> empty seed set -> IndexError); the
+    lowest-k-by-id rule seeds the SAME VECTORS regardless of the id
+    labels, so the sparse run must reproduce the dense run's clusters
+    exactly, with labels mapped through the id relabeling. Red under
+    the old predicate, green under rank seeding."""
+    emb = _emb(spark, sf_dir).limit(60).cache()
+    scale = 1_000_000
+    sparse = emb.withColumn("vec_id", F.col("vec_id") * scale + 7)
+
+    dense_asn = {r["vec_id"]: (r["cluster"], r["dist2"])
+                 for r in clustering.kmeans_assign(
+                     emb, k=4, iters=2).collect()}
+    sparse_asn = {r["vec_id"]: (r["cluster"], r["dist2"])
+                  for r in clustering.kmeans_assign(
+                      sparse, k=4, iters=2).collect()}
+    assert len(sparse_asn) == len(dense_asn) > 0
+    for vid, (cl, d2) in dense_asn.items():
+        scl, sd2 = sparse_asn[vid * scale + 7]
+        assert scl == cl * scale + 7, (vid, cl, scl)
+        assert sd2 == d2, (vid, d2, sd2)
+
+    # the distributed-centroid variant must agree with the literal one
+    scaled = {r["vec_id"]: (r["cluster"], r["dist2"])
+              for r in clustering.kmeans_assign_scaled(
+                  sparse, k=4, iters=2).collect()}
+    assert scaled == sparse_asn
+
+    # PQ codebooks: ksub seeds per subspace even on sparse ids
+    books = clustering.pq_train(sparse, m=4, ksub=4, iters=1, dim=64)
+    assert set(books) == {0, 1, 2, 3}
+    for s, cents in books.items():
+        assert len(cents) == 4, (s, len(cents))
+
+
+def test_semantic_dedup_two_level_blocks_refine_auto(spark, sf_dir):
+    """Two-level invariants: (a) id-agnostic (sparse ids run and
+    relabel cleanly — same seeding contract as the flat variants);
+    (b) every removed id names a real corpus vector and never the
+    block's most-central member (the keep-rule); (c) deterministic
+    across runs."""
+    emb = _emb(spark, sf_dir).limit(120).cache()
+    out1 = clustering.semantic_dedup_two_level(emb, threshold=0.30)
+    rows = out1.collect()
+    assert rows, "expected removals at threshold 0.30"
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for r in rows:
+        assert r["vec_id"] in ids
+        assert r["n_pairs"] >= 1
+        assert r["max_cosine"] >= 0.30
+    # determinism
+    out2 = {(r["vec_id"], r["cluster_coarse"], r["cluster_fine"],
+             r["n_pairs"], r["max_cosine"])
+            for r in clustering.semantic_dedup_two_level(
+                emb, threshold=0.30).collect()}
+    assert out2 == {(r["vec_id"], r["cluster_coarse"], r["cluster_fine"],
+                     r["n_pairs"], r["max_cosine"]) for r in rows}
+    # sparse ids: same removals modulo the id relabeling
+    scale = 1_000_000
+    sparse = emb.withColumn("vec_id", F.col("vec_id") * scale + 7)
+    sp = {(r["vec_id"], r["n_pairs"], r["max_cosine"])
+          for r in clustering.semantic_dedup_two_level(
+              sparse, threshold=0.30).collect()}
+    assert sp == {(r["vec_id"] * scale + 7, r["n_pairs"], r["max_cosine"])
+                  for r in rows}
