@@ -159,9 +159,31 @@ def main() -> None:
                 out["ab_skipped"] = "baseline commit == HEAD"
             else:
                 for k in ("ab_prev_commit", "ab_prev_subtotal",
-                          "ab_prev_reps", "ab_host", "ab_recorded_at"):
+                          "ab_prev_reps", "ab_host", "ab_recorded_at",
+                          "ab_prev_queries", "ab_prev_value",
+                          "ab_prev_value_reps"):
                     if k in ab:
                         out[k] = ab[k]
+                # per-query like-for-like (round-12 verdict task 3):
+                # HEAD best-rep timing / prior-commit best-rep timing
+                # for every headline query both rounds ran, plus the
+                # suite-level ratio over exactly that intersection —
+                # so cross-round movement on ANY headline query is
+                # attributable to code vs host from the BENCH line
+                # itself. Queries added since the baseline have no
+                # ratio (reported in ab_unanchored) rather than a
+                # fabricated one.
+                prevq = ab.get("ab_prev_queries") or {}
+                common = [n for n in best if n in prevq and prevq[n] > 0]
+                if common:
+                    out["ab_per_query_ratio"] = {
+                        n: round(best[n] / prevq[n], 2) for n in common}
+                    out["ab_suite_ratio"] = round(
+                        sum(best[n] for n in common)
+                        / sum(prevq[n] for n in common), 3)
+                    unanchored = [n for n in best if n not in prevq]
+                    if unanchored:
+                        out["ab_unanchored"] = unanchored
         except (OSError, ValueError):
             pass  # a malformed A/B file must never fail the bench
     print(json.dumps(out))

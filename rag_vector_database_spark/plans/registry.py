@@ -447,6 +447,7 @@ WINDOW_PRIORITY: list[str] = [
     # -- round-13 additions (r14 grading queue; registered post-window
     #    per the addition cap) ---------------------------------------
     "semantic_dedup_two_level",
+    "approx_sketches_invariants",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -2605,8 +2606,11 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
     users and t-digest-style percentiles over events — one pass, fixed
     memory, mergeable across partitions (the whole point at scale; an
-    exact distinct shuffles every key). Approximate by design, so no
-    value oracle: the driver records the rows-only check, and
+    exact distinct shuffles every key). The raw sketch VALUES are
+    engine-specific (no value oracle -> rows-only check here), but
+    the error CONTRACT is not: ``approx_sketches_invariants`` grades
+    these same sketches against exact DuckDB-replayable bounds
+    (HLL 3-sigma band, quantile rank bracketing) — and
     value_percentiles / stats_moments carry the exact twins."""
     e = _events(spark, sf_dir)
     return e.agg(
@@ -15038,3 +15042,85 @@ def q_semantic_dedup_two_level(spark: SparkSession,
     from ..operators import clustering as CL
     emb = _t(spark, sf_dir, "embeddings")
     return CL.semantic_dedup_two_level(emb, threshold=0.42)
+
+
+@register(
+    "approx_sketches_invariants",
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS xu,
+         CAST(count(DISTINCT event_type) AS DOUBLE) AS xt,
+         round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS x50,
+         round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS x95
+  FROM events
+)
+SELECT 'approx_users' AS metric, xu AS exact, TRUE AS ok FROM s
+UNION ALL SELECT 'approx_types', xt, TRUE FROM s
+UNION ALL SELECT 'p50_value', x50, TRUE FROM s
+UNION ALL SELECT 'p95_value', x95, TRUE FROM s
+""")
+def q_approx_sketches_invariants(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The ORACLE-GATED grading of approx_sketches (round-12 verdict
+    task 5): a sketch's VALUE is engine-specific, but its ERROR
+    CONTRACT is not — HLL++ at the default rsd=0.05 must land within
+    a 15% (3 sigma) band of the exact distinct count, and
+    percentile_approx returns an observed value whose rank must
+    bracket the target quantile (rank tolerance 0.02 >> the
+    1/accuracy=10^-4 bound at the default accuracy, so the check can
+    only fail on a real contract break). Both engines compute the
+    EXACT side (counts, interpolated quantiles — DuckDB
+    quantile_cont == Spark percentile); the Spark side additionally
+    evaluates its own sketches against those exacts and emits the
+    pass/fail verdicts, which the oracle pins to TRUE — the
+    ann_recall_ladder discipline: the driver grades a deterministic
+    invariant frame, not the sketch bits. Deterministic because
+    Spark's HLL++/KLL results are functions of the data, not RNG.
+    approx_sketches itself stays rows-only graded (its raw sketch
+    values are legitimately engine-specific); this entry retires the
+    'permanent no-oracle' status of the sketch family."""
+    e = _events(spark, sf_dir)
+    sk = e.agg(
+        F.approx_count_distinct("user_id").cast("double").alias("au"),
+        F.approx_count_distinct("event_type").cast("double").alias("at"),
+        F.percentile_approx("value", 0.5).alias("p50a"),
+        F.percentile_approx("value", 0.95).alias("p95a"),
+        F.countDistinct("user_id").cast("double").alias("xu"),
+        F.countDistinct("event_type").cast("double").alias("xt"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("x50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("x95"))
+    j = e.crossJoin(F.broadcast(sk))
+    lt = lambda c, v: F.sum(  # noqa: E731
+        F.when(F.col(c) < F.col(v), 1).otherwise(0)).cast("double")
+    le = lambda c, v: F.sum(  # noqa: E731
+        F.when(F.col(c) <= F.col(v), 1).otherwise(0)).cast("double")
+    r = j.agg(
+        F.first("au").alias("au"), F.first("at").alias("at"),
+        F.first("xu").alias("xu"), F.first("xt").alias("xt"),
+        F.first("x50").alias("x50"), F.first("x95").alias("x95"),
+        lt("value", "p50a").alias("lt50"), le("value", "p50a").alias("le50"),
+        lt("value", "p95a").alias("lt95"), le("value", "p95a").alias("le95"),
+        F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0))
+        .cast("double").alias("n"))
+    tol = 0.02
+    rows = F.array(
+        F.struct(F.lit("approx_users").alias("metric"),
+                 F.col("xu").alias("exact"),
+                 (F.abs(F.col("au") - F.col("xu")) / F.col("xu") <= 0.15)
+                 .alias("ok")),
+        F.struct(F.lit("approx_types").alias("metric"),
+                 F.col("xt").alias("exact"),
+                 (F.abs(F.col("at") - F.col("xt")) / F.col("xt") <= 0.15)
+                 .alias("ok")),
+        F.struct(F.lit("p50_value").alias("metric"),
+                 F.col("x50").alias("exact"),
+                 ((F.col("lt50") / F.col("n") <= 0.5 + tol)
+                  & (F.col("le50") / F.col("n") >= 0.5 - tol))
+                 .alias("ok")),
+        F.struct(F.lit("p95_value").alias("metric"),
+                 F.col("x95").alias("exact"),
+                 ((F.col("lt95") / F.col("n") <= 0.95 + tol)
+                  & (F.col("le95") / F.col("n") >= 0.95 - tol))
+                 .alias("ok")))
+    return (r.select(F.explode(rows).alias("e"))
+            .select("e.metric", "e.exact", "e.ok"))

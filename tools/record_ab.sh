@@ -57,13 +57,25 @@ else:
     reps = []
     for o in outs:
         reps.extend(o.get("legacy_10_reps") or [o["legacy_10_subtotal"]])
-print(json.dumps({
+out = {
     "ab_prev_commit": sha,
     "ab_prev_subtotal": min(reps),
     "ab_prev_reps": reps,
     "ab_host": platform.node(),
     "ab_recorded_at": __import__("time").strftime("%Y-%m-%dT%H:%M:%SZ",
                                                   __import__("time").gmtime()),
-}, indent=2))
+}
+# Full-headline anchor (round-12 verdict task 3): carry the prior
+# commit's PER-QUERY timings (its bench already reports the whole
+# best-by-legacy-subtotal rep — the same rep-selection rule HEAD's
+# bench applies to itself, so the comparison is symmetric) plus the
+# full-suite total, so the next round's BENCH line can report a
+# per-query A/B ratio for every headline query, not just the frozen
+# legacy-10 subtotal. Pre-queries baselines simply omit the fields.
+if outs and outs[0].get("queries"):
+    out["ab_prev_queries"] = outs[0]["queries"]
+    out["ab_prev_value"] = outs[0].get("value")
+    out["ab_prev_value_reps"] = outs[0].get("value_reps")
+print(json.dumps(out, indent=2))
 EOF2
 cat "$repo_root/AB_BASELINE.json" >&2
