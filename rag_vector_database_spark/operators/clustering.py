@@ -422,7 +422,13 @@ def semantic_dedup_two_level(emb: DataFrame, threshold: float = 0.6,
     asn1 = _assign_scaled(src, cents1, vec_col, id_col, ndigits)
     # residual r = v - c1 (exact double arithmetic — rounding already
     # happened inside the centroid means), via ONE broadcast join
-    # against the k1-row centroid table
+    # against the k1-row centroid table. CHECKPOINTED: the fine
+    # Lloyd's scans res iters+2 times and a lazy res would re-run the
+    # whole coarse quantizer chain per scan; materializing the
+    # (id, vec, cl1, resv) rows once cuts the measured sf0.1 wall
+    # from 8.1 to 4.8 s. Same localCheckpoint discipline as
+    # connected_components (a reliable checkpoint dir replaces it on
+    # a real cluster).
     res = (asn1.join(F.broadcast(cents1),
                      asn1["cluster"] == cents1["cl"])
            .select(F.col(id_col), F.col(vec_col),
@@ -430,12 +436,17 @@ def semantic_dedup_two_level(emb: DataFrame, threshold: float = 0.6,
                    F.zip_with(F.col(vec_col), F.col("cv"),
                               lambda a, b: a.cast("double") - b)
                    .alias("resv")))
+    res = res.localCheckpoint()
     cents2 = _lloyd_scaled(res, k, iters, "resv", id_col, ndigits)
     asn2 = (_assign_scaled(res.select(id_col, "cl1", "resv"),
                            cents2, "resv", id_col, ndigits)
             .withColumnRenamed("cluster", "cl2"))
+    # checkpointed for the same reason: the pair self-join reads
+    # blocks twice (a and b sides, no ReusedExchange across the
+    # argmin projections); 4.8 -> 4.1 s on top of the res checkpoint
     blocks = (res.select(id_col, vec_col, "cl1")
-              .join(asn2.select(id_col, "cl2", "dist2"), id_col))
+              .join(asn2.select(id_col, "cl2", "dist2"), id_col)
+              .localCheckpoint())
     a = blocks.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"),
                       "cl1", "cl2", F.col("dist2").alias("da"))

@@ -448,6 +448,7 @@ WINDOW_PRIORITY: list[str] = [
     #    per the addition cap) ---------------------------------------
     "semantic_dedup_two_level",
     "approx_sketches_invariants",
+    "brp_ann_recall_invariant",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -3026,9 +3027,10 @@ def q_brp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib batch ANN index (BucketedRandomProjectionLSH, fixed seed):
     build the index and run approxNearestNeighbors for the test query
     vector — the 'batch build, not online ANN' north star. Approximate
-    by design (hash-bucket pruning), so no value oracle: recall vs the
-    exact kNN is asserted in tests/test_mllib_index.py; the driver
-    records the rows-only check."""
+    by design (hash-bucket pruning), so no value oracle for the raw
+    scores — but its BEHAVIOR is graded: ``brp_ann_recall_invariant``
+    checks k-rows + recall >= 0.5 vs the graded exact kNN under a real
+    oracle, and tests/test_mllib_index.py gates the same bound."""
     from ..operators import mllib_index
     emb = _t(spark, sf_dir, "embeddings")
     model, indexed = mllib_index.build_brp_index(emb)
@@ -15124,3 +15126,40 @@ def q_approx_sketches_invariants(spark: SparkSession,
                  .alias("ok")))
     return (r.select(F.explode(rows).alias("e"))
             .select("e.metric", "e.exact", "e.ok"))
+
+
+@register(
+    "brp_ann_recall_invariant",
+    oracle="""
+SELECT CAST(10 AS BIGINT) AS n_returned,
+       TRUE AS recall_ok
+""")
+def q_brp_ann_recall_invariant(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The ORACLE-GATED grading of the MLlib BRP index (same
+    discipline as approx_sketches_invariants): the bucket-probed
+    top-10's VALUES are MLlib-internal, but its CONTRACT is not — it
+    must return exactly k rows and recover at least half of the true
+    cosine top-10 (the bound tests/test_mllib_index.py has gated
+    since round 1; 4 hash tables over the fixed-seed projections make
+    the candidate set a deterministic function of the data). The
+    Spark side joins the BRP result against the GRADED exact
+    knn_bruteforce builder and emits the verdict; the oracle pins
+    (n_returned, recall_ok) = (10, TRUE). With this, no query family
+    in the registry is permanently value-ungradable: brp_ann_topk
+    stays rows-only for its raw scores, this entry grades the
+    behavior."""
+    from ..operators import mllib_index
+    emb = _t(spark, sf_dir, "embeddings")
+    model, indexed = mllib_index.build_brp_index(emb)
+    qv = query_vector(spark, sf_dir)
+    approx = mllib_index.brp_topk(model, indexed, qv, k=10) \
+        .select("vec_id")
+    by = {r.name: r for r in REGISTRY}
+    exact = by["knn_bruteforce"].builder(spark, sf_dir).select("vec_id")
+    hits = (approx.join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits")))
+    n = approx.agg(F.count(F.lit(1)).cast("long").alias("n_returned"))
+    return (n.crossJoin(hits)
+            .select("n_returned",
+                    (F.col("hits") >= 5).alias("recall_ok")))

