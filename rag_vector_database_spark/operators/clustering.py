@@ -370,6 +370,69 @@ def semantic_dedup_auto(emb: DataFrame, threshold: float = 0.6,
     return _semdedup_prune(asn, threshold, vec_col, id_col, ndigits)
 
 
+def semantic_dedup_delta(old: DataFrame, delta: DataFrame,
+                         threshold: float = 0.6, iters: int = 2,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         ndigits: int = 6) -> DataFrame:
+    """INCREMENTAL SemDeDup — the semantic leg of the incremental
+    dedup trilogy (minhash_delta_pairs / minhash_delta_clusters /
+    streaming LSH cover text; this covers embeddings): the quantizer
+    is trained ONCE on the existing corpus and FROZEN (k ~ isqrt(N_old),
+    the ivf_delta_assign contract — retraining and re-partitioning
+    the stored corpus per daily drop is exactly what must not
+    happen); the delta batch is assigned against the frozen centroid
+    table, and the SemDeDup prune runs only over DELTA-INVOLVED pairs
+    (delta x resident-or-delta within each cell). Per-batch cost:
+    |delta| x k assignment + |delta| x cell-population pair work —
+    batch-sized, never corpus^2; resident-resident pairs were decided
+    when THEIR batches landed and never regenerate.
+
+    Removal policy is SemDeDup verbatim, so a resident member CAN be
+    demoted when an incoming vector is more central to the cell;
+    ``removed_is_existing`` flags those rows for the store's delete
+    path. Returns one row per removed vector: (id_col, cluster,
+    n_pairs, max_cosine, removed_is_existing)."""
+    n_old = old.count()
+    import math
+    k = max(2, math.isqrt(n_old))
+    src_old = old.select(F.col(id_col), F.col(vec_col))
+    cents = _lloyd_scaled(src_old, k, iters, vec_col, id_col, ndigits)
+    full = old.select(F.col(id_col), F.col(vec_col),
+                      F.lit(False).alias("__is_delta")) \
+        .unionByName(delta.select(F.col(id_col), F.col(vec_col),
+                                  F.lit(True).alias("__is_delta")))
+    asn = _assign_scaled(full.select(id_col, vec_col), cents,
+                         vec_col, id_col, ndigits) \
+        .join(full.select(id_col, "__is_delta"), id_col)
+    a = asn.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"), F.col("cluster"),
+                   F.col("dist2").alias("da"),
+                   F.col("__is_delta").alias("delta_a"))
+    b = asn.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"), F.col("cluster"),
+                   F.col("dist2").alias("db"),
+                   F.col("__is_delta").alias("delta_b"))
+    pairs = (a.join(b, ["cluster"])
+             .where((F.col("id_a") < F.col("id_b"))
+                    & (F.col("delta_a") | F.col("delta_b")))
+             .withColumn("cosine",
+                         F.round(V.dot(F.col("va"), F.col("vb")), ndigits))
+             .where(F.col("cosine") >= threshold))
+    lose_a = ((F.col("da") > F.col("db"))
+              | ((F.col("da") == F.col("db"))
+                 & (F.col("id_a") > F.col("id_b"))))
+    removed = F.when(lose_a, F.col("id_a")).otherwise(F.col("id_b"))
+    removed_existing = F.when(lose_a, ~F.col("delta_a")) \
+        .otherwise(~F.col("delta_b"))
+    return (pairs.select(removed.alias(id_col), "cluster", "cosine",
+                         removed_existing.alias("rex"))
+            .groupBy(id_col, "cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.max("cosine").alias("max_cosine"),
+                 F.max("rex").alias("removed_is_existing")))
+
+
 def _icbrt(n: int) -> int:
     """Integer cube root: largest b with b**3 <= n (n >= 0)."""
     b = round(n ** (1.0 / 3.0)) + 1

@@ -449,6 +449,7 @@ WINDOW_PRIORITY: list[str] = [
     "semantic_dedup_two_level",
     "approx_sketches_invariants",
     "brp_ann_recall_invariant",
+    "semantic_dedup_delta",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -15163,3 +15164,56 @@ def q_brp_ann_recall_invariant(spark: SparkSession,
     return (n.crossJoin(hits)
             .select("n_returned",
                     (F.col("hits") >= 5).alias("recall_ok")))
+
+
+@register(
+    "semantic_dedup_delta",
+    oracle=("""
+WITH kpar AS (
+  SELECT GREATEST(2, COALESCE((SELECT max(b) FROM range(2, 100000) t(b)
+    WHERE b * b <= (SELECT count(*) FROM embeddings
+                    WHERE vec_id % 7 != 3)), 2)) AS kk
+),""" + _dd_kmeans_cte_split(k="(SELECT kk FROM kpar)",
+                             train_pred="vec_id % 7 != 3",
+                             with_kw=False)
+            + """
+, p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.d2 AS da, b.d2 AS db,
+         a.cl, (a.vec_id % 7 = 3) AS delta_a, (b.vec_id % 7 = 3) AS delta_b,
+         round({dot}, 6) AS cosine
+  FROM f a JOIN f b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({dot}, 6) >= 0.30
+    AND ((a.vec_id % 7 = 3) OR (b.vec_id % 7 = 3))
+)
+SELECT CASE WHEN da > db OR (da = db AND id_a > id_b)
+            THEN id_a ELSE id_b END AS vec_id,
+       cl AS cluster,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(cosine) AS max_cosine,
+       max(CASE WHEN da > db OR (da = db AND id_a > id_b)
+                THEN NOT delta_a ELSE NOT delta_b END)
+         AS removed_is_existing
+FROM p GROUP BY 1, 2
+""".format(dot=dd_dot("ea.embedding", "eb.embedding"))))
+def q_semantic_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup (clustering.semantic_dedup_delta): the
+    quantizer trains on the EXISTING corpus (vec_id % 7 != 3, the
+    ivf_delta_assign split) with k ~ isqrt(N_old) and is FROZEN; the
+    delta batch (% 7 == 3) assigns against the frozen centroid table
+    and the SemDeDup prune runs over DELTA-INVOLVED pairs only —
+    per-batch cost is |delta| x k + |delta| x cell population, never
+    corpus^2, and resident-resident pairs never regenerate. Extends
+    the incremental dedup trilogy (minhash delta pairs/clusters,
+    streaming LSH) to the embedding side. The oracle replays the
+    frozen-quantizer Lloyd's via the split CTE chain's train_pred
+    and restricts the pair set with the same delta predicate;
+    removed_is_existing flags resident demotions (an incoming vector
+    more central to its cell evicts the resident — the store's
+    delete path consumes those rows)."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 7 != 3)
+    delta = emb.where(F.col("vec_id") % 7 == 3)
+    return CL.semantic_dedup_delta(old, delta, threshold=0.30)

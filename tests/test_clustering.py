@@ -333,3 +333,27 @@ def test_semantic_dedup_two_level_blocks_refine_auto(spark, sf_dir):
               sparse, threshold=0.30).collect()}
     assert sp == {(r["vec_id"] * scale + 7, r["n_pairs"], r["max_cosine"])
                   for r in rows}
+
+
+def test_semantic_dedup_delta_invariants(spark, sf_dir):
+    """Incremental SemDeDup contract: (a) an empty delta removes
+    nothing (resident-resident pairs never regenerate); (b)
+    removed_is_existing is exactly 'the removed id is NOT a delta
+    id'; (c) every removal names a pair with >= 1 delta endpoint, so
+    the removed id itself is either a delta member or a resident
+    demoted by one."""
+    emb = _emb(spark, sf_dir).cache()
+    old = emb.where(F.col("vec_id") % 7 != 3)
+    delta = emb.where(F.col("vec_id") % 7 == 3)
+
+    empty = delta.limit(0)
+    assert clustering.semantic_dedup_delta(
+        old, empty, threshold=0.30).count() == 0
+
+    rows = clustering.semantic_dedup_delta(
+        old, delta, threshold=0.30).collect()
+    assert rows, "expected removals at threshold 0.30"
+    delta_ids = {r["vec_id"] for r in delta.select("vec_id").collect()}
+    for r in rows:
+        assert r["removed_is_existing"] == (r["vec_id"] not in delta_ids)
+        assert r["n_pairs"] >= 1 and r["max_cosine"] >= 0.30
