@@ -398,13 +398,16 @@ def semantic_dedup_delta(old: DataFrame, delta: DataFrame,
     k = max(2, math.isqrt(n_old))
     src_old = old.select(F.col(id_col), F.col(vec_col))
     cents = _lloyd_scaled(src_old, k, iters, vec_col, id_col, ndigits)
-    full = old.select(F.col(id_col), F.col(vec_col),
-                      F.lit(False).alias("__is_delta")) \
-        .unionByName(delta.select(F.col(id_col), F.col(vec_col),
-                                  F.lit(True).alias("__is_delta")))
-    asn = _assign_scaled(full.select(id_col, vec_col), cents,
-                         vec_col, id_col, ndigits) \
-        .join(full.select(id_col, "__is_delta"), id_col)
+    # assign the resident and delta sides SEPARATELY against the same
+    # broadcast centroid table: both assignments stay scan-local and
+    # the is-delta flag is a plan literal — no corpus-sized id join
+    # just to recover which side a row came from
+    asn = _assign_scaled(src_old, cents, vec_col, id_col, ndigits) \
+        .withColumn("__is_delta", F.lit(False)) \
+        .unionByName(
+            _assign_scaled(delta.select(F.col(id_col), F.col(vec_col)),
+                           cents, vec_col, id_col, ndigits)
+            .withColumn("__is_delta", F.lit(True)))
     a = asn.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).alias("va"), F.col("cluster"),
                    F.col("dist2").alias("da"),
