@@ -184,6 +184,14 @@ def main() -> None:
                     unanchored = [n for n in best if n not in prevq]
                     if unanchored:
                         out["ab_unanchored"] = unanchored
+                    # a query present in both runs whose baseline
+                    # timing rounded to 0.0 cannot have a finite
+                    # ratio — list it instead of silently dropping
+                    # it from the A/B report (round-13 advisor)
+                    zero_base = [n for n in best
+                                 if n in prevq and prevq[n] <= 0]
+                    if zero_base:
+                        out["ab_zero_baseline"] = zero_base
         except (OSError, ValueError):
             pass  # a malformed A/B file must never fail the bench
     print(json.dumps(out))

@@ -452,8 +452,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         if not converged:
             # fail loud: silently returning unconverged labels would
             # split one duplicate cluster into several and dedup would
-            # under-drop. With pointer jumping this needs diameter >
-            # ~2^max_iter — if it fires, raise the budget consciously.
+            # under-drop. With pointer jumping throttled to every
+            # other round (jump_every=2) this needs diameter >
+            # ~2^(max_iter/jump_every) — if it fires, raise the
+            # budget consciously.
             raise RuntimeError(
                 f"connected_components did not converge within "
                 f"{max_iter} rounds (labels still changing at the "

@@ -152,14 +152,82 @@ WINDOW_PRIORITY: list[str] = [
     "exact_dedup",
     "minhash_neardup",
     "pricing_summary",
-    # -- r13 window: (a) the 3 round-12 scale-parametric additions
-    #    (round-12 verdict task 1: the centerpiece variants, graded
-    #    first); (b) the 12 r06-cohort staleness remainder (trivial
-    #    relational scans / sink roundtrips, pre-audited at 10x in
-    #    round 11); (c) 29 of the 44 r07-cohort names (last graded
-    #    round 7, pre-audited clean at 10x under probe v3 in round
-    #    12, total ratio 2.36), alphabetical. The 15 remaining r07
-    #    names carry to the r14 window for the 50-slot budget. ------
+    # -- r14 window: (a) the 4 round-13 additions (round-13 verdict
+    #    task 1: the sub-N^1.5 SemDeDup pair + the two invariant
+    #    contracts, graded first); (b) the 15 r07-cohort staleness
+    #    remainder (last graded round 7, pre-audited at 10x under
+    #    probe v3 in round 12); (c) the first 25 of the 44 r08-cohort
+    #    names (last graded round 8, pre-audited in round 13: 10x
+    #    total ratio 1.48, max 2.83), alphabetical. The 19 remaining
+    #    r08 names carry to the r15 window for the 50-slot budget. ---
+    "semantic_dedup_two_level",
+    "semantic_dedup_delta",
+    "approx_sketches_invariants",
+    "brp_ann_recall_invariant",
+    "multimodal_blob_meta",
+    "multimodal_frame_stats",
+    "ngram_jaccard_pairs",
+    "pivot_status_by_month",
+    "pq_adc_knn",
+    "quality_score",
+    "retrieval_funnel_ivf",
+    "retrieval_lifecycle_pipeline",
+    "semantic_dedup",
+    "shipping_priority",
+    "simhash_neardup",
+    "stats_moments",
+    "token_stats",
+    "validation_filter",
+    "zscore_by_type",
+    "asof_last_purchase",
+    "chunk_documents_soft",
+    "chunk_stats",
+    "chunking_mode_ledger",
+    "context_assembly",
+    "context_coverage",
+    "dedup_cluster_size_histogram",
+    "doc_catalog",
+    "embed_documents",
+    "embedding_label_margin",
+    "events_coercion",
+    "events_sessionize",
+    "events_sliding",
+    "events_tumbling",
+    "incremental_antijoin",
+    "ivf_cell_stats",
+    "leakage_safe_split",
+    "market_share_join",
+    "multi_source_union",
+    "orders_per_month",
+    "orders_shipped_30d",
+    "retry_pass",
+    "salted_count_skewed",
+    "score_calibration_bins",
+    "semi_join_customers",
+    # ----- end of the graded 50-prefix (6 canaries + 4 r13
+    #       additions + 15 r07 + 25 r08 staleness re-grades) ---------
+    # -- r08-cohort staleness remainder (carries to the r15 window) --
+    "sq8_calibration",
+    "streaming_dedup",
+    "streaming_enrich",
+    "streaming_ivf_append",
+    "streaming_lifecycle_pipeline",
+    "streaming_sessionize",
+    "streaming_sliding",
+    "streaming_stateful_counts",
+    "streaming_stream_join",
+    "streaming_tumbling",
+    "token_budget_mixture",
+    "top_customers_per_nation",
+    "transcript_assembly",
+    "upsert_conflict_audit",
+    "upsert_latest",
+    "url_extract",
+    "value_percentiles",
+    "window_functions",
+    "word_freq",
+    # -- previously graded (r01-r13 green rows); listed so the
+    #    no-oracle entries below can never float into the prefix. ----
     "semantic_dedup_auto",
     "cosine_neardup_blocked_auto",
     "minhash_recall_eval_sampled",
@@ -204,26 +272,6 @@ WINDOW_PRIORITY: list[str] = [
     "minhash_recall_eval",
     "mrl_truncated_knn",
     "multimodal_audio_energy",
-    # ----- end of the graded 50-prefix (6 canaries + 3 r12
-    #       additions + 12 r06 + 29 r07 staleness re-grades) --------
-    # -- r07-cohort staleness remainder (carries to the r14 window) --
-    "multimodal_blob_meta",
-    "multimodal_frame_stats",
-    "ngram_jaccard_pairs",
-    "pivot_status_by_month",
-    "pq_adc_knn",
-    "quality_score",
-    "retrieval_funnel_ivf",
-    "retrieval_lifecycle_pipeline",
-    "semantic_dedup",
-    "shipping_priority",
-    "simhash_neardup",
-    "stats_moments",
-    "token_stats",
-    "validation_filter",
-    "zscore_by_type",
-    # -- previously graded (r01-r12 green rows); listed so the
-    #    no-oracle entries below can never float into the prefix. ----
     "training_export_keep_best",
     "quality_gate_calibration_matrix",
     "stratified_shard_content_mix",
@@ -400,56 +448,6 @@ WINDOW_PRIORITY: list[str] = [
     "gdpr_delete_partitioned",
     "merkle_reconcile",
     "trajectory_knn",
-    "streaming_ivf_append",
-    "score_calibration_bins",
-    "ivf_cell_stats",
-    "context_coverage",
-    "sq8_calibration",
-    "dedup_cluster_size_histogram",
-    "token_budget_mixture",
-    "chunking_mode_ledger",
-    "embedding_label_margin",
-    "upsert_conflict_audit",
-    "streaming_lifecycle_pipeline",
-    "leakage_safe_split",
-    "streaming_sessionize",
-    "streaming_tumbling",
-    "streaming_dedup",
-    "streaming_enrich",
-    "streaming_sliding",
-    "streaming_stateful_counts",
-    "streaming_stream_join",
-    "asof_last_purchase",
-    "chunk_documents_soft",
-    "chunk_stats",
-    "context_assembly",
-    "doc_catalog",
-    "embed_documents",
-    "events_coercion",
-    "events_sessionize",
-    "events_sliding",
-    "events_tumbling",
-    "incremental_antijoin",
-    "market_share_join",
-    "multi_source_union",
-    "orders_per_month",
-    "orders_shipped_30d",
-    "retry_pass",
-    "salted_count_skewed",
-    "semi_join_customers",
-    "top_customers_per_nation",
-    "transcript_assembly",
-    "upsert_latest",
-    "url_extract",
-    "value_percentiles",
-    "window_functions",
-    "word_freq",
-    # -- round-13 additions (r14 grading queue; registered post-window
-    #    per the addition cap) ---------------------------------------
-    "semantic_dedup_two_level",
-    "approx_sketches_invariants",
-    "brp_ann_recall_invariant",
-    "semantic_dedup_delta",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------

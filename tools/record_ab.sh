@@ -72,10 +72,19 @@ out = {
 # full-suite total, so the next round's BENCH line can report a
 # per-query A/B ratio for every headline query, not just the frozen
 # legacy-10 subtotal. Pre-queries baselines simply omit the fields.
-if outs and outs[0].get("queries"):
-    out["ab_prev_queries"] = outs[0]["queries"]
-    out["ab_prev_value"] = outs[0].get("value")
-    out["ab_prev_value_reps"] = outs[0].get("value_reps")
+# In the multi-invocation fallback, pick the invocation whose legacy
+# subtotal is minimal — the same rep-selection rule bench.py applies
+# to itself — so the per-query anchor comes from the BEST rep, not
+# whichever happened to run first (round-13 advisor).
+best_out = min(
+    (o for o in outs if o.get("queries")),
+    key=lambda o: o.get("legacy_10_subtotal", float("inf")),
+    default=None,
+)
+if best_out is not None:
+    out["ab_prev_queries"] = best_out["queries"]
+    out["ab_prev_value"] = best_out.get("value")
+    out["ab_prev_value_reps"] = best_out.get("value_reps")
 print(json.dumps(out, indent=2))
 EOF2
 cat "$repo_root/AB_BASELINE.json" >&2
