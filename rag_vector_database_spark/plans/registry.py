@@ -448,6 +448,9 @@ WINDOW_PRIORITY: list[str] = [
     "gdpr_delete_partitioned",
     "merkle_reconcile",
     "trajectory_knn",
+    # -- round-14 additions (r15 grading queue; registered post-window
+    #    per the addition cap) ---------------------------------------
+    "semantic_dedup_delta_two_level",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -15215,3 +15218,82 @@ def q_semantic_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = emb.where(F.col("vec_id") % 7 != 3)
     delta = emb.where(F.col("vec_id") % 7 == 3)
     return CL.semantic_dedup_delta(old, delta, threshold=0.30)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 addition (r15 grading queue; registered post-window per
+# the addition cap): the incremental SemDeDup composed over the
+# frozen TWO-LEVEL quantizer (round-13 verdict task 5) — removes the
+# N_old^1.5 one-time index-build term from the amortized delta path.
+
+@register(
+    "semantic_dedup_delta_two_level",
+    oracle=("""
+WITH kpar AS (
+  SELECT GREATEST(2, COALESCE((SELECT max(b) FROM range(2, 3000) t(b)
+    WHERE b * b * b <= (SELECT count(*) FROM embeddings
+                        WHERE vec_id % 7 != 3)), 2)) AS kk
+),""" + _dd_kmeans_cte_split(k="(SELECT kk FROM kpar)",
+                             train_pred="vec_id % 7 != 3",
+                             with_kw=False)
+            + """
+, res AS (
+  -- residual r = v - c1(v) against the FROZEN coarse centroids
+  -- (trained on residents only; final assignment f covers all rows)
+  SELECT e.vec_id,
+         list_transform(generate_series(1, len(e.embedding)),
+           i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding,
+         f.cl AS cl1
+  FROM embeddings e
+  JOIN f ON f.vec_id = e.vec_id
+  JOIN c2 c ON c.cl = f.cl
+),""" + _dd_kmeans_cte_split(k="(SELECT kk FROM kpar)", sfx="r",
+                             train_pred="vec_id % 7 != 3",
+                             with_kw=False, src="res")
+            + """
+, blk AS (
+  SELECT r.vec_id, r.cl1, fr.cl AS cl2, fr.d2,
+         (r.vec_id % 7 = 3) AS is_delta
+  FROM res r JOIN fr ON fr.vec_id = r.vec_id
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.d2 AS da, b.d2 AS db,
+         a.cl1, a.cl2, a.is_delta AS delta_a, b.is_delta AS delta_b,
+         round({dot}, 6) AS cosine
+  FROM blk a
+  JOIN blk b ON a.cl1 = b.cl1 AND a.cl2 = b.cl2 AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({dot}, 6) >= 0.30
+    AND (a.is_delta OR b.is_delta)
+)
+SELECT CASE WHEN da > db OR (da = db AND id_a > id_b)
+            THEN id_a ELSE id_b END AS vec_id,
+       cl1 AS cluster_coarse, cl2 AS cluster_fine,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(cosine) AS max_cosine,
+       max(CASE WHEN da > db OR (da = db AND id_a > id_b)
+                THEN NOT delta_a ELSE NOT delta_b END)
+         AS removed_is_existing
+FROM p GROUP BY 1, 2, 3
+""".format(dot=dd_dot("ea.embedding", "eb.embedding"))))
+def q_semantic_dedup_delta_two_level(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup over the FROZEN TWO-LEVEL quantizer
+    (clustering.semantic_dedup_delta_two_level, round-13 verdict
+    task 5): coarse AND fine Lloyd's train on the resident corpus
+    only (vec_id % 7 != 3, the ivf_delta_assign split) at k1 = k2 =
+    icbrt(N_old) and freeze; the delta batch (% 7 == 3) assigns
+    through both frozen levels and the SemDeDup prune enumerates
+    DELTA-SIDED pairs within (coarse, fine) blocks — index build
+    ~3 x N_old^(4/3) (vs N_old^1.5 single-level), per-batch marginal
+    |delta| x (k1 + k2) + |delta| x N^(1/3) block population. The
+    oracle replays both frozen Lloyd's chains (split CTE, train_pred
+    on both levels, fine chain retargeted at the residual CTE) and
+    restricts the pair set with the same delta predicate;
+    removed_is_existing flags resident demotions."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 7 != 3)
+    delta = emb.where(F.col("vec_id") % 7 == 3)
+    return CL.semantic_dedup_delta_two_level(old, delta, threshold=0.30)
