@@ -15141,10 +15141,15 @@ def q_brp_ann_recall_invariant(spark: SparkSession,
     """The ORACLE-GATED grading of the MLlib BRP index (same
     discipline as approx_sketches_invariants): the bucket-probed
     top-10's VALUES are MLlib-internal, but its CONTRACT is not — it
-    must return exactly k rows and recover at least half of the true
-    cosine top-10 (the bound tests/test_mllib_index.py has gated
-    since round 1; 4 hash tables over the fixed-seed projections make
-    the candidate set a deterministic function of the data). The
+    must return exactly k rows and recover >= 7 of the true cosine
+    top-10. MEASURED (round 14, fixed seed => deterministic):
+    recall@10 = 1.0 / 0.9 / 1.0 at sf0.001 / sf0.01 / sf0.1
+    (SCALE.md), so the 0.7 bound leaves ~2x headroom below the worst
+    measured rung while still failing loudly on any real index
+    regression — it replaces the loose round-1 test bound of 0.5
+    (4 hash tables over the fixed-seed projections make the
+    candidate set a deterministic function of the data;
+    tests/test_mllib_index.py mirrors the bound). The
     Spark side joins the BRP result against the GRADED exact
     knn_bruteforce builder and emits the verdict; the oracle pins
     (n_returned, recall_ok) = (10, TRUE). With this, no query family
@@ -15164,7 +15169,7 @@ def q_brp_ann_recall_invariant(spark: SparkSession,
     n = approx.agg(F.count(F.lit(1)).cast("long").alias("n_returned"))
     return (n.crossJoin(hits)
             .select("n_returned",
-                    (F.col("hits") >= 5).alias("recall_ok")))
+                    (F.col("hits") >= 7).alias("recall_ok")))
 
 
 @register(

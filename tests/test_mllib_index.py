@@ -22,8 +22,11 @@ def test_brp_topk_recall(spark, sf_dir, emb):
               mllib_index.brp_topk(model, indexed, qv, 10).collect()}
     exact = {r["vec_id"] for r in retrieval.knn(emb, qv, 10).collect()}
     # bucket probing may miss some of the true top-10, but with 4 hash
-    # tables over 500 vectors recall should be strong
-    assert len(approx & exact) >= 5
+    # tables the candidate set is deterministic (fixed seed) and
+    # measured recall@10 is 1.0 / 0.9 / 1.0 at sf0.001/0.01/0.1
+    # (SCALE.md round-14) — gate at 0.7, ~2x headroom below the worst
+    # measured rung, mirroring brp_ann_recall_invariant's oracle bound
+    assert len(approx & exact) >= 7
     assert len(approx) == 10
 
 
