@@ -436,3 +436,19 @@ def test_semantic_dedup_delta_two_level_invariants_and_apply(
                    cents1, cents2, blocks, delta,
                    threshold=0.30).collect()}
     assert applied == {tuple(r) for r in rows}
+
+
+def test_semdedup_block_recall_bounds(spark, sf_dir):
+    """The blocking-recall audit's counters are internally coherent:
+    blocked-pair counts never exceed the exhaustive ground truth and
+    the recalls are the exact ratios of their counters."""
+    from rag_vector_database_spark.plans.registry import REGISTRY
+    by = {r.name: r for r in REGISTRY}
+    row = by["semdedup_block_recall"].builder(spark, sf_dir).collect()[0]
+    assert row["n_true_pairs"] > 0
+    assert 0 <= row["n_single_pairs"] <= row["n_true_pairs"]
+    assert 0 <= row["n_two_level_pairs"] <= row["n_true_pairs"]
+    assert abs(row["recall_single_auto"]
+               - round(row["n_single_pairs"] / row["n_true_pairs"], 6)) < 1e-9
+    assert abs(row["recall_two_level"]
+               - round(row["n_two_level_pairs"] / row["n_true_pairs"], 6)) < 1e-9
