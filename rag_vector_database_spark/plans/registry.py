@@ -15380,8 +15380,13 @@ def q_semdedup_block_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     k1 = max(2, math.isqrt(n))
     k2 = max(2, CL._icbrt(n))
+    # localCheckpoint both label tables: each is referenced twice
+    # (id_a and id_b joins) and a lazy Lloyd chain would re-run its
+    # full iteration DAG per reference (the 70 -> ~8 s lesson the
+    # two-level operator already learned — SCALE.md round-13)
     single = CL.kmeans_assign_scaled(emb, k1, iters=2) \
-        .select("vec_id", F.col("cluster").alias("s_cl"))
+        .select("vec_id", F.col("cluster").alias("s_cl")) \
+        .localCheckpoint()
     _, _, blocks = CL._two_level_state(emb, k2, 2, "embedding",
                                        "vec_id", 6)
     blk = blocks.select("vec_id", "cl1", "cl2")
