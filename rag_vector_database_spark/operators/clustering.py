@@ -622,6 +622,11 @@ def semantic_dedup_two_level(emb: DataFrame, threshold: float = 0.6,
     id. Returns one row per removed vector: (id_col, cluster_coarse,
     cluster_fine, n_pairs, max_cosine).
 
+    The quality cost of the smaller blocks is a GRADED NUMBER, not
+    an argument: registry query ``semdedup_block_recall`` audits
+    both this quantizer's and the single-level quantizer's blocking
+    recall against exhaustive cosine ground truth.
+
     Corpus-derived constants arrive as ONE count(*) driver scalar
     (the bounded-scalar discipline); both Lloyd's levels keep the
     centroid sets distributed — zero data-sized collects, plan size

@@ -452,6 +452,7 @@ WINDOW_PRIORITY: list[str] = [
     #    per the addition cap) ---------------------------------------
     "semantic_dedup_delta_two_level",
     "semdedup_block_recall",
+    "semdedup_block_recall_sampled",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -15419,3 +15420,129 @@ def q_semdedup_block_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_single_auto"),
         F.round(F.sum(in_b) / F.count(F.lit(1)).cast("double"), 6)
             .alias("recall_two_level"))
+
+
+@register(
+    "semdedup_block_recall_sampled",
+    oracle=("""
+WITH kpar AS (
+  SELECT GREATEST(2, COALESCE((SELECT max(b) FROM range(2, 100000) t(b)
+    WHERE b * b <= (SELECT count(*) FROM embeddings)), 2)) AS kk1,
+         GREATEST(2, COALESCE((SELECT max(b) FROM range(2, 3000) t(b)
+    WHERE b * b * b <= (SELECT count(*) FROM embeddings)), 2)) AS kk2
+),""" + _dd_kmeans_cte_split(k="(SELECT kk1 FROM kpar)", sfx="s",
+                             with_kw=False)
+            + "," + _dd_kmeans_cte_split(k="(SELECT kk2 FROM kpar)",
+                                         with_kw=False)
+            + """
+, res AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, len(e.embedding)),
+           i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding,
+         f.cl AS cl1
+  FROM embeddings e
+  JOIN f ON f.vec_id = e.vec_id
+  JOIN c2 c ON c.cl = f.cl
+),""" + _dd_kmeans_cte_split(k="(SELECT kk2 FROM kpar)", sfx="r",
+                             with_kw=False, src="res")
+            + """
+, blk AS (
+  SELECT r.vec_id, r.cl1, fr.cl AS cl2
+  FROM res r JOIN fr ON fr.vec_id = r.vec_id
+),
+semb AS (
+  SELECT * FROM embeddings
+  WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        % 4 = 0
+),
+tp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM semb a JOIN semb b ON a.vec_id < b.vec_id
+  WHERE round({dot}, 6) >= 0.30
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM semb) AS n_sample_vecs,
+       CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(CASE WHEN sa.cl = sb.cl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_pairs,
+       CAST(sum(CASE WHEN ba.cl1 = bb.cl1 AND ba.cl2 = bb.cl2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_two_level_pairs,
+       round(sum(CASE WHEN sa.cl = sb.cl THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS recall_single_auto,
+       round(sum(CASE WHEN ba.cl1 = bb.cl1 AND ba.cl2 = bb.cl2
+                      THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS recall_two_level
+FROM tp
+JOIN fs sa ON sa.vec_id = tp.id_a
+JOIN fs sb ON sb.vec_id = tp.id_b
+JOIN blk ba ON ba.vec_id = tp.id_a
+JOIN blk bb ON bb.vec_id = tp.id_b
+""".format(dot=dd_dot("a.embedding", "b.embedding"))))
+def q_semdedup_block_recall_sampled(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """THE PRODUCTION VARIANT of semdedup_block_recall — the
+    minhash_recall_eval_sampled discipline applied to the embedding
+    blockers: the exhaustive cosine ground truth (quadratic in the
+    corpus BY DESIGN; 189.7 s at 10x, SCALE.md round-14) is built
+    over a DETERMINISTIC 25% hash-sample of the vectors
+    (md5(vec_id) % 4 = 0, the same md5-uniform the mixture samplers
+    and the minhash sampled audit use), so the truth side touches
+    ~1/16 of the pair space and scales LINEARLY IN THE SAMPLE, while
+    BOTH quantizers under audit are still trained on and label the
+    FULL corpus (blocking recall is a property of the production
+    index, so the index must be the production one; only the audit
+    is sampled). Vector-sampling estimates pair recall unbiasedly
+    because both endpoints of a truth pair are sampled independently
+    of their similarity. The oracle replays the identical md5
+    predicate, so sample membership is value-pinned, not
+    statistical."""
+    import math
+
+    from ..functions import vectors as V
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    k1 = max(2, math.isqrt(n))
+    k2 = max(2, CL._icbrt(n))
+    single = CL.kmeans_assign_scaled(emb, k1, iters=2) \
+        .select("vec_id", F.col("cluster").alias("s_cl")) \
+        .localCheckpoint()
+    _, _, blocks = CL._two_level_state(emb, k2, 2, "embedding",
+                                       "vec_id", 6)
+    blk = blocks.select("vec_id", "cl1", "cl2")
+    keep4 = hashing.md5_long(F.col("vec_id").cast("string")) % 4 == 0
+    semb = emb.where(keep4)
+    a = semb.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("va"))
+    b = semb.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("vb"))
+    tp = (a.join(b, F.col("id_a") < F.col("id_b"))
+          .where(F.round(V.dot(F.col("va"), F.col("vb")), 6) >= 0.30)
+          .select("id_a", "id_b"))
+    lab = (tp
+           .join(single.select(F.col("vec_id").alias("id_a"),
+                               F.col("s_cl").alias("s_a")), "id_a")
+           .join(single.select(F.col("vec_id").alias("id_b"),
+                               F.col("s_cl").alias("s_b")), "id_b")
+           .join(blk.select(F.col("vec_id").alias("id_a"),
+                            F.col("cl1").alias("c1a"),
+                            F.col("cl2").alias("c2a")), "id_a")
+           .join(blk.select(F.col("vec_id").alias("id_b"),
+                            F.col("cl1").alias("c1b"),
+                            F.col("cl2").alias("c2b")), "id_b"))
+    in_s = F.when(F.col("s_a") == F.col("s_b"), 1).otherwise(0)
+    in_b = F.when((F.col("c1a") == F.col("c1b"))
+                  & (F.col("c2a") == F.col("c2b")), 1).otherwise(0)
+    n_s = semb.agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_sample_vecs"))
+    agg = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum(in_s).cast("long").alias("n_single_pairs"),
+        F.sum(in_b).cast("long").alias("n_two_level_pairs"),
+        F.round(F.sum(in_s) / F.count(F.lit(1)).cast("double"), 6)
+            .alias("recall_single_auto"),
+        F.round(F.sum(in_b) / F.count(F.lit(1)).cast("double"), 6)
+            .alias("recall_two_level"))
+    return (n_s.crossJoin(F.broadcast(agg))
+            .select("n_sample_vecs", "n_true_pairs", "n_single_pairs",
+                    "n_two_level_pairs", "recall_single_auto",
+                    "recall_two_level"))

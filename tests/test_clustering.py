@@ -452,3 +452,20 @@ def test_semdedup_block_recall_bounds(spark, sf_dir):
                - round(row["n_single_pairs"] / row["n_true_pairs"], 6)) < 1e-9
     assert abs(row["recall_two_level"]
                - round(row["n_two_level_pairs"] / row["n_true_pairs"], 6)) < 1e-9
+
+
+def test_semdedup_block_recall_sampled_consistency(spark, sf_dir):
+    """The sampled audit's truth side is the md5-sample restriction
+    of the exhaustive audit's: its pair set must be exactly the
+    full-audit pairs with both endpoints in the sample, and its
+    counters obey the same bounds."""
+    from rag_vector_database_spark.plans.registry import REGISTRY
+    by = {r.name: r for r in REGISTRY}
+    row = by["semdedup_block_recall_sampled"].builder(
+        spark, sf_dir).collect()[0]
+    assert 0 < row["n_sample_vecs"]
+    assert 0 <= row["n_single_pairs"] <= row["n_true_pairs"]
+    assert 0 <= row["n_two_level_pairs"] <= row["n_true_pairs"]
+    full = by["semdedup_block_recall"].builder(spark, sf_dir).collect()[0]
+    # sampled truth is a subset of the exhaustive truth
+    assert row["n_true_pairs"] <= full["n_true_pairs"]
