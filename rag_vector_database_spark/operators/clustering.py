@@ -452,7 +452,18 @@ def semantic_dedup_apply_delta(cents: DataFrame, resident_asn: DataFrame,
     point does not run. ``semantic_dedup_delta`` == train + assign +
     THIS (equality guaranteed by construction and guarded by
     tests/test_clustering.py). Output schema matches
-    ``semantic_dedup_delta``."""
+    ``semantic_dedup_delta``.
+
+    Raises on an EMPTY stored centroid table — the same
+    silent-miss failure the graded operator's bootstrap guard
+    prevents (NULL assignments drop every pair); the check is one
+    k-row-bounded job, never a corpus scan."""
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            "semantic_dedup_apply_delta: stored centroid table is "
+            "empty — a corrupt or bootstrap-less store; every delta "
+            "assignment would go NULL and all pairs would be "
+            "silently dropped.")
     delta_asn = _assign_scaled(delta.select(F.col(id_col),
                                             F.col(vec_col)),
                                cents, vec_col, id_col, ndigits)
@@ -508,7 +519,12 @@ def semantic_dedup_delta(old: DataFrame, delta: DataFrame,
     import math
     k = max(2, math.isqrt(n_old))
     src_old = old.select(F.col(id_col), F.col(vec_col))
-    cents = _lloyd_scaled(src_old, k, iters, vec_col, id_col, ndigits)
+    # localCheckpoint the k-row centroid table: the apply path
+    # references it three times (guard, delta assignment, resident
+    # assignment) and a lazy table would re-run the full Lloyd
+    # training chain per reference — k ~ isqrt(N) rows, bounded
+    cents = _lloyd_scaled(src_old, k, iters, vec_col, id_col,
+                          ndigits).localCheckpoint()
     resident_asn = _assign_scaled(src_old, cents, vec_col, id_col,
                                   ndigits)
     return semantic_dedup_apply_delta(cents, resident_asn, delta,
@@ -544,7 +560,12 @@ def _two_level_state(src: DataFrame, k: int, iters: int,
     the same reason (the pair self-join reads it twice, 4.8 -> 4.1 s
     — SCALE.md round-13 four-way placement experiment). A reliable
     checkpoint dir replaces localCheckpoint on a real cluster."""
-    cents1 = _lloyd_scaled(src, k, iters, vec_col, id_col, ndigits)
+    # both centroid tables localCheckpointed: k rows each (bounded),
+    # and the delta/apply paths reference them repeatedly (guard,
+    # coarse assignment, residual join, fine assignment) — lazy
+    # tables would re-run a full Lloyd chain per reference
+    cents1 = _lloyd_scaled(src, k, iters, vec_col, id_col,
+                           ndigits).localCheckpoint()
     asn1 = _assign_scaled(src, cents1, vec_col, id_col, ndigits)
     # residual r = v - c1 (exact double arithmetic — rounding already
     # happened inside the centroid means)
@@ -556,7 +577,8 @@ def _two_level_state(src: DataFrame, k: int, iters: int,
                               lambda a, b: a.cast("double") - b)
                    .alias("resv")))
     res = res.localCheckpoint()
-    cents2 = _lloyd_scaled(res, k, iters, "resv", id_col, ndigits)
+    cents2 = _lloyd_scaled(res, k, iters, "resv", id_col,
+                           ndigits).localCheckpoint()
     asn2 = (_assign_scaled(res.select(id_col, "cl1", "resv"),
                            cents2, "resv", id_col, ndigits)
             .withColumnRenamed("cluster", "cl2"))
@@ -678,7 +700,16 @@ def semantic_dedup_apply_delta_two_level(cents1: DataFrame,
     (|delta| x (k1 + k2) scan-local), and prunes delta-involved pairs
     with the delta rows as a dedicated join side (|delta| x block
     population ~ |delta| x N^(1/3) enumeration). Output schema
-    matches ``semantic_dedup_two_level`` plus removed_is_existing."""
+    matches ``semantic_dedup_two_level`` plus removed_is_existing.
+    Raises on an empty stored centroid table at either level (the
+    same silent-miss guard as ``semantic_dedup_apply_delta``; two
+    k-row-bounded jobs, never a corpus scan)."""
+    if cents1.limit(1).count() == 0 or cents2.limit(1).count() == 0:
+        raise ValueError(
+            "semantic_dedup_apply_delta_two_level: a stored centroid "
+            "table is empty — a corrupt or bootstrap-less store; "
+            "every delta assignment would go NULL and all pairs "
+            "would be silently dropped.")
     delta_blocks = _two_level_assign(delta, cents1, cents2, vec_col,
                                      id_col, ndigits)
     return (_delta_prune(resident_blocks, delta_blocks, ["cl1", "cl2"],

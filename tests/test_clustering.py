@@ -469,3 +469,24 @@ def test_semdedup_block_recall_sampled_consistency(spark, sf_dir):
     full = by["semdedup_block_recall"].builder(spark, sf_dir).collect()[0]
     # sampled truth is a subset of the exhaustive truth
     assert row["n_true_pairs"] <= full["n_true_pairs"]
+
+
+def test_apply_delta_empty_store_raises(spark, sf_dir):
+    """The deployment apply entry points must refuse an empty stored
+    centroid table — the same silent-miss failure mode as the
+    bootstrap guard (NULL assignments drop every pair)."""
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    delta = emb.where(F.col("vec_id") % 7 == 3).select("vec_id", "embedding")
+    empty_cents = spark.createDataFrame([], "cl long, cv array<double>")
+    empty_asn = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, cluster long, dist2 double")
+    with pytest.raises(ValueError, match="centroid table is empty"):
+        clustering.semantic_dedup_apply_delta(empty_cents, empty_asn, delta)
+    empty_blocks = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, cl1 long, cl2 long, "
+            "dist2 double")
+    with pytest.raises(ValueError, match="centroid table is empty"):
+        clustering.semantic_dedup_apply_delta_two_level(
+            empty_cents, empty_cents, empty_blocks, delta)
