@@ -763,6 +763,72 @@ def semantic_dedup_delta_two_level(old: DataFrame, delta: DataFrame,
                                                 ndigits)
 
 
+def write_two_level_store(blocks: DataFrame, path: str) -> None:
+    """Persist a two-level resident assignment (``_two_level_state``'s
+    blocks: id, vec, cl1, cl2, dist2) PARTITIONED ON THE CELL KEY —
+    the at-rest layout of a 100 TB semantic-dedup index. With
+    (cl1, cl2) as physical partition columns, a per-batch apply reads
+    back with a cell predicate that Spark resolves at FILE LISTING
+    time (``PartitionFilters``), so the resident files of
+    uninvolved cells are never opened — the same layout contract as
+    ``ivf_partitioned_knn`` (retrieval.py).
+
+    The write repartitions on the cell key first: an unsorted
+    partitionBy write emits one file per (task, cell) pair — up to
+    tasks x k1 x k2 small files; clustering the cells into tasks
+    first bounds the store at one file per cell (the standard
+    small-files discipline for partitioned fact tables)."""
+    blocks.repartition("cl1", "cl2") \
+        .write.mode("overwrite").partitionBy("cl1", "cl2") \
+        .parquet(path)
+
+
+def semantic_dedup_apply_delta_partitioned(spark, store_path: str,
+                                           cents1: DataFrame,
+                                           cents2: DataFrame,
+                                           delta: DataFrame,
+                                           threshold: float = 0.6,
+                                           vec_col: str = "embedding",
+                                           id_col: str = "vec_id",
+                                           ndigits: int = 6) -> DataFrame:
+    """``semantic_dedup_apply_delta_two_level`` against a
+    CELL-PARTITIONED resident store (``write_two_level_store``) — the
+    version with NO corpus-sized term: the unpartitioned apply's one
+    remaining growth leg is its single linear scan of the resident
+    blocks (measured: 0.995 -> 2.457 s as residents grew 200 k ->
+    600 k, SCALE.md round-14), and this entry point prunes that scan
+    to the delta-involved cells at file-listing time. The delta's
+    cell set is collected to the driver (|delta|-bounded rows, the
+    bounded-scalar discipline) and pushed as a partition-column
+    predicate, so per batch it reads |delta-cells| x block
+    population rows instead of N. Output is EQUAL to the
+    unpartitioned apply on the same state (restricting the resident
+    side to delta-involved cells drops only rows that could never
+    key-match a delta row); guarded by tests/test_clustering.py."""
+    if cents1.limit(1).count() == 0 or cents2.limit(1).count() == 0:
+        raise ValueError(
+            "semantic_dedup_apply_delta_partitioned: a stored "
+            "centroid table is empty — a corrupt or bootstrap-less "
+            "store; every delta assignment would go NULL and all "
+            "pairs would be silently dropped.")
+    from functools import reduce
+
+    delta_blocks = _two_level_assign(delta, cents1, cents2, vec_col,
+                                     id_col, ndigits).localCheckpoint()
+    cells = delta_blocks.select("cl1", "cl2").distinct().collect()
+    pred = reduce(lambda a, b: a | b,
+                  [(F.col("cl1") == int(r["cl1"]))
+                   & (F.col("cl2") == int(r["cl2"])) for r in cells],
+                  F.lit(False))
+    resident = (spark.read.parquet(store_path).where(pred)
+                .withColumn("cl1", F.col("cl1").cast("long"))
+                .withColumn("cl2", F.col("cl2").cast("long")))
+    return (_delta_prune(resident, delta_blocks, ["cl1", "cl2"],
+                         threshold, vec_col, id_col, ndigits)
+            .withColumnRenamed("cl1", "cluster_coarse")
+            .withColumnRenamed("cl2", "cluster_fine"))
+
+
 def pq_train(emb: DataFrame, m: int = 4, ksub: int = 4, iters: int = 1,
              dim: int = 64, vec_col: str = "embedding",
              id_col: str = "vec_id", ndigits: int = 6) -> dict:

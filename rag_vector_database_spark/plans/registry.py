@@ -453,6 +453,7 @@ WINDOW_PRIORITY: list[str] = [
     "semantic_dedup_delta_two_level",
     "semdedup_block_recall",
     "semdedup_block_recall_sampled",
+    "semantic_dedup_delta_partitioned",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -15233,9 +15234,7 @@ def q_semantic_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frozen TWO-LEVEL quantizer (round-13 verdict task 5) — removes the
 # N_old^1.5 one-time index-build term from the amortized delta path.
 
-@register(
-    "semantic_dedup_delta_two_level",
-    oracle=("""
+_SDD2L_ORACLE = ("""
 WITH kpar AS (
   SELECT GREATEST(2, COALESCE((SELECT max(b) FROM range(2, 3000) t(b)
     WHERE b * b * b <= (SELECT count(*) FROM embeddings
@@ -15283,7 +15282,13 @@ SELECT CASE WHEN da > db OR (da = db AND id_a > id_b)
                 THEN NOT delta_a ELSE NOT delta_b END)
          AS removed_is_existing
 FROM p GROUP BY 1, 2, 3
-""".format(dot=dd_dot("ea.embedding", "eb.embedding"))))
+""".format(dot=dd_dot("ea.embedding", "eb.embedding")))
+
+
+@register(
+    "semantic_dedup_delta_two_level",
+    oracle=_SDD2L_ORACLE)
+
 def q_semantic_dedup_delta_two_level(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """INCREMENTAL SemDeDup over the FROZEN TWO-LEVEL quantizer
@@ -15546,3 +15551,36 @@ def q_semdedup_block_recall_sampled(spark: SparkSession,
             .select("n_sample_vecs", "n_true_pairs", "n_single_pairs",
                     "n_two_level_pairs", "recall_single_auto",
                     "recall_two_level"))
+
+
+@register(
+    "semantic_dedup_delta_partitioned",
+    oracle=_SDD2L_ORACLE)
+def q_semantic_dedup_delta_partitioned(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """semantic_dedup_delta_two_level AGAINST THE AT-REST STORE
+    LAYOUT (clustering.semantic_dedup_apply_delta_partitioned): the
+    trained resident blocks are WRITTEN partitioned on (cl1, cl2) —
+    ``write_two_level_store``, the ivf_partitioned_knn layout
+    contract — and the per-batch apply reads back ONLY the
+    delta-involved cells via a partition-column predicate resolved
+    at file-listing time (PartitionFilters), removing the
+    unpartitioned apply's one corpus-sized term (its single linear
+    resident scan; SCALE.md round-14 measured it 0.995 -> 2.457 s
+    over 200 k -> 600 k residents). The result set is IDENTICAL to
+    semantic_dedup_delta_two_level (restricting the resident side to
+    delta-involved cells drops only rows that could never key-match
+    a delta row), so this entry shares its oracle verbatim — the
+    driver grades that the physical-layout path changes nothing."""
+    from ..operators import clustering as CL
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 7 != 3).select("vec_id", "embedding")
+    delta = emb.where(F.col("vec_id") % 7 == 3)
+    n_old = old.count()
+    k = max(2, CL._icbrt(n_old))
+    cents1, cents2, blocks = CL._two_level_state(old, k, 2, "embedding",
+                                                 "vec_id", 6)
+    store = _scratch_path(spark, sf_dir, "sdd2l_store")
+    CL.write_two_level_store(blocks, store)
+    return CL.semantic_dedup_apply_delta_partitioned(
+        spark, store, cents1, cents2, delta, threshold=0.30)

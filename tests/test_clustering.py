@@ -490,3 +490,30 @@ def test_apply_delta_empty_store_raises(spark, sf_dir):
     with pytest.raises(ValueError, match="centroid table is empty"):
         clustering.semantic_dedup_apply_delta_two_level(
             empty_cents, empty_cents, empty_blocks, delta)
+
+
+def test_apply_delta_partitioned_equals_unpartitioned_and_prunes(
+        spark, sf_dir, tmp_path):
+    """The cell-partitioned apply must (a) return exactly the
+    unpartitioned apply's rows on the same stored state, and (b)
+    show the cell predicate as a PartitionFilter — file-listing-time
+    pruning, not a post-scan filter."""
+    emb = _emb(spark, sf_dir).cache()
+    old = emb.where(F.col("vec_id") % 7 != 3).select("vec_id", "embedding")
+    delta = emb.where(F.col("vec_id") % 7 == 3)
+    k = max(2, clustering._icbrt(old.count()))
+    cents1, cents2, blocks = clustering._two_level_state(
+        old, k, 2, "embedding", "vec_id", 6)
+    store = str(tmp_path / "sdd2l_store")
+    clustering.write_two_level_store(blocks, store)
+
+    part = clustering.semantic_dedup_apply_delta_partitioned(
+        spark, store, cents1, cents2, delta, threshold=0.30)
+    unpart = clustering.semantic_dedup_apply_delta_two_level(
+        cents1, cents2, blocks, delta, threshold=0.30)
+    assert {tuple(r) for r in part.collect()} \
+        == {tuple(r) for r in unpart.collect()}
+    assert part.count() > 0
+
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cl1" in plan
