@@ -811,15 +811,24 @@ def semantic_dedup_apply_delta_partitioned(spark, store_path: str,
             "centroid table is empty — a corrupt or bootstrap-less "
             "store; every delta assignment would go NULL and all "
             "pairs would be silently dropped.")
-    from functools import reduce
-
+    # checkpointed: the |delta|-row assignment feeds three consumers
+    # (the cells collect, the prune's dedicated delta side, and the
+    # y-side union) — A/B at 600 k residents measured the checkpoint
+    # 1.0 s FASTER per batch than lazy recompute (2.57 vs 3.57 s;
+    # the lazy DAG repeats the two broadcast-join branches per
+    # consumer), the opposite trade from the corpus-sized tables
     delta_blocks = _two_level_assign(delta, cents1, cents2, vec_col,
                                      id_col, ndigits).localCheckpoint()
     cells = delta_blocks.select("cl1", "cl2").distinct().collect()
-    pred = reduce(lambda a, b: a | b,
-                  [(F.col("cl1") == int(r["cl1"]))
-                   & (F.col("cl2") == int(r["cl2"])) for r in cells],
-                  F.lit(False))
+    # ONE InSet over a combined cell key instead of a |cells|-term
+    # OR-chain: both prune at file-listing time (partition-column
+    # expression), but the InSet plans and evaluates ~2.5x faster at
+    # ~300 cells (measured, SCALE.md round-14). 100000 > any k2 =
+    # icbrt(N) for N < 10^15, so the combined key cannot collide.
+    key = (F.col("cl1").cast("long") * 100000
+           + F.col("cl2").cast("long"))
+    pred = key.isin([int(r["cl1"]) * 100000 + int(r["cl2"])
+                     for r in cells])
     resident = (spark.read.parquet(store_path).where(pred)
                 .withColumn("cl1", F.col("cl1").cast("long"))
                 .withColumn("cl2", F.col("cl2").cast("long")))
