@@ -15491,7 +15491,13 @@ def q_semdedup_block_recall_sampled(spark: SparkSession,
     over a DETERMINISTIC 25% hash-sample of the vectors
     (md5(vec_id) % 4 = 0, the same md5-uniform the mixture samplers
     and the minhash sampled audit use), so the truth side touches
-    ~1/16 of the pair space and scales LINEARLY IN THE SAMPLE, while
+    ~1/16 of the pair space — still quadratic in the corpus but with
+    a 16x smaller constant (unlike the minhash sampled audit, whose
+    truth side is a prefix-filtered join, a brute-force cosine truth
+    has no sub-quadratic form; at larger corpora the sample FRACTION
+    is the dial: recall variance depends on the absolute number of
+    sampled truth pairs, so the fraction can shrink as the corpus
+    grows), while
     BOTH quantizers under audit are still trained on and label the
     FULL corpus (blocking recall is a property of the production
     index, so the index must be the production one; only the audit
