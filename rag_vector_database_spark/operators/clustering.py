@@ -823,11 +823,16 @@ def semantic_dedup_apply_delta_partitioned(spark, store_path: str,
     # ONE InSet over a combined cell key instead of a |cells|-term
     # OR-chain: both prune at file-listing time (partition-column
     # expression), but the InSet plans and evaluates ~2.5x faster at
-    # ~300 cells (measured, SCALE.md round-14). 100000 > any k2 =
-    # icbrt(N) for N < 10^15, so the combined key cannot collide.
-    key = (F.col("cl1").cast("long") * 100000
-           + F.col("cl2").cast("long"))
-    pred = key.isin([int(r["cl1"]) * 100000 + int(r["cl2"])
+    # ~300 cells (measured, SCALE.md round-14). The key is the
+    # "cl1/cl2" STRING — cluster labels are seed vector IDS (not
+    # 0..k-1), so an arithmetic combination like cl1*C + cl2 is only
+    # injective when labels stay below C; the delimited string is
+    # injective on any id domain. (An over-inclusive key would still
+    # be CORRECT — the prune join restricts to exact cell equality —
+    # but it would silently read uninvolved cells.)
+    key = F.concat_ws("/", F.col("cl1").cast("long").cast("string"),
+                      F.col("cl2").cast("long").cast("string"))
+    pred = key.isin([f'{int(r["cl1"])}/{int(r["cl2"])}'
                      for r in cells])
     resident = (spark.read.parquet(store_path).where(pred)
                 .withColumn("cl1", F.col("cl1").cast("long"))

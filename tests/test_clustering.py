@@ -517,3 +517,35 @@ def test_apply_delta_partitioned_equals_unpartitioned_and_prunes(
 
     plan = part._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cl1" in plan
+
+
+def test_apply_delta_partitioned_sparse_ids_and_empty_delta(
+        spark, sf_dir, tmp_path):
+    """Cluster labels are seed vector IDs, not 0..k-1 — on a sparse
+    id domain (ids ~10^8) an arithmetic combined cell key would
+    collide; the string key must stay exact. Also: an empty delta
+    prunes to an empty read and returns no rows (isin([]) is a
+    legal always-false predicate)."""
+    scale = 100_000_000
+    emb = _emb(spark, sf_dir) \
+        .withColumn("vec_id", F.col("vec_id") * scale + 7).cache()
+    old = emb.where((F.col("vec_id") / scale).cast("long") % 7 != 0) \
+        .select("vec_id", "embedding")
+    delta = emb.join(old, "vec_id", "left_anti")
+    k = max(2, clustering._icbrt(old.count()))
+    cents1, cents2, blocks = clustering._two_level_state(
+        old, k, 2, "embedding", "vec_id", 6)
+    assert blocks.agg(F.max("cl2")).collect()[0][0] >= scale, \
+        "sparse ids must yield large cluster labels for this test"
+    store = str(tmp_path / "sparse_store")
+    clustering.write_two_level_store(blocks, store)
+    part = clustering.semantic_dedup_apply_delta_partitioned(
+        spark, store, cents1, cents2, delta, threshold=0.30)
+    unpart = clustering.semantic_dedup_apply_delta_two_level(
+        cents1, cents2, blocks, delta, threshold=0.30)
+    assert {tuple(r) for r in part.collect()} \
+        == {tuple(r) for r in unpart.collect()}
+
+    empty = delta.limit(0)
+    assert clustering.semantic_dedup_apply_delta_partitioned(
+        spark, store, cents1, cents2, empty, threshold=0.30).count() == 0
