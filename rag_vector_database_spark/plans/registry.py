@@ -454,6 +454,7 @@ WINDOW_PRIORITY: list[str] = [
     "semdedup_block_recall",
     "semdedup_block_recall_sampled",
     "semantic_dedup_delta_partitioned",
+    "margin_bitext_mining",
     # -- no-oracle entries: NEVER inside the graded prefix (the
     #    driver can only record err:no_oracle for them; recall /
     #    behavior gates live in tests/test_mllib_index.py) -----------
@@ -15590,3 +15591,84 @@ def q_semantic_dedup_delta_partitioned(spark: SparkSession,
     CL.write_two_level_store(blocks, store)
     return CL.semantic_dedup_apply_delta_partitioned(
         spark, store, cents1, cents2, delta, threshold=0.30)
+
+
+@register(
+    "margin_bitext_mining",
+    oracle=("""
+WITH A AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+B AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+s AS (
+  SELECT a.vec_id ia, b.vec_id ib, round({dot}, 6) c
+  FROM A a, B b),
+ka AS (SELECT ia, round(avg(c), 6) da FROM (
+  SELECT ia, c, row_number() OVER (PARTITION BY ia ORDER BY c DESC, ib) rn
+  FROM s) WHERE rn <= 4 GROUP BY ia),
+kb AS (SELECT ib, round(avg(c), 6) db FROM (
+  SELECT ib, c, row_number() OVER (PARTITION BY ib ORDER BY c DESC, ia) rn
+  FROM s) WHERE rn <= 4 GROUP BY ib),
+m AS (SELECT ia, ib, c, round(c / round((da + db) / 2.0, 6), 6) margin
+      FROM s JOIN ka USING (ia) JOIN kb USING (ib)
+      WHERE round((da + db) / 2.0, 6) > 0),
+best AS (SELECT ia, ib, c, margin,
+         row_number() OVER (PARTITION BY ia ORDER BY margin DESC, ib) rn
+         FROM m)
+SELECT ia AS src_id, ib AS tgt_id, c AS cosine, margin
+FROM best WHERE rn = 1 AND margin >= 1.2
+""".format(dot=dd_dot("a.embedding", "b.embedding"))))
+def q_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGIN-BASED BITEXT MINING — the ratio-margin criterion of
+    LASER/CCMatrix parallel-corpus mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining"; Schwenk et al. 2021
+    CCMatrix): raw cosine is a poor mining score because hub vectors
+    are close to EVERYTHING, so each candidate pair (x, y) is scored
+    by its cosine NORMALIZED by the mean of both endpoints'
+    top-k neighborhood cosines — margin(x, y) = cos(x, y) /
+    ((avgtop_k(x, B) + avgtop_k(y, A)) / 2) — and each source keeps
+    its best-margin target above a selectivity threshold (1.2 here;
+    k = 4). The two "languages" are the deterministic vec_id parity
+    split of the embeddings table (the same stand-in convention as
+    the retrieval family's query vectors — the criterion, ranks and
+    thresholds are what is graded). Ties broken by target id at
+    both the top-k and best-target ranks, so both engines mine an
+    identical pair set.
+
+    Scale shape: the A x B score matrix is the knn_bruteforce class
+    (exact mining is quadratic BY DESIGN — this is the audit/
+    baseline form; production candidate generation composes the same
+    margin scoring over the ANN families' top-k outputs instead of
+    the full cross). The matrix is localCheckpointed because THREE
+    consumers read it (both neighborhood averages and the final
+    scoring join); the per-side top-k and the best-target pick are
+    partition-local windows (no global sort), and the neighborhood
+    averages are k-row-bounded per vector."""
+    from ..functions import vectors as V
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    A = emb.where(F.col("vec_id") % 2 == 0) \
+        .select(F.col("vec_id").alias("ia"),
+                F.col("embedding").alias("va"))
+    B = emb.where(F.col("vec_id") % 2 == 1) \
+        .select(F.col("vec_id").alias("ib"),
+                F.col("embedding").alias("vb"))
+    s = (A.crossJoin(B)
+         .select("ia", "ib",
+                 F.round(V.dot(F.col("va"), F.col("vb")), 6).alias("c"))
+         .localCheckpoint())
+    wa = Window.partitionBy("ia").orderBy(F.desc("c"), F.col("ib"))
+    wb = Window.partitionBy("ib").orderBy(F.desc("c"), F.col("ia"))
+    ka = (s.withColumn("rn", F.row_number().over(wa)).where(F.col("rn") <= 4)
+          .groupBy("ia").agg(F.round(F.avg("c"), 6).alias("da")))
+    kb = (s.withColumn("rn", F.row_number().over(wb)).where(F.col("rn") <= 4)
+          .groupBy("ib").agg(F.round(F.avg("c"), 6).alias("db")))
+    denom = F.round((F.col("da") + F.col("db")) / 2.0, 6)
+    m = (s.join(ka, "ia").join(kb, "ib")
+         .where(denom > 0)
+         .withColumn("margin", F.round(F.col("c") / denom, 6)))
+    wbest = Window.partitionBy("ia").orderBy(F.desc("margin"), F.col("ib"))
+    return (m.withColumn("rn", F.row_number().over(wbest))
+            .where((F.col("rn") == 1) & (F.col("margin") >= 1.2))
+            .select(F.col("ia").alias("src_id"),
+                    F.col("ib").alias("tgt_id"),
+                    F.col("c").alias("cosine"), "margin"))

@@ -549,3 +549,23 @@ def test_apply_delta_partitioned_sparse_ids_and_empty_delta(
     empty = delta.limit(0)
     assert clustering.semantic_dedup_apply_delta_partitioned(
         spark, store, cents1, cents2, empty, threshold=0.30).count() == 0
+
+
+def test_margin_bitext_mining_invariants(spark, sf_dir):
+    """Mining contract: at most one mined target per source, sides
+    respect the parity split, margins clear the threshold, and the
+    pair set is deterministic across runs."""
+    from rag_vector_database_spark.plans.registry import REGISTRY
+    by = {r.name: r for r in REGISTRY}
+    rows = by["margin_bitext_mining"].builder(spark, sf_dir).collect()
+    assert rows
+    srcs = [r["src_id"] for r in rows]
+    assert len(srcs) == len(set(srcs)), "one best target per source"
+    for r in rows:
+        assert r["src_id"] % 2 == 0 and r["tgt_id"] % 2 == 1
+        assert r["margin"] >= 1.2
+    again = {(r["src_id"], r["tgt_id"], r["cosine"], r["margin"])
+             for r in by["margin_bitext_mining"].builder(
+                 spark, sf_dir).collect()}
+    assert again == {(r["src_id"], r["tgt_id"], r["cosine"], r["margin"])
+                     for r in rows}
