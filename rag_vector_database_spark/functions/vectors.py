@@ -66,8 +66,15 @@ def unit_double(a: Column | str) -> Column:
 
 
 def query_vec_lit(vec) -> Column:
-    """A literal query vector column (broadcast as part of the plan)."""
-    return F.array(*[F.lit(float(x)) for x in vec])
+    """A literal query vector column (broadcast as part of the plan).
+    Built as one SQL string (one py4j round trip; Python repr
+    round-trips the exact IEEE754 double and Spark's <digits>D lexer
+    parses it correctly-rounded) instead of a per-element F.lit loop —
+    same array<double> literal, ~dim x fewer JVM calls."""
+    if not len(vec):
+        return F.array(*[])
+    return F.expr("array(" + ",".join(repr(float(x)) + "D"
+                                      for x in vec) + ")")
 
 
 def quantize_int8(a: Column | str) -> Column:

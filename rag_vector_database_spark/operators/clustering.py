@@ -34,6 +34,52 @@ from pyspark.sql import functions as F
 from ..functions import vectors as V
 
 
+class RawSQL(str):
+    """Marker: a vector operand that is already a SQL snippet (e.g. a
+    literal array for a query vector) rather than a column name."""
+
+
+def _sql_num(x: float) -> str:
+    """Exact Spark SQL double literal: Python repr is the shortest
+    string that round-trips the IEEE754 value, and Spark's lexer
+    parses <digits>D with the same correctly-rounded semantics, so the
+    JVM sees bit-identical doubles to F.lit(float(x))."""
+    return repr(float(x)) + "D"
+
+
+def _vec_sql(vec_col) -> str | None:
+    """SQL snippet for a vector operand: quoted identifier for a column
+    name, the snippet itself for RawSQL, None for an opaque Column
+    (callers then take the legacy Column-API path)."""
+    if isinstance(vec_col, RawSQL):
+        return str(vec_col)
+    if isinstance(vec_col, str):
+        return f"`{vec_col}`"
+    return None
+
+
+def _d2_sql(vec_sql: str, cv: list, ndigits: int) -> str:
+    """Rounded squared-L2 between a vector snippet and a centroid
+    literal, as one SQL string — the byte-identical expression tree
+    the old per-element F.lit/zip_with/aggregate Column chain built,
+    parsed by Catalyst in ONE py4j call instead of ~6 x dim round
+    trips (measured 0.644 s -> 0.004 s for k=5, dim=64; the driver-side
+    construction cost was the bulk of every ML headline query)."""
+    arr = "array(" + ",".join(_sql_num(x) for x in cv) + ")"
+    return (f"round(aggregate(zip_with({vec_sql}, {arr}, "
+            f"(a, b) -> pow(CAST(a AS DOUBLE) - b, 2)), 0.0D, "
+            f"(acc, v) -> acc + v), {ndigits})")
+
+
+def _scored_struct_sqls(cents: list, vec_sql: str, ndigits: int) -> list:
+    """SQL snippets (one per centroid) for the struct(d2, cl) scoring
+    contract — see _scored_structs."""
+    return [
+        f"named_struct('d2', {_d2_sql(vec_sql, cv, ndigits)}, "
+        f"'cl', CAST({int(cl)} AS BIGINT))"
+        for cl, cv in cents]
+
+
 def _scored_structs(cents: list, vec_col, ndigits: int) -> list:
     """One struct(d2, cl) per centroid: squared-L2 to the centroid
     literal, rounded BEFORE any comparison. The (d2, cl) field order
@@ -41,8 +87,16 @@ def _scored_structs(cents: list, vec_col, ndigits: int) -> list:
     distance asc, cluster id asc) that keeps kmeans_assign, the IVF
     probe ranking, and the silhouette's own-cluster identical to the
     oracle's row_number() ORDER BY d2, cl — every consumer must sort
-    or min over these same structs."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    or min over these same structs.
+
+    Construction goes through one F.expr per centroid (see _d2_sql)
+    when the vector operand is a column name or RawSQL snippet; an
+    opaque Column operand falls back to the per-element Column API."""
+    vs = _vec_sql(vec_col)
+    if vs is not None:
+        return [F.expr(s)
+                for s in _scored_struct_sqls(cents, vs, ndigits)]
+    vec = vec_col
     return [
         F.struct(
             F.round(F.aggregate(
@@ -56,7 +110,12 @@ def _scored_structs(cents: list, vec_col, ndigits: int) -> list:
 
 def _argmin_centroid(cents: list, vec_col: str, ndigits: int) -> Column:
     """struct(d2, cl) of the nearest centroid (see _scored_structs for
-    the rounding/tie-break contract). Scan-local."""
+    the rounding/tie-break contract). Scan-local. Built as ONE SQL
+    string (one py4j round trip) when the operand is a name/RawSQL."""
+    vs = _vec_sql(vec_col)
+    if vs is not None:
+        structs = ",".join(_scored_struct_sqls(cents, vs, ndigits))
+        return F.expr(f"array_min(array({structs}))")
     return F.array_min(F.array(*_scored_structs(cents, vec_col, ndigits)))
 
 
@@ -147,7 +206,7 @@ def probe_cells(spark, qv: list, cents: list, n_probe: int,
     expressions, so the argsort is evaluated ONCE as a 1-row job (same
     Spark arithmetic as the oracle) instead of re-sorting nlist
     structs per corpus row."""
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qlit = RawSQL("array(" + ",".join(_sql_num(x) for x in qv) + ")")
     probes_expr = F.transform(
         F.slice(F.array_sort(F.array(
             *_scored_structs(cents, qlit, ndigits))), 1, n_probe),
@@ -943,12 +1002,16 @@ def pq_score_adc(df: DataFrame, qv: list, books: dict,
     dtab_exprs = []
     for s in range(m):
         qsub = qv[s * subdim:(s + 1) * subdim]
+        qarr = "array(" + ",".join(_sql_num(x) for x in qsub) + ")"
         for cl, cv in books[s]:
-            d2 = F.round(F.aggregate(
-                F.zip_with(F.array(*[F.lit(float(x)) for x in qsub]),
-                           F.array(*[F.lit(float(x)) for x in cv]),
-                           lambda a, b: F.pow(a - b, F.lit(2))),
-                F.lit(0.0), lambda acc, v: acc + v), ndigits)
+            # same expression the Column API built (both operands are
+            # double literals, so no cast inside the lambda), as one
+            # SQL string — see _d2_sql for why
+            carr = "array(" + ",".join(_sql_num(x) for x in cv) + ")"
+            d2 = F.expr(
+                f"round(aggregate(zip_with({qarr}, {carr}, "
+                f"(a, b) -> pow(a - b, 2)), 0.0D, "
+                f"(acc, v) -> acc + v), {ndigits})")
             dtab_exprs.append(d2.alias(f"d_{s}_{cl}"))
     drow = df.sparkSession.range(1).select(*dtab_exprs).first()
     dtab = {(s, cl): float(drow[f"d_{s}_{cl}"])

@@ -12914,7 +12914,7 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str,
               for r in eval_df.select("embedding").orderBy("vec_id")
               .collect()]
         dots = [F.round(V.dot(F.col("embedding"),
-                              F.array(*[F.lit(x) for x in v])), 6)
+                              V.query_vec_lit(v)), 6)
                 for v in ev]
         max_cos = F.greatest(*dots) if len(dots) > 1 else dots[0]
         per_vec = corpus.select("label", max_cos.alias("max_cos"))

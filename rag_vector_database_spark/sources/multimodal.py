@@ -208,12 +208,16 @@ def sample_frames(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
         import pandas as pd
         for pdf in batches:
             out = {"id": [], "frame_no": [], "frame": []}
-            for _, row in pdf.iterrows():
-                b = bytes(row[blob_col])
+            # zip over the raw column arrays, not pdf.iterrows(): the
+            # per-row Series materialization iterrows performs costs
+            # more than the kernel itself (guide §4.2 — keep Python
+            # row overheads out of the batch loop); values unchanged
+            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
+                b = bytes(rb)
                 for i in range(0, max((len(b) + frame_bytes - 1) // frame_bytes, 1)):
                     if i % stride:
                         continue
-                    out["id"].append(row[id_col])
+                    out["id"].append(rid)
                     out["frame_no"].append(i)
                     out["frame"].append(b[i * frame_bytes:(i + 1) * frame_bytes])
             yield pd.DataFrame(out)
@@ -250,14 +254,16 @@ def window_rms(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
         import pandas as pd
         for pdf in batches:
             out = {"id": [], "win": [], "n_samples": [], "rms": []}
-            for _, row in pdf.iterrows():
-                s = np.frombuffer(bytes(row[blob_col]), dtype=np.uint8) \
+            # zip over raw column arrays, not iterrows — see
+            # sample_frames on why; values unchanged
+            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
+                s = np.frombuffer(bytes(rb), dtype=np.uint8) \
                     .astype(np.int64)
                 for w in range(max((len(s) + window - 1) // window, 1)):
                     chunk = s[w * window:(w + 1) * window]
                     n = int(chunk.size)
                     ss = int((chunk * chunk).sum()) if n else 0
-                    out["id"].append(row[id_col])
+                    out["id"].append(rid)
                     out["win"].append(w)
                     out["n_samples"].append(n)
                     out["rms"].append(
@@ -299,8 +305,10 @@ def ahash32(df: DataFrame, id_col: str = "id",
         import numpy as np
         for pdf in batches:
             out = {"id": [], "ahash": []}
-            for _, row in pdf.iterrows():
-                b = np.frombuffer(bytes(row[blob_col]), dtype=np.uint8) \
+            # zip over raw column arrays, not iterrows — see
+            # sample_frames on why; values unchanged
+            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
+                b = np.frombuffer(bytes(rb), dtype=np.uint8) \
                     .astype(np.int64)
                 length = int(b.size)
                 h = 0
@@ -314,7 +322,7 @@ def ahash32(df: DataFrame, id_col: str = "id",
                     for i in range(n_blocks):
                         if int(sums[i]) * length > tot * int(lens[i]):
                             h |= 1 << i
-                out["id"].append(row[id_col])
+                out["id"].append(rid)
                 out["ahash"].append(h)
             yield pd.DataFrame(out)
 
@@ -346,8 +354,10 @@ def ahash64(df: DataFrame, id_col: str = "id",
         import numpy as np
         for pdf in batches:
             out = {"id": [], "ahash_lo": [], "ahash_hi": []}
-            for _, row in pdf.iterrows():
-                b = np.frombuffer(bytes(row[blob_col]), dtype=np.uint8) \
+            # zip over raw column arrays, not iterrows — see
+            # sample_frames on why; values unchanged
+            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
+                b = np.frombuffer(bytes(rb), dtype=np.uint8) \
                     .astype(np.int64)
                 length = int(b.size)
                 h = 0
@@ -361,7 +371,7 @@ def ahash64(df: DataFrame, id_col: str = "id",
                     for i in range(n_blocks):
                         if int(sums[i]) * length > tot * int(lens[i]):
                             h |= 1 << i
-                out["id"].append(row[id_col])
+                out["id"].append(rid)
                 out["ahash_lo"].append(h & 0xFFFFFFFF)
                 out["ahash_hi"].append(h >> 32)
             yield pd.DataFrame(out)
@@ -434,9 +444,11 @@ def resize_blob(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
             out = {"id": [], "in_len": [], "resized": [],
                    "out_sum": [], "head0": [], "head1": [],
                    "head2": [], "head3": []}
-            for _, row in pdf.iterrows():
-                length, cells = bmc(np, bytes(row[blob_col]), out_len)
-                out["id"].append(row[id_col])
+            # zip over raw column arrays, not iterrows — see
+            # sample_frames on why; values unchanged
+            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
+                length, cells = bmc(np, bytes(rb), out_len)
+                out["id"].append(rid)
                 out["in_len"].append(length)
                 out["resized"].append(bytes(cells.astype(np.uint8)))
                 # integer invariants emitted alongside the blob: the
@@ -475,9 +487,11 @@ def thumb_vector(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
         import numpy as np
         for pdf in batches:
             out = {"id": [], "cells": []}
-            for _, row in pdf.iterrows():
-                _, cells = bmc(np, bytes(row[blob_col]), out_len)
-                out["id"].append(row[id_col])
+            # zip over raw column arrays, not iterrows — see
+            # sample_frames on why; values unchanged
+            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
+                _, cells = bmc(np, bytes(rb), out_len)
+                out["id"].append(rid)
                 out["cells"].append([int(c) for c in cells])
             yield pd.DataFrame(out)
 
