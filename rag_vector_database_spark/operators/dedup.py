@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions.text import distinct_tokens, tokens
-from .scan import estimated_scan_partitions
+from .scan import estimated_scan_partitions, widen_narrow_scan
 
 
 # Persisted shingle tables from minhash_lsh_pairs, newest last. Each new
@@ -690,15 +690,35 @@ def contamination_overlap_dict(corpus: DataFrame, dictionary: DataFrame,
                                shingle_n: int = 3) -> DataFrame:
     """contamination_overlap against a PREBUILT broadcast n-gram
     dictionary (a 1-column ``__g`` DataFrame) — the probe half of the
-    kernel, shared by the one-shot screen and the delta screen."""
+    kernel, shared by the one-shot screen and the delta screen.
+
+    The corpus probe (tokenize + n-gram shingle + explode) is heavy
+    per-row work layered directly on the scan, so it goes through the
+    narrow-scan widen gate: a one-split local corpus otherwise runs
+    the whole probe in ONE task (measured 9.7 s serial vs ~1 s wide at
+    sf0.1 — it was the single largest stage of the export flagship);
+    at 100 TB the scan is already wider than the cluster and the gate
+    is a no-op. Counts are integers, so partitioning cannot perturb
+    any value."""
     tok = F.col("__toks")
-    c = (corpus
+    # explode_OUTER, deliberately: plain explode makes
+    # InferFiltersFromGenerate add a `size(__sh) > 0 AND
+    # isnotnull(__sh)` filter, and predicate pushdown substitutes the
+    # WHOLE tokenize+shingle expression into that filter at the scan
+    # (below the widen exchange, i.e. single-task on a one-split
+    # corpus) — the probe then computes every shingle array twice,
+    # once serially. With outer no filter is inferred; the only extra
+    # rows are (key, 0, NULL) for shingle-less docs, and the INNER
+    # dictionary join drops exactly those, so results are identical.
+    # Measured at sf0.1: 9.6 s -> 0.6 s for the probe (this was the
+    # largest single stage of the export flagship).
+    c = (widen_narrow_scan(corpus)
          .withColumn("__toks", tokens(F.col(text_col)))
          .select(F.col(key_col),
                  shingles_from_tokens(tok, shingle_n).alias("__sh"))
          .withColumn("n_shingles", F.size("__sh").cast("long"))
          .select(key_col, "n_shingles",
-                 F.explode("__sh").alias("__g")))
+                 F.explode_outer("__sh").alias("__g")))
     return (c.join(F.broadcast(dictionary), "__g")
             .groupBy(key_col, "n_shingles")
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
