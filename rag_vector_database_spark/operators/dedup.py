@@ -223,6 +223,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # finished. Measured wall was equal anyway (100x interleaved
     # A/B: SMJ-within-noise; the cost is the shingle-table shuffle
     # WRITE, not the sort).
+    return _verify_pairs(cand, sh, jaccard_threshold)
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame,
+                  jaccard_threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a < id_b) pairs
+    against a shingle table ``sh`` (k, sh) with ONE join of the wide
+    table — the explode-two-probe-rows / grouped-max reunification
+    shape documented at minhash_lsh_pairs' call site. Shared by the
+    one-shot and delta detectors so both pay the shingle-table
+    shuffle once instead of twice."""
     probes = cand.select(
         "id_a", "id_b",
         F.explode(F.array(
@@ -352,12 +363,10 @@ def minhash_delta_pairs(df: DataFrame, new_pred: Column,
             .select(F.least("n.k", "a.k").alias("id_a"),
                     F.greatest("n.k", "a.k").alias("id_b"))
             .distinct())
-    sa = sh.select(F.col("k").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("k").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (cand.join(sa, "id_a").join(sb, "id_b")
-            .select("id_a", "id_b",
-                    jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-            .where(F.col("jaccard") >= F.lit(jaccard_threshold)))
+    # verification: ONE shuffle of the wide shingle table via the
+    # shared probe/grouped-max shape (was a join-twice: two shingle
+    # shuffles — the dominant verification cost; see _verify_pairs)
+    return _verify_pairs(cand, sh, jaccard_threshold)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

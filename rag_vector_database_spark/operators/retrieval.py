@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..functions import text as T
+from ..functions.scanwidth import widen_narrow_scan
 
 # Reference defaults (BASELINE.md)
 DEFAULT_K_CANDIDATES = 50       # Auto_query_rag_database.py:64
@@ -324,9 +325,18 @@ def bm25_topk(docs: DataFrame, query_text: str, k: int,
     of query terms. Final top-k is TakeOrderedAndProject."""
     q_terms = sorted(set(query_text.split()))
     toks = T.tokens(F.col(text_col))
-    base = docs.select(F.col(id_col), toks.alias("__toks")) \
-               .withColumn("dl", F.size("__toks").cast("double"))
-    tf = (base.select(id_col, "dl", F.explode("__toks").alias("term"))
+    # widen gate: the tokenize + explode + map-side tf aggregation all
+    # run inside the scan stage, so a one-split local corpus would
+    # execute them in ONE task (no-op on wide scans at 100 TB).
+    base = widen_narrow_scan(docs.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col), toks.alias("__toks")) \
+        .withColumn("dl", F.size("__toks").cast("double"))
+    # explode_OUTER: plain explode lets InferFiltersFromGenerate push a
+    # size(__toks) > 0 filter down to the scan, re-evaluating the
+    # tokenizer there (see contamination_overlap_dict). The only extra
+    # rows are (id, dl, NULL), and NULL never satisfies the isin()
+    # term filter below — results identical.
+    tf = (base.select(id_col, "dl", F.explode_outer("__toks").alias("term"))
           .groupBy(id_col, "dl", "term")
           .agg(F.count(F.lit(1)).cast("double").alias("tf"))
           .where(F.col("term").isin(q_terms)))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing
 from ..functions import text as text_fns
+from ..functions.scanwidth import widen_narrow_scan
 from ..operators import retrieval
 
 # ---------------------------------------------------------------------------
@@ -7183,6 +7184,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import lang_guess
 
     d = _t(spark, sf_dir, "documents")
+    # NOT widened through the narrow-scan gate: interleaved A/B at
+    # sf0.1 measured the round-robin exchange + extra stage costing
+    # MORE than the serial feature block it parallelizes (plain 1.15 s
+    # vs widened 1.29 s min-of-4, both orders) — the same verdict the
+    # kmeans persist note records for cheap-per-pass kernels
     f = d.select(
         "doc_id",
         F.size(text_fns.tokens(F.col("text"))).cast("int").alias("n_words"),

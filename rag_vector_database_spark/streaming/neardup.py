@@ -178,10 +178,7 @@ def final_pairs(spark: SparkSession, index_path: str, cand_path: str, *,
              .select("id_a", "id_b").distinct())
     sh = (spark.read.parquet(f"{index_path}/sh")
           .dropDuplicates(["k"]))
-    sa = sh.select(F.col("k").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("k").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (pairs.join(sa, "id_a").join(sb, "id_b")
-            .select("id_a", "id_b",
-                    dedup.jaccard(F.col("sh_a"), F.col("sh_b"))
-                    .alias("jaccard"))
-            .where(F.col("jaccard") >= F.lit(jaccard_threshold)))
+    # ONE shuffle of the wide stored shingle table (shared
+    # probe/grouped-max verification shape — see dedup._verify_pairs)
+    # instead of the join-twice's two
+    return dedup._verify_pairs(pairs, sh, jaccard_threshold)
