@@ -48,13 +48,24 @@ def minhash_params(n_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def minhash_sig(base_hashes: Column, n_hashes: int) -> Column:
+def minhash_sig(base_hashes: Column | str, n_hashes: int) -> Column:
     """MinHash signature (array<long>) over precomputed 32-bit base
     hashes of the shingles (``md5_long`` each shingle ONCE upstream —
     and materialize that column, or projection collapse re-inlines the
     md5 into all n_hashes lambdas). Per-row higher-order functions only
-    — no explode, no shuffle."""
+    — no explode, no shuffle.
+
+    Pass the COLUMN NAME to build the whole signature as one SQL
+    string (one py4j round trip instead of ~8 per permutation — the
+    expression tree is identical; the int coefficients and the >2^31
+    prime parse to the same literal types the Column API produced)."""
     av, bv = minhash_params(n_hashes)
+    if isinstance(base_hashes, str):
+        perms = ",".join(
+            f"array_min(transform(`{base_hashes}`, "
+            f"x -> ({av[k]} * x + {bv[k]}) % {MINHASH_P}))"
+            for k in range(n_hashes))
+        return F.expr(f"array({perms})")
 
     def perm(a: int, b: int):
         return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
@@ -65,9 +76,19 @@ def minhash_sig(base_hashes: Column, n_hashes: int) -> Column:
     ])
 
 
-def band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+def band_keys(sig: Column | str, n_bands: int,
+              rows_per_band: int) -> Column:
     """LSH band keys: md5 of each band's concatenated signature slice.
-    Docs sharing any band key become candidate near-dup pairs."""
+    Docs sharing any band key become candidate near-dup pairs.
+    Pass the signature COLUMN NAME for one-round-trip SQL construction
+    (see minhash_sig)."""
+    if isinstance(sig, str):
+        bands = ",".join(
+            "md5(concat_ws('|', " + ", ".join(
+                f"cast(element_at(`{sig}`, {b * rows_per_band + r + 1})"
+                " as string)" for r in range(rows_per_band)) + "))"
+            for b in range(n_bands))
+        return F.expr(f"array({bands})")
     return F.array(*[
         F.md5(F.concat_ws(
             "|", *[F.element_at(sig, b * rows_per_band + r + 1).cast("string")

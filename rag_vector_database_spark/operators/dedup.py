@@ -182,10 +182,10 @@ def _minhash_shingle_bands(df: DataFrame, text_col: str, key_col: str,
     # a multiply-referenced non-cheap alias in its own Project, so the
     # signature computes ONCE per row. Interleaved A/B at sf0.1:
     # band-table pass 0.47-0.54 s -> 0.28-0.32 s, bands identical.
-    sig = H.minhash_sig(F.col("hv"), n_hashes)
+    sig = H.minhash_sig("hv", n_hashes)
     bands = (sh.select("k", sig.alias("__sig"))
              .select("k", F.posexplode(
-                 H.band_keys(F.col("__sig"), n_bands, rows_per_band))
+                 H.band_keys("__sig", n_bands, rows_per_band))
                  .alias("band", "bk")))
     return sh, bands
 
