@@ -383,7 +383,15 @@ def test_lm_quality_plans_broadcast_model(spark):
 
     gq = registry.q_gopher_quality_flags(spark, sf)
     gplan = gq._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in gplan and "Join" not in gplan
+    # r14: the narrow-scan widen gate may add ONE round-robin exchange
+    # on a one-split local corpus (measured 0.78 s -> 0.36 s; no-op on
+    # wide scans) — but the rule block itself must stay join-free and
+    # never hash-shuffle by a key
+    assert "Join" not in gplan
+    assert "hashpartitioning" not in gplan
+    for line in gplan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
 
 
 def test_bpe_and_dsir_plans_broadcast(spark):
