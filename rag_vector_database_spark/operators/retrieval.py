@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..functions import text as T
-from ..functions.scanwidth import widen_narrow_scan
 
 # Reference defaults (BASELINE.md)
 DEFAULT_K_CANDIDATES = 50       # Auto_query_rag_database.py:64
@@ -325,10 +324,17 @@ def bm25_topk(docs: DataFrame, query_text: str, k: int,
     of query terms. Final top-k is TakeOrderedAndProject."""
     q_terms = sorted(set(query_text.split()))
     toks = T.tokens(F.col(text_col))
-    # widen gate: the tokenize + explode + map-side tf aggregation all
-    # run inside the scan stage, so a one-split local corpus would
-    # execute them in ONE task (no-op on wide scans at 100 TB).
-    base = widen_narrow_scan(docs.select(F.col(id_col), F.col(text_col))) \
+    # NO widen gate, on measurement (r15): an isolated interleaved A/B
+    # (explode_outer held constant, 8 samples/leg, both orders) put the
+    # widened build at min 1.364 / med 1.817 s vs plain min 1.060 /
+    # med 1.357 s at sf0.1 local[32] — the round-robin exchange costs
+    # more than the tokenize parallelism buys because the per-pass
+    # kernel here (split + count) is cheap, the same negative result
+    # the curation_pipeline widen A/B measured. The driver's r14 bench
+    # saw the same (+25% vs r13). At 100 TB the scan is already wide,
+    # so the gate would be a no-op there anyway — removing it loses
+    # nothing at scale.
+    base = docs.select(F.col(id_col), F.col(text_col)) \
         .select(F.col(id_col), toks.alias("__toks")) \
         .withColumn("dl", F.size("__toks").cast("double"))
     # explode_OUTER: plain explode lets InferFiltersFromGenerate push a

@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing
 from ..functions import text as text_fns
-from ..functions.scanwidth import widen_narrow_scan
 from ..operators import retrieval
 
 # ---------------------------------------------------------------------------
