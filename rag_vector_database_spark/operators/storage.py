@@ -186,7 +186,7 @@ def _isolated_session(spark):
     this module's own overrides on top.
 
     The session is CACHED per (SparkContext, thread) — applicationId
-    keying mirrors registry._TRI_CACHE, the thread component makes
+    keying ties the entry to a live context, the thread component makes
     concurrent callers race-free by construction (each thread owns
     its session's conf; see _ISOLATED comment) — and re-synced on
     every acquisition: (a) this module's own overrides and any conf

@@ -78,31 +78,31 @@ def test_minhash_cache_released_between_calls(spark):
     assert not dedup._PERSISTED
 
 
-def test_trajectory_trigram_cache_evicts_at_cap(spark):
-    """_TRI_CACHE holds at most _TRI_CACHE_CAP persisted trigram
-    tables: inserting beyond the cap unpersists + drops the oldest
-    entry, so a long-lived session cycling sf_dirs never accumulates
-    persisted copies (VERDICT r03 #6)."""
+def test_trajectory_trigram_persist_released_on_next_call(spark):
+    """trajectory_knn's trigram persist is WITHIN-invocation only
+    (r15, VERDICT r14 #2): _tri_track releases the previous call's
+    frame before tracking the new one, so a later bench rep can never
+    be served an earlier rep's materialization, and a long-lived
+    session holds at most ONE persisted trigram frame."""
     from rag_vector_database_spark.plans import registry
 
-    registry._TRI_CACHE.clear()
-    app = spark.sparkContext.applicationId
+    registry._TRI_PERSISTED.clear()
     dfs = []
-    for i in range(registry._TRI_CACHE_CAP + 1):
+    for i in range(3):
         # distinct plan per entry: identical plans share one cache
         # slot, so unpersisting one would clear them all
         df = spark.range(5 + i).persist()
         df.count()
         dfs.append(df)
-        registry._tri_cache_put((app, f"/tmp/sf_fake_{i}"), df)
-    assert len(registry._TRI_CACHE) == registry._TRI_CACHE_CAP
-    # oldest entry evicted AND unpersisted; newest still cached
-    assert (app, "/tmp/sf_fake_0") not in registry._TRI_CACHE
+        assert registry._tri_track(df) is df
+        assert registry._TRI_PERSISTED == [df]
+    # every previous frame was unpersisted on the next call
     assert dfs[0].storageLevel.useMemory is False
+    assert dfs[1].storageLevel.useMemory is False
     assert dfs[-1].storageLevel.useMemory is True
     for df in dfs:
         df.unpersist()
-    registry._TRI_CACHE.clear()
+    registry._TRI_PERSISTED.clear()
 
 
 def test_bucketed_join_colocated_has_no_exchange(spark):
