@@ -31,6 +31,14 @@ def md5_long(c: Column, hex_chars: int = 8) -> Column:
     return F.conv(F.substring(F.md5(c), 1, hex_chars), 16, 10).cast("long")
 
 
+def md5_long_sql(src: str, hex_chars: int = 8) -> str:
+    """``md5_long`` as a SQL fragment over an arbitrary source
+    expression — for the one-parse F.expr construction path (same
+    expression tree: conv/substring/md5/cast)."""
+    return (f"CAST(conv(substring(md5({src}), 1, {int(hex_chars)}),"
+            f" 16, 10) AS BIGINT)")
+
+
 # Universal-hash family for MinHash: h_k(x) = (a_k*x + b_k) mod P over a
 # 32-bit base hash. P is the smallest prime > 2^32; a < 2^31 keeps a*x
 # inside a signed 64-bit long in both engines. One md5 per shingle
@@ -61,8 +69,10 @@ def minhash_sig(base_hashes: Column | str, n_hashes: int) -> Column:
     prime parse to the same literal types the Column API produced)."""
     av, bv = minhash_params(n_hashes)
     if isinstance(base_hashes, str):
+        from .text import quote_ident
+        col = quote_ident(base_hashes)
         perms = ",".join(
-            f"array_min(transform(`{base_hashes}`, "
+            f"array_min(transform({col}, "
             f"x -> ({av[k]} * x + {bv[k]}) % {MINHASH_P}))"
             for k in range(n_hashes))
         return F.expr(f"array({perms})")
@@ -83,9 +93,11 @@ def band_keys(sig: Column | str, n_bands: int,
     Pass the signature COLUMN NAME for one-round-trip SQL construction
     (see minhash_sig)."""
     if isinstance(sig, str):
+        from .text import quote_ident
+        col = quote_ident(sig)
         bands = ",".join(
             "md5(concat_ws('|', " + ", ".join(
-                f"cast(element_at(`{sig}`, {b * rows_per_band + r + 1})"
+                f"cast(element_at({col}, {b * rows_per_band + r + 1})"
                 " as string)" for r in range(rows_per_band)) + "))"
             for b in range(n_bands))
         return F.expr(f"array({bands})")

@@ -28,6 +28,56 @@ def tokens(c: Column | str) -> Column:
             .otherwise(F.split(t, TOKEN_SPLIT_RE))
 
 
+def quote_ident(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into generated
+    SQL, escaping embedded backticks (a column named a`b must not
+    break or inject into the string)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_str_lit(s: str) -> str:
+    """A SQL string literal for ``s``, safe against embedded quotes.
+    Backslash-free inputs only (see sql_regex for patterns): this
+    helper does not escape backslashes, so a backslash would be
+    parser-conf-dependent."""
+    if "\\" in s:
+        raise ValueError("use sql_regex for backslash-carrying strings")
+    return "'" + s.replace("'", "''") + "'"
+
+
+def sql_regex(pattern: str) -> str:
+    """A SQL expression that evaluates to ``pattern`` under EITHER
+    setting of ``spark.sql.parser.escapedStringLiterals``: backslashes
+    are produced by chr(92) and concat (constant-folded to a single
+    literal during optimization, so the split/regexp operators still
+    see a foldable pattern), and the parser never sees an escape
+    sequence whose meaning depends on the legacy conf."""
+    if "\\" not in pattern:
+        return sql_str_lit(pattern)
+    parts: list[str] = []
+    segs = pattern.split("\\")
+    if segs[0]:
+        parts.append(sql_str_lit(segs[0]))
+    for seg in segs[1:]:
+        parts.append("chr(92)")
+        if seg:
+            parts.append(sql_str_lit(seg))
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def tokens_sql(src: str) -> str:
+    """``tokens()`` as a SQL fragment over an arbitrary source
+    expression — THE single source of truth for SQL-string tokenizer
+    construction (textstats' gopher rules and the dedup shingle chain
+    both build from here; tests/test_parity pins it row-identical to
+    the Column-API ``tokens`` on adversarial corpora under both
+    escapedStringLiterals settings). One F.expr parse of the returned
+    string costs one py4j round trip; the Column-API build costs ~10."""
+    return (f"CASE WHEN trim({src}) = '' THEN "
+            f"CAST(array() AS ARRAY<STRING>) "
+            f"ELSE split(trim({src}), {sql_regex(TOKEN_SPLIT_RE)}, -1) END")
+
+
 def distinct_tokens(c: Column | str) -> Column:
     return F.array_distinct(tokens(c))
 

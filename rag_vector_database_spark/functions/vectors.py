@@ -70,11 +70,22 @@ def query_vec_lit(vec) -> Column:
     Built as one SQL string (one py4j round trip; Python repr
     round-trips the exact IEEE754 double and Spark's <digits>D lexer
     parses it correctly-rounded) instead of a per-element F.lit loop —
-    same array<double> literal, ~dim x fewer JVM calls."""
+    same array<double> literal, ~dim x fewer JVM calls. Non-finite
+    components (no <digits>D spelling) use CAST('...' AS DOUBLE), so a
+    vector containing inf/NaN still parses to the same doubles the old
+    F.lit loop produced (r14 advisor)."""
     if not len(vec):
         return F.array(*[])
-    return F.expr("array(" + ",".join(repr(float(x)) + "D"
-                                      for x in vec) + ")")
+
+    def num(x: float) -> str:
+        x = float(x)
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x in (float("inf"), float("-inf")):
+            return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+        return repr(x) + "D"
+
+    return F.expr("array(" + ",".join(num(x) for x in vec) + ")")
 
 
 def quantize_int8(a: Column | str) -> Column:

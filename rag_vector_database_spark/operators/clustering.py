@@ -43,8 +43,18 @@ def _sql_num(x: float) -> str:
     """Exact Spark SQL double literal: Python repr is the shortest
     string that round-trips the IEEE754 value, and Spark's lexer
     parses <digits>D with the same correctly-rounded semantics, so the
-    JVM sees bit-identical doubles to F.lit(float(x))."""
-    return repr(float(x)) + "D"
+    JVM sees bit-identical doubles to F.lit(float(x)). Non-finite
+    values have no <digits>D form ('infD' is a parse error — r14
+    advisor); emit the CAST('...' AS DOUBLE) spelling both engines
+    accept, matching F.lit(float('inf'))'s value."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def _vec_sql(vec_col) -> str | None:

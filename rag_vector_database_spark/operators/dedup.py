@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
-from ..functions.text import distinct_tokens, tokens
+from ..functions.text import distinct_tokens, quote_ident, sql_regex, \
+    tokens, tokens_sql
 from .scan import estimated_scan_partitions, widen_narrow_scan
 
 
@@ -94,6 +95,14 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
+def fingerprint_sql(src: str) -> str:
+    """``fingerprint`` as a SQL fragment (one-parse construction path;
+    same md5/trim/regexp_replace/lower tree — the regex literal is
+    built conf-independently, see sql_regex)."""
+    return (f"md5(trim(regexp_replace(lower({src}),"
+            f" {sql_regex(chr(92) + 's+')}, ' ')))")
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      key_col: str = "doc_id") -> DataFrame:
     """Map every row to its duplicate group: (key, fingerprint,
@@ -102,15 +111,17 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
     Plan shape: window aggregates over partitionBy(fingerprint) — ONE
     shuffle on the 32-byte key and no join back (the groupBy+re-join
-    formulation shuffles twice; measured 2x slower)."""
-    from pyspark.sql import Window
-    fp = df.select(F.col(key_col),
-                   fingerprint(F.col(text_col)).alias("fingerprint"))
-    w = Window.partitionBy("fingerprint")
-    return fp.select(
-        key_col, "fingerprint",
-        F.min(key_col).over(w).alias("canonical_id"),
-        F.count(F.lit(1)).over(w).cast("long").alias("group_size"))
+    formulation shuffles twice; measured 2x slower). Constructed as
+    two selectExpr parses (r15): the window functions ride the same
+    OVER clause, expression trees identical to the Column-API build."""
+    k = quote_ident(key_col)
+    return (df.selectExpr(
+        f"{k}", f"{fingerprint_sql(quote_ident(text_col))} AS fingerprint")
+        .selectExpr(
+            k, "fingerprint",
+            f"min({k}) OVER (PARTITION BY fingerprint) AS canonical_id",
+            "CAST(count(1) OVER (PARTITION BY fingerprint) AS BIGINT)"
+            " AS group_size"))
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
@@ -136,6 +147,17 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), n)
 
 
+def shingles_sql(src: str, n: int = 3) -> str:
+    """``shingles_from_tokens`` as a SQL fragment over a token-array
+    source expression (one-parse construction path; same
+    CASE/array_distinct/transform/sequence/slice/array_join tree —
+    tests pin it row-identical to the Column build)."""
+    return (f"CASE WHEN size({src}) >= {int(n)} THEN array_distinct("
+            f"transform(sequence(1, size({src}) - {int(n) - 1}), "
+            f"i -> array_join(slice({src}, i, {int(n)}), ' '))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END")
+
+
 def jaccard(a: Column, b: Column, ndigits: int = 6) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     union = F.size(F.array_union(a, b))
@@ -143,6 +165,14 @@ def jaccard(a: Column, b: Column, ndigits: int = 6) -> Column:
         F.when(union > 0,
                F.size(F.array_intersect(a, b)).cast("double") / union.cast("double"))
         .otherwise(F.lit(0.0)), ndigits)
+
+
+def jaccard_sql(a: str, b: str, ndigits: int = 6) -> str:
+    """``jaccard`` as a SQL fragment (one-parse construction path)."""
+    u = f"size(array_union({a}, {b}))"
+    return (f"round(CASE WHEN {u} > 0 THEN "
+            f"CAST(size(array_intersect({a}, {b})) AS DOUBLE)"
+            f" / CAST({u} AS DOUBLE) ELSE 0.0D END, {int(ndigits)})")
 
 
 def _minhash_shingle_bands(df: DataFrame, text_col: str, key_col: str,
@@ -168,13 +198,16 @@ def _minhash_shingle_bands(df: DataFrame, text_col: str, key_col: str,
     same materialization move MLlib's LSH models make."""
     rows_per_band = n_hashes // n_bands
     par = df.sparkSession.sparkContext.defaultParallelism
-    tk = df.select(F.col(key_col).alias("k"),
-                   tokens(F.col(text_col)).alias("tk"))
+    # the whole tokenize -> shingle -> base-hash front half is three
+    # selectExpr parses (r15 one-parse construction; trees identical
+    # to the Column-API build, pinned by tests/test_parity)
+    tk = df.selectExpr(f"{quote_ident(key_col)} AS k",
+                       f"{tokens_sql(quote_ident(text_col))} AS tk")
     if _estimated_scan_partitions(df) < par:
         tk = tk.repartition(par)
-    sh = tk.select("k", shingles_from_tokens(F.col("tk"), shingle_n).alias("sh"))
-    sh = _persist_tracked(
-        sh.withColumn("hv", F.transform(F.col("sh"), lambda t: H.md5_long(t))))
+    sh = tk.selectExpr("k", f"{shingles_sql('`tk`', shingle_n)} AS sh")
+    sh = _persist_tracked(sh.selectExpr(
+        "k", "sh", f"transform(sh, t -> {H.md5_long_sql('t')}) AS hv"))
     # Materialize the signature as its own projection before banding:
     # band_keys references the sig expression rows_per_band times per
     # band, and with the expression inlined those references re-run
@@ -241,19 +274,25 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame,
     table — the explode-two-probe-rows / grouped-max reunification
     shape documented at minhash_lsh_pairs' call site. Shared by the
     one-shot and delta detectors so both pay the shingle-table
-    shuffle once instead of twice."""
-    probes = cand.select(
+    shuffle once instead of twice.
+
+    PRECONDITION: ``sh`` must have UNIQUE keys ``k``. With duplicate
+    keys the grouped max collapses them to one arbitrary-by-ordering
+    shingle array, where the old join-twice shape emitted one row per
+    combination — both in-repo callers satisfy this (the one-shot /
+    streaming tables are built one-row-per-doc; minhash_delta_pairs
+    passes a per-doc shingle table)."""
+    probes = cand.selectExpr(
         "id_a", "id_b",
-        F.explode(F.array(
-            F.struct(F.col("id_a").alias("k"), F.lit(0).alias("side")),
-            F.struct(F.col("id_b").alias("k"), F.lit(1).alias("side")),
-        )).alias("m")).select("id_a", "id_b", "m.k", "m.side")
+        "explode(array(struct(id_a AS k, 0 AS side), "
+        "struct(id_b AS k, 1 AS side))) AS m") \
+        .selectExpr("id_a", "id_b", "m.k", "m.side")
     return (probes.join(sh.select("k", "sh"), "k")
             .groupBy("id_a", "id_b")
-            .agg(F.max(F.when(F.col("side") == 0, F.col("sh"))).alias("sh_a"),
-                 F.max(F.when(F.col("side") == 1, F.col("sh"))).alias("sh_b"))
-            .select("id_a", "id_b",
-                    jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+            .agg(F.expr("max(CASE WHEN side = 0 THEN sh END) AS sh_a"),
+                 F.expr("max(CASE WHEN side = 1 THEN sh END) AS sh_b"))
+            .selectExpr("id_a", "id_b",
+                        f"{jaccard_sql('sh_a', 'sh_b')} AS jaccard")
             .where(F.col("jaccard") >= F.lit(jaccard_threshold)))
 
 
@@ -693,11 +732,10 @@ def benchmark_shingle_dict(benchmark: DataFrame, text_col: str = "text",
     so incremental screens can set-subtract dictionaries (probe only
     the n-grams a NEW eval release adds — see
     decontamination_delta_screen)."""
-    tok = F.col("__toks")
     return (benchmark
-            .withColumn("__toks", tokens(F.col(text_col)))
-            .select(F.explode(
-                shingles_from_tokens(tok, shingle_n)).alias("__g"))
+            .selectExpr("*", f"{tokens_sql(quote_ident(text_col))} AS __toks")
+            .selectExpr(f"explode({shingles_sql('`__toks`', shingle_n)})"
+                        " AS __g")
             .distinct())
 
 
@@ -717,7 +755,6 @@ def contamination_overlap_dict(corpus: DataFrame, dictionary: DataFrame,
     at 100 TB the scan is already wider than the cluster and the gate
     is a no-op. Counts are integers, so partitioning cannot perturb
     any value."""
-    tok = F.col("__toks")
     # explode_OUTER, deliberately: plain explode makes
     # InferFiltersFromGenerate add a `size(__sh) > 0 AND
     # isnotnull(__sh)` filter, and predicate pushdown substitutes the
@@ -729,16 +766,15 @@ def contamination_overlap_dict(corpus: DataFrame, dictionary: DataFrame,
     # dictionary join drops exactly those, so results are identical.
     # Measured at sf0.1: 9.6 s -> 0.6 s for the probe (this was the
     # largest single stage of the export flagship).
+    k = quote_ident(key_col)
     c = (widen_narrow_scan(corpus)
-         .withColumn("__toks", tokens(F.col(text_col)))
-         .select(F.col(key_col),
-                 shingles_from_tokens(tok, shingle_n).alias("__sh"))
-         .withColumn("n_shingles", F.size("__sh").cast("long"))
-         .select(key_col, "n_shingles",
-                 F.explode_outer("__sh").alias("__g")))
+         .selectExpr("*", f"{tokens_sql(quote_ident(text_col))} AS __toks")
+         .selectExpr(k, f"{shingles_sql('`__toks`', shingle_n)} AS __sh")
+         .selectExpr(k, "CAST(size(__sh) AS BIGINT) AS n_shingles",
+                     "explode_outer(__sh) AS __g"))
     return (c.join(F.broadcast(dictionary), "__g")
             .groupBy(key_col, "n_shingles")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .agg(F.expr("CAST(count(1) AS BIGINT) AS n_shared"))
             .withColumn("overlap_frac",
                         F.round(F.col("n_shared") / F.col("n_shingles"), 6)))
 

@@ -383,32 +383,33 @@ def gopher_quality_flags(docs: DataFrame, min_words: int = 50,
     expression-construction notes). Verified row- and
     schema-identical against the Column-API build, including
     empty/whitespace-only/symbol-edge documents."""
+    from ..functions.text import quote_ident, sql_regex, sql_str_lit, \
+        tokens_sql
+
     docs = widen_narrow_scan(docs)
-    T = f"`{text_col}`"
+    T = quote_ident(text_col)
 
-    def _toks(src: str) -> str:
-        # functions.text.tokens as SQL: empty input -> empty array,
-        # else split on \s+ (the SQL literal '\\s+' unescapes to \s+)
-        return (f"CASE WHEN trim({src}) = '' THEN "
-                f"CAST(array() AS ARRAY<STRING>) "
-                f"ELSE split(trim({src}), '\\\\s+', -1) END")
-
-    TOKS = _toks(T)
-    LTOKS = _toks(f"lower({T})")
+    # the SQL tokenizer: ONE definition in functions.text.tokens_sql
+    # (shared with the dedup shingle chain; tests pin it row-identical
+    # to the Column-API tokens under both escapedStringLiterals
+    # settings — r15, replaces the local copy and the conf-dependent
+    # '\\s+' literal)
+    TOKS = tokens_sql(T)
+    LTOKS = tokens_sql(f"lower({T})")
     n_words = f"size({TOKS})"
     sum_len = f"aggregate({TOKS}, 0, (acc, t) -> acc + length(t))"
     mean_len = (f"CASE WHEN {n_words} > 0 THEN CAST({sum_len} AS DOUBLE)"
                 f" / {n_words} ELSE 0.0D END")
     n_hash = f"(length({T}) - length(regexp_replace({T}, '#', '')))"
     n_ell = (f"((length({T}) - length(regexp_replace({T},"
-             f" '\\\\.\\\\.\\\\.', ''))) / 3)")
+             " " + sql_regex(r"\.\.\.") + ", ''))) / 3)")
     symbol_ratio = (f"CASE WHEN {n_words} > 0 THEN "
                     f"CAST(({n_hash} + {n_ell}) AS DOUBLE) / {n_words} "
                     f"ELSE 0.0D END")
     n_alpha = f"size(filter({TOKS}, t -> t rlike '[A-Za-z]'))"
     alpha_frac = (f"CASE WHEN {n_words} > 0 THEN CAST({n_alpha} AS "
                   f"DOUBLE) / {n_words} ELSE 0.0D END")
-    stops = ",".join("'%s'" % w for w in STOPWORDS["en"])
+    stops = ",".join(sql_str_lit(w) for w in STOPWORDS["en"])
     n_stop = (f"size(array_intersect(array_distinct({LTOKS}), "
               f"array({stops})))")
     f_words = (f"CAST({n_words} >= {int(min_words)} AND "

@@ -1,0 +1,257 @@
+"""Parity tests for the one-parse SQL-string construction paths.
+
+r14/r15 rebuilt the hot driver-side expression constructions (tokens,
+shingles, jaccard, fingerprint, minhash front half, pair verification,
+contamination probe, gopher rules) as SQL strings parsed by F.expr /
+selectExpr — one py4j round trip instead of dozens. These tests pin
+the SQL builds row-identical to the Column-API originals on
+adversarial corpora, and pin the regex-literal construction
+(functions.text.sql_regex) conf-independent under BOTH settings of
+``spark.sql.parser.escapedStringLiterals`` — the drift risks the r14
+judge and advisor flagged (two tokenizer sources; conf-dependent
+'\\s+' literals; quote/backtick injection).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vector_database_spark.functions import text as T
+from rag_vector_database_spark.operators import dedup
+
+# Adversarial rows: empty, whitespace-only, NULL, unicode spaces (in
+# Python's \s class but not Java's ASCII \s), literal backslash-s,
+# single quotes, backticks, ellipses/symbols, mixed-case stopwords,
+# repeated docs (duplicate fingerprints).
+ROWS = [
+    (0, ""),
+    (1, "   \t \n  "),
+    (2, None),
+    (3, "the quick brown fox and the lazy dog"),
+    (4, r"literal \s+ backslash \\ sequence"),
+    (5, "it's a 'quoted' word and a `backtick`"),
+    (6, "The And OF with ... #tags ### more..."),
+    (7, "one two three four five six seven eight nine ten"),
+    (8, "one two three four five six seven eight nine ten"),
+    (9, "short"),
+    (10, "a b a b a b a b"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()],
+                  key=lambda t: tuple((v is None, v) for v in t))
+
+
+def test_tokens_sql_matches_column_tokens(spark, docs):
+    """functions.text.tokens_sql is THE SQL tokenizer source of truth:
+    row-identical to the Column-API tokens under both
+    escapedStringLiterals settings (the legacy conf must not silently
+    change the \\s+ split regex)."""
+    col = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    expect = _rows(col)
+    for conf in ("false", "true"):
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", conf)
+        try:
+            got = _rows(docs.selectExpr(
+                "doc_id", f"{T.tokens_sql('`text`')} AS t"))
+        finally:
+            spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+        assert got == expect, f"escapedStringLiterals={conf}"
+
+
+def test_sql_regex_conf_independent(spark):
+    for conf in ("false", "true"):
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", conf)
+        try:
+            row = spark.range(1).selectExpr(
+                f"{T.sql_regex(chr(92) + 's+')} AS a",
+                f"{T.sql_regex(chr(92) + '.' + chr(92) + '.')} AS b",
+                f"{T.sql_regex('plain')} AS c",
+                f"{T.sql_regex(chr(92))} AS d").first()
+        finally:
+            spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+        assert row["a"] == "\\s+" and row["b"] == "\\.\\."
+        assert row["c"] == "plain" and row["d"] == "\\"
+
+
+def test_sql_str_lit_escapes_quotes(spark):
+    assert T.sql_str_lit("it's") == "'it''s'"
+    assert spark.range(1).selectExpr(
+        f"{T.sql_str_lit(chr(39) + 'x')} AS v").first()["v"] == "'x"
+    with pytest.raises(ValueError):
+        T.sql_str_lit("a\\b")
+
+
+def test_quote_ident_escapes_backticks(spark):
+    df = spark.range(3).withColumnRenamed("id", "we`ird")
+    assert T.quote_ident("we`ird") == "`we``ird`"
+    assert df.selectExpr(f"{T.quote_ident('we`ird')} AS v").count() == 3
+
+
+def test_shingles_sql_matches_column(spark, docs):
+    tk = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    for n in (2, 3):
+        col = tk.select(
+            "doc_id", dedup.shingles_from_tokens(F.col("tk"), n).alias("s"))
+        sql = tk.selectExpr(
+            "doc_id", f"{dedup.shingles_sql('`tk`', n)} AS s")
+        assert _rows(sql) == _rows(col)
+        assert sql.schema == col.schema
+
+
+def test_jaccard_and_fingerprint_sql_match_column(spark, docs):
+    tk = docs.select(
+        "doc_id",
+        dedup.shingles_from_tokens(T.tokens(F.col("text")), 2).alias("a"),
+        dedup.shingles_from_tokens(T.tokens(F.lower(F.col("text"))),
+                                   2).alias("b"))
+    col = tk.select("doc_id", dedup.jaccard(F.col("a"), F.col("b"))
+                    .alias("j"))
+    sql = tk.selectExpr("doc_id", f"{dedup.jaccard_sql('a', 'b')} AS j")
+    assert _rows(sql) == _rows(col)
+
+    fcol = docs.select("doc_id",
+                       dedup.fingerprint(F.col("text")).alias("fp"))
+    fsql = docs.selectExpr("doc_id",
+                           f"{dedup.fingerprint_sql('`text`')} AS fp")
+    assert _rows(fsql) == _rows(fcol)
+
+
+def test_exact_duplicates_matches_legacy_build(spark, docs):
+    """exact_duplicates' two-selectExpr build == the original
+    Column-API window build, row for row."""
+    from pyspark.sql import Window
+    got = dedup.exact_duplicates(docs)
+    fp = docs.select(F.col("doc_id"),
+                     dedup.fingerprint(F.col("text")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    legacy = fp.select(
+        "doc_id", "fingerprint",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"))
+    assert _rows(got) == _rows(legacy)
+    assert got.schema == legacy.schema
+
+
+def test_verify_pairs_matches_legacy_build(spark, docs):
+    sh = docs.select(
+        F.col("doc_id").alias("k"),
+        dedup.shingles_from_tokens(T.tokens(F.col("text")), 2).alias("sh"))
+    cand = spark.createDataFrame(
+        [(0, 1), (3, 7), (7, 8), (9, 10), (2, 5)],
+        "id_a long, id_b long")
+    got = dedup._verify_pairs(cand, sh, 0.1)
+    legacy = (cand.select(
+        "id_a", "id_b",
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("k"), F.lit(0).alias("side")),
+            F.struct(F.col("id_b").alias("k"), F.lit(1).alias("side")),
+        )).alias("m")).select("id_a", "id_b", "m.k", "m.side")
+        .join(sh.select("k", "sh"), "k")
+        .groupBy("id_a", "id_b")
+        .agg(F.max(F.when(F.col("side") == 0, F.col("sh"))).alias("sh_a"),
+             F.max(F.when(F.col("side") == 1, F.col("sh"))).alias("sh_b"))
+        .select("id_a", "id_b",
+                dedup.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(0.1)))
+    assert _rows(got) == _rows(legacy)
+    assert got.schema == legacy.schema
+
+
+def test_contamination_probe_matches_legacy_build(spark, docs):
+    bench = spark.createDataFrame(
+        [(100, "one two three four"), (101, "a b a b")],
+        "doc_id long, text string")
+    d = dedup.benchmark_shingle_dict(bench, shingle_n=2)
+    legacy_d = (bench
+                .withColumn("__toks", T.tokens(F.col("text")))
+                .select(F.explode(dedup.shingles_from_tokens(
+                    F.col("__toks"), 2)).alias("__g"))
+                .distinct())
+    assert _rows(d) == _rows(legacy_d)
+
+    got = dedup.contamination_overlap_dict(docs, d, shingle_n=2)
+    legacy = (docs
+              .withColumn("__toks", T.tokens(F.col("text")))
+              .select(F.col("doc_id"),
+                      dedup.shingles_from_tokens(F.col("__toks"), 2)
+                      .alias("__sh"))
+              .withColumn("n_shingles", F.size("__sh").cast("long"))
+              .select("doc_id", "n_shingles",
+                      F.explode_outer("__sh").alias("__g"))
+              .join(F.broadcast(legacy_d), "__g")
+              .groupBy("doc_id", "n_shingles")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+              .withColumn("overlap_frac",
+                          F.round(F.col("n_shared") / F.col("n_shingles"),
+                                  6)))
+    assert _rows(got) == _rows(legacy)
+    assert got.schema == legacy.schema
+
+
+def test_gopher_flags_identical_under_legacy_parser_conf(spark, docs):
+    """The generated gopher SQL must not change meaning under the
+    legacy escapedStringLiterals conf (regex literals are built via
+    sql_regex, never via escape sequences)."""
+    from rag_vector_database_spark.operators import textstats
+    base = _rows(textstats.gopher_quality_flags(docs.fillna("", ["text"])))
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        legacy_conf = _rows(
+            textstats.gopher_quality_flags(docs.fillna("", ["text"])))
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+    assert base == legacy_conf
+
+
+def test_vector_literals_accept_nonfinite(spark):
+    """query_vec_lit and clustering._sql_num must render inf/NaN as
+    parseable literals with the same values F.lit produced (r14
+    advisor: 'infD' was a parse error)."""
+    import math
+    from rag_vector_database_spark.functions.vectors import query_vec_lit
+    from rag_vector_database_spark.operators.clustering import _sql_num
+
+    vec = [1.5, float("inf"), float("-inf"), float("nan")]
+    got = spark.range(1).select(query_vec_lit(vec).alias("v")).first()["v"]
+    ref = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in vec]).alias("v")).first()["v"]
+    assert got[0] == ref[0] == 1.5
+    assert got[1] == ref[1] == float("inf")
+    assert got[2] == ref[2] == float("-inf")
+    assert math.isnan(got[3]) and math.isnan(ref[3])
+
+    row = spark.range(1).selectExpr(
+        f"{_sql_num(float('inf'))} AS a", f"{_sql_num(float('nan'))} AS b",
+        f"{_sql_num(-0.25)} AS c").first()
+    assert row["a"] == float("inf") and math.isnan(row["b"])
+    assert row["c"] == -0.25
+
+
+def test_minhash_front_half_matches_legacy_build(spark, docs):
+    from rag_vector_database_spark.functions import hashing as H
+    sh, bands = dedup._minhash_shingle_bands(
+        docs.fillna("", ["text"]), "text", "doc_id", 2, 12, 4)
+    tk = (docs.fillna("", ["text"])
+          .select(F.col("doc_id").alias("k"),
+                  T.tokens(F.col("text")).alias("tk")))
+    legacy_sh = (tk.select(
+        "k", dedup.shingles_from_tokens(F.col("tk"), 2).alias("sh"))
+        .withColumn("hv", F.transform(F.col("sh"),
+                                      lambda t: H.md5_long(t))))
+    assert _rows(sh) == _rows(legacy_sh)
+    assert sh.schema == legacy_sh.schema
+    legacy_sig = H.minhash_sig(F.col("hv"), 12)
+    legacy_bands = (legacy_sh.select("k", legacy_sig.alias("__sig"))
+                    .select("k", F.posexplode(
+                        H.band_keys(F.col("__sig"), 4, 3))
+                        .alias("band", "bk")))
+    assert _rows(bands) == _rows(legacy_bands)
+    dedup.release_caches()
