@@ -54,11 +54,18 @@ _TRI_PERSISTED: list = []
 
 
 def _tri_track(df):
+    """Release the previous invocation's frame, THEN persist the new
+    one — in that order: reps build byte-identical plans, so
+    persisting first would dedupe onto the still-cached previous entry
+    and the following unpersist would drop the shared entry, leaving
+    the new rep silently uncached (every consumer re-running the
+    lead-window pass)."""
     while _TRI_PERSISTED:
         try:
             _TRI_PERSISTED.pop().unpersist(blocking=False)
         except Exception:
             pass
+    df = df.persist()
     _TRI_PERSISTED.append(df)
     return df
 
@@ -9619,12 +9626,17 @@ def q_trajectory_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"), F.lit(">"),
         F.lead("event_type", 1).over(w), F.lit(">"),
         F.lead("event_type", 2).over(w)).alias("tg"))
-        .where(F.col("tg").isNotNull()).distinct().persist())
-    qid = tri.agg(F.min("user_id")).first()[0]
-    qtri = tri.where(F.col("user_id") == qid).select("tg")
+        .where(F.col("tg").isNotNull()).distinct())
     sizes = tri.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
-    qn = sizes.where(F.col("user_id") == qid).first()["n"]
+    # ONE scalar action instead of two (r15): the query user is the
+    # MIN user_id in tri, and sizes carries every user_id in tri, so
+    # the first row of sizes ordered by user_id is exactly
+    # (qid, qn) — same values the separate min() + where(qid) probes
+    # returned, one pass over the persisted table instead of two.
+    row0 = sizes.orderBy("user_id").limit(1).first()
+    qid, qn = row0["user_id"], row0["n"]
+    qtri = tri.where(F.col("user_id") == qid).select("tg")
     inter = (tri.join(F.broadcast(qtri), "tg")
              .groupBy("user_id")
              .agg(F.count(F.lit(1)).cast("long").alias("i")))
