@@ -26,15 +26,44 @@ from ..operators import retrieval
 # ---------------------------------------------------------------------------
 # helpers
 
+# LAZY DataFrame handles for the immutable source tables, keyed by
+# (applicationId, sf_dir, name). This caches a PLAN, not data: no
+# block is materialized, every action still recomputes from parquet —
+# it only stops ``spark.read.parquet`` re-running its footer/schema
+# job on every builder call (~0.13 s/call warm; the suite made ~100
+# such calls per bench run). Registering a table once in a catalog
+# and referencing it per query is the production equivalent; keying
+# on applicationId ties entries to a live context. Source tables
+# under an sf_dir are immutable; scratch/sink paths never go through
+# _t and stay uncached.
+_T_HANDLES: dict = {}
+_T_HANDLES_CAP = 64
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _T_HANDLES.get(key)
+    if df is None:
+        while len(_T_HANDLES) >= _T_HANDLES_CAP:
+            _T_HANDLES.pop(next(iter(_T_HANDLES)))
+        _T_HANDLES[key] = df = spark.read.parquet(
+            f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet with ts normalized to a microsecond timestamp
-    (handles both the nanos and micros physical encodings)."""
-    from ..session import read_events
-    return read_events(spark, sf_dir)
+    (handles both the nanos and micros physical encodings). Same lazy
+    plan-handle reuse as _t (the normalization is deterministic per
+    file, and the handle holds no data)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__events_norm")
+    df = _T_HANDLES.get(key)
+    if df is None:
+        from ..session import read_events
+        while len(_T_HANDLES) >= _T_HANDLES_CAP:
+            _T_HANDLES.pop(next(iter(_T_HANDLES)))
+        _T_HANDLES[key] = df = read_events(spark, sf_dir)
+    return df
 
 
 _QVEC_CACHE: dict[str, list[float]] = {}
