@@ -45,6 +45,15 @@ def n_chunks(length: Column, size: int, stride: int) -> Column:
             .otherwise((extra - (extra % stride)) / stride + 1).cast("int")
 
 
+def _n_chunks_sql(length: str, size: int, stride: int) -> str:
+    """``n_chunks`` as a SQL fragment (same when/otherwise, double
+    division, final INT cast)."""
+    extra = f"({length} - {size} + {stride - 1})"
+    return (f"CAST(CASE WHEN {length} <= {size} THEN 1 "
+            f"ELSE ({extra} - ({extra} % {stride})) / {stride} + 1 "
+            f"END AS INT)")
+
+
 def chunk_documents(docs: DataFrame,
                     text_col: str = "text", key_col: str = "doc_id",
                     size: int = DEFAULT_CHUNK_SIZE,
@@ -71,36 +80,47 @@ def chunk_documents(docs: DataFrame,
     """
     if not 0 <= overlap < size:
         raise ValueError("require 0 <= overlap < size")
+    from ..functions.text import quote_ident, sql_regex
+
     stride = size - overlap
-    text = F.col(text_col)
-    total = n_chunks(F.length(text), size, stride)
+    t = quote_ident(text_col)
+    k = quote_ident(key_col)
+    kc = [quote_ident(c) for c in keep_cols]
+    # One-parse selectExpr construction (r15): same expression trees
+    # as the Column-API build (pinned row-identical by
+    # tests/test_sql_construction_parity), ~10x fewer py4j round trips
+    # for a helper many composed pipelines build repeatedly.
     numbered = (docs
-                .where(F.length(F.trim(text)) > 0)
-                .withColumn("total_chunks", total)
-                .select(key_col, "total_chunks", text_col, *keep_cols,
-                        F.explode(F.sequence(F.lit(1), F.col("total_chunks")))
-                         .alias("chunk_number")))
-    start = (F.col("chunk_number") - 1) * stride + 1
-    chunk_text = text.substr(start, F.lit(size))
+                .where(F.expr(f"length(trim({t})) > 0"))
+                .selectExpr(
+                    "*", f"{_n_chunks_sql(f'length({t})', size, stride)}"
+                    " AS total_chunks")
+                .selectExpr(
+                    k, "total_chunks", t, *kc,
+                    "explode(sequence(1, total_chunks)) AS chunk_number"))
+    start = f"((chunk_number - 1) * {stride} + 1)"
+    chunk_text = f"substring({t}, {start}, {size})"
     if soft:
         # next char AFTER the window: if whitespace, the window already
         # ends on a word boundary; if not, drop the trailing partial
         # word (unless that empties the chunk — single unbroken token).
-        next_ch = text.substr(start + size, F.lit(1))
-        trimmed = F.rtrim(F.regexp_replace(chunk_text, r"\s+\S*$", ""))
+        next_ch = f"substring({t}, {start} + {size}, 1)"
+        trimmed = (f"rtrim(regexp_replace({chunk_text}, "
+                   f"{sql_regex(chr(92) + 's+' + chr(92) + 'S*$')}, ''))")
         chunk_text = (
-            F.when(F.col("chunk_number") == F.col("total_chunks"), chunk_text)
-            .when(next_ch.rlike(r"^\s$"), chunk_text)
-            .when(trimmed != "", trimmed)
-            .otherwise(chunk_text))
+            f"CASE WHEN chunk_number = total_chunks THEN {chunk_text} "
+            f"WHEN {next_ch} rlike {sql_regex('^' + chr(92) + 's$')} "
+            f"THEN {chunk_text} "
+            f"WHEN {trimmed} != '' THEN {trimmed} "
+            f"ELSE {chunk_text} END")
     return (numbered
-            .select(
-                chunk_id(F.col(key_col), F.col("chunk_number") - 1).alias("chunk_id"),
-                F.col(key_col),
-                "chunk_number", "total_chunks",
-                chunk_text.alias("chunk_text"),
-                F.length(chunk_text).alias("chunk_len"),
-                *keep_cols))
+            .selectExpr(
+                f"concat(CAST({k} AS STRING), '_chunk_', "
+                f"CAST(((chunk_number - 1) + 1) AS STRING)) AS chunk_id",
+                k, "chunk_number", "total_chunks",
+                f"{chunk_text} AS chunk_text",
+                f"length({chunk_text}) AS chunk_len",
+                *kc))
 
 
 def dd_chunk_cte(size: int, overlap: int,

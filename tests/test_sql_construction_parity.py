@@ -211,6 +211,52 @@ def test_gopher_flags_identical_under_legacy_parser_conf(spark, docs):
     assert base == legacy_conf
 
 
+def test_chunk_documents_matches_legacy_build(spark):
+    """chunking.chunk_documents' selectExpr build == the original
+    Column-API build, hard and soft modes, including whitespace-only
+    docs and exact-boundary lengths."""
+    from rag_vector_database_spark.functions.text import chunk_id
+    from rag_vector_database_spark.operators import chunking
+
+    rows = [(i, s) for i, s in enumerate(
+        ["", "   ", "short one", "x" * 25, "a b " * 12, "y" * 26,
+         "word " * 30, "nounbrokentoken" * 4])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for soft in (False, True):
+        got = chunking.chunk_documents(docs, size=25, overlap=5, soft=soft)
+        size, overlap = 25, 5
+        stride = size - overlap
+        text = F.col("text")
+        total = chunking.n_chunks(F.length(text), size, stride)
+        numbered = (docs
+                    .where(F.length(F.trim(text)) > 0)
+                    .withColumn("total_chunks", total)
+                    .select("doc_id", "total_chunks", "text",
+                            F.explode(F.sequence(
+                                F.lit(1), F.col("total_chunks")))
+                            .alias("chunk_number")))
+        start = (F.col("chunk_number") - 1) * stride + 1
+        chunk_text = text.substr(start, F.lit(size))
+        if soft:
+            next_ch = text.substr(start + size, F.lit(1))
+            trimmed = F.rtrim(
+                F.regexp_replace(chunk_text, r"\s+\S*$", ""))
+            chunk_text = (
+                F.when(F.col("chunk_number") == F.col("total_chunks"),
+                       chunk_text)
+                .when(next_ch.rlike(r"^\s$"), chunk_text)
+                .when(trimmed != "", trimmed)
+                .otherwise(chunk_text))
+        legacy = numbered.select(
+            chunk_id(F.col("doc_id"), F.col("chunk_number") - 1)
+            .alias("chunk_id"),
+            F.col("doc_id"), "chunk_number", "total_chunks",
+            chunk_text.alias("chunk_text"),
+            F.length(chunk_text).alias("chunk_len"))
+        assert _rows(got) == _rows(legacy), f"soft={soft}"
+        assert got.schema == legacy.schema
+
+
 def test_vector_literals_accept_nonfinite(spark):
     """query_vec_lit and clustering._sql_num must render inf/NaN as
     parseable literals with the same values F.lit produced (r14
