@@ -253,22 +253,46 @@ def window_rms(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
         import numpy as np
         import pandas as pd
         for pdf in batches:
-            out = {"id": [], "win": [], "n_samples": [], "rms": []}
-            # zip over raw column arrays, not iterrows — see
-            # sample_frames on why; values unchanged
-            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
-                s = np.frombuffer(bytes(rb), dtype=np.uint8) \
-                    .astype(np.int64)
-                for w in range(max((len(s) + window - 1) // window, 1)):
-                    chunk = s[w * window:(w + 1) * window]
-                    n = int(chunk.size)
-                    ss = int((chunk * chunk).sum()) if n else 0
-                    out["id"].append(rid)
-                    out["win"].append(w)
-                    out["n_samples"].append(n)
-                    out["rms"].append(
-                        round(math.sqrt(ss / n), 6) if n else 0.0)
-            yield pd.DataFrame(out)
+            # whole-batch vectorization (r15, guide §4.2): the byte
+            # loop becomes one segment-keyed bincount — per-window
+            # sum of squares accumulates in float64 (exact: squares
+            # <= 255^2, 64 per window, far inside 2^53), identical
+            # to the old integer per-chunk sum. Only the final
+            # round(math.sqrt(ss/n), 6) stays a Python loop, over
+            # WINDOW rows (64x fewer than bytes), so the double and
+            # its CPython rounding are bit-identical to the old
+            # per-row kernel.
+            blobs = [bytes(x) for x in pdf[blob_col].values]
+            n = len(blobs)
+            lens = np.fromiter((len(b) for b in blobs),
+                               dtype=np.int64, count=n)
+            nwin = np.maximum(-(-lens // window), 1)
+            base = np.zeros(n, dtype=np.int64)
+            np.cumsum(nwin[:-1], out=base[1:])
+            total_w = int(nwin.sum())
+            ss = np.zeros(total_w)
+            cnt = np.zeros(total_w, dtype=np.int64)
+            total = int(lens.sum())
+            if total:
+                data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+                offs = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                pos = (np.arange(total, dtype=np.int64)
+                       - np.repeat(offs, lens))
+                gkey = np.repeat(base, lens) + pos // window
+                sq = data.astype(np.float64)
+                sq *= sq
+                ss = np.bincount(gkey, weights=sq, minlength=total_w)
+                cnt = np.bincount(gkey, minlength=total_w)
+            win = (np.arange(total_w, dtype=np.int64)
+                   - np.repeat(base, nwin))
+            rms_vals = [round(math.sqrt(s / c), 6) if c else 0.0
+                        for s, c in zip(ss, cnt)]
+            yield pd.DataFrame({
+                "id": np.repeat(pdf[id_col].values, nwin),
+                "win": win.astype(np.int32),
+                "n_samples": cnt.astype(np.int32),
+                "rms": rms_vals})
 
     return (_widen_narrow_scan(df.select(id_col, blob_col))
             .mapInPandas(rms, WINDOW_RMS_SCHEMA))
@@ -301,30 +325,25 @@ def ahash32(df: DataFrame, id_col: str = "id",
     shuffle: at 100 TB the hash table is ~12 bytes/blob and the
     banded self-join downstream (dedup.blob_ahash_pairs) never touches
     the blobs again."""
+    bbs = _batched_block_stats_fn()
+
     def kern(batches: Iterator) -> Iterator:
         import numpy as np
+        import pandas as pd
         for pdf in batches:
-            out = {"id": [], "ahash": []}
-            # zip over raw column arrays, not iterrows — see
-            # sample_frames on why; values unchanged
-            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
-                b = np.frombuffer(bytes(rb), dtype=np.uint8) \
-                    .astype(np.int64)
-                length = int(b.size)
-                h = 0
-                if length:
-                    blk = (np.arange(length) * n_blocks) // length
-                    sums = np.bincount(blk, weights=b,
-                                       minlength=n_blocks).astype(np.int64)
-                    lens = np.bincount(blk,
-                                       minlength=n_blocks).astype(np.int64)
-                    tot = int(sums.sum())
-                    for i in range(n_blocks):
-                        if int(sums[i]) * length > tot * int(lens[i]):
-                            h |= 1 << i
-                out["id"].append(rid)
-                out["ahash"].append(h)
-            yield pd.DataFrame(out)
+            # whole-batch vectorization (r15, guide §4.2): one
+            # segment-keyed bincount for the block sums, then the
+            # threshold + bit-pack as batch-wide int64 ops — bit i of
+            # row r is set iff sums[r,i]*L > tot[r]*cnts[r,i], the
+            # same integer cross-multiplied compare the per-row loop
+            # made (products < 255*L^2, far inside int64).
+            blobs = [bytes(x) for x in pdf[blob_col].values]
+            lens, sums, cnts = bbs(np, blobs, n_blocks)
+            tot = sums.sum(axis=1)
+            bits = (sums * lens[:, None]) > (tot[:, None] * cnts)
+            w = np.int64(1) << np.arange(n_blocks, dtype=np.int64)
+            h = (bits * w).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].values, "ahash": h})
 
     return (_widen_narrow_scan(df.select(id_col, blob_col))
             .mapInPandas(kern, AHASH_SCHEMA))
@@ -350,64 +369,70 @@ def ahash64(df: DataFrame, id_col: str = "id",
     linear at corpus scale (dedup.phash_band_pairs)."""
     n_blocks = 64
 
+    bbs = _batched_block_stats_fn()
+
     def kern(batches: Iterator) -> Iterator:
         import numpy as np
+        import pandas as pd
         for pdf in batches:
-            out = {"id": [], "ahash_lo": [], "ahash_hi": []}
-            # zip over raw column arrays, not iterrows — see
-            # sample_frames on why; values unchanged
-            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
-                b = np.frombuffer(bytes(rb), dtype=np.uint8) \
-                    .astype(np.int64)
-                length = int(b.size)
-                h = 0
-                if length:
-                    blk = (np.arange(length) * n_blocks) // length
-                    sums = np.bincount(blk, weights=b,
-                                       minlength=n_blocks).astype(np.int64)
-                    lens = np.bincount(blk,
-                                       minlength=n_blocks).astype(np.int64)
-                    tot = int(sums.sum())
-                    for i in range(n_blocks):
-                        if int(sums[i]) * length > tot * int(lens[i]):
-                            h |= 1 << i
-                out["id"].append(rid)
-                out["ahash_lo"].append(h & 0xFFFFFFFF)
-                out["ahash_hi"].append(h >> 32)
-            yield pd.DataFrame(out)
+            # whole-batch vectorization — see ahash32; the two 32-bit
+            # halves are packed from the low/high bit blocks
+            # separately, so every weight stays < 2^32 in int64.
+            blobs = [bytes(x) for x in pdf[blob_col].values]
+            lens, sums, cnts = bbs(np, blobs, n_blocks)
+            tot = sums.sum(axis=1)
+            bits = (sums * lens[:, None]) > (tot[:, None] * cnts)
+            w = np.int64(1) << np.arange(32, dtype=np.int64)
+            lo = (bits[:, :32] * w).sum(axis=1)
+            hi = (bits[:, 32:] * w).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].values,
+                                "ahash_lo": lo, "ahash_hi": hi})
 
     return (_widen_narrow_scan(df.select(id_col, blob_col))
             .mapInPandas(kern, AHASH64_SCHEMA))
 
 
-def _block_mean_cells_fn():
-    """Shared block-mean resample math (resize_blob + thumb_vector),
-    returned as a CLOSURE rather than exposed as a module-level
-    helper: a mapInPandas kernel that referenced a module global
-    would be cloudpickled BY REFERENCE (module + qualname), and an
-    external driver's Python workers can't import this package — the
-    same serialization gotcha sources/api_listing solves with
-    register_pickle_by_value. A `<locals>` function pickles by value
-    inside each kernel that captures it.
+def _batched_block_stats_fn():
+    """Whole-batch block statistics for the aHash / block-mean kernels,
+    returned as a CLOSURE rather than a module-level helper: a
+    mapInPandas kernel that referenced a module global would be
+    cloudpickled BY REFERENCE (module + qualname), and an external
+    driver's Python workers can't import this package — the same
+    serialization gotcha sources/api_listing solves with
+    register_pickle_by_value; a `<locals>` function pickles by value
+    inside each kernel that captures it. Replaces the per-row numpy calls
+    (frombuffer/arange/bincount per blob — ~8 small allocations per
+    row) with ONE segment-keyed bincount over the concatenated batch
+    (guide §4.2: hand whole batches to vectorized native code).
 
-    The math: byte ``p`` of an ``L``-byte blob lands in cell
-    ``(p*out_len)//L`` and each cell is the FLOOR of its block mean —
-    all integer, so the cells are reproducible bit-for-bit by any
-    engine. Returns ``(L, int64 cell array)``; cells with no source
-    byte are 0."""
-    def block_mean_cells(np, blob: bytes, out_len: int):
-        b = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
-        length = int(b.size)
-        cells = np.zeros(out_len, dtype=np.int64)
-        if length:
-            blk = (np.arange(length) * out_len) // length
-            sums = np.bincount(blk, weights=b,
-                               minlength=out_len).astype(np.int64)
-            lens = np.bincount(blk, minlength=out_len)
-            nz = lens > 0
-            cells[nz] = sums[nz] // lens[nz]
-        return length, cells
-    return block_mean_cells
+    Math per row is IDENTICAL to the per-row form: byte p of an
+    L-byte blob lands in block (p*n_blocks)//L; per-block byte sums
+    accumulate in float64 inside bincount exactly as before (exact —
+    a block sum is < 255*L << 2^53) and are cast back to int64.
+    Returns (lens, sums[n, n_blocks] int64, cnts[n, n_blocks] int64);
+    empty blobs contribute all-zero rows, matching the old h=0 /
+    zero-cells branches."""
+    def batched_block_stats(np, blobs: list, n_blocks: int):
+        n = len(blobs)
+        lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                           count=n)
+        total = int(lens.sum())
+        if not total:
+            z = np.zeros((n, n_blocks), dtype=np.int64)
+            return lens, z, z.copy()
+        data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+        blk = (pos * n_blocks) // np.repeat(lens, lens)
+        key = row * n_blocks + blk
+        sums = np.bincount(key, weights=data,
+                           minlength=n * n_blocks).astype(np.int64)
+        cnts = np.bincount(key, minlength=n * n_blocks).astype(np.int64)
+        return (lens, sums.reshape(n, n_blocks),
+                cnts.reshape(n, n_blocks))
+    return batched_block_stats
 
 
 THUMB_SCHEMA = StructType([
@@ -436,28 +461,33 @@ def resize_blob(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
     shuffle; at scale this is the map step that shrinks a media
     corpus ~L/out_len-fold before any shuffled analysis touches it.
     Cells with no source byte (L < out_len) are 0."""
-    bmc = _block_mean_cells_fn()
+    bbs = _batched_block_stats_fn()
 
     def kern(batches: Iterator) -> Iterator:
         import numpy as np
+        import pandas as pd
         for pdf in batches:
-            out = {"id": [], "in_len": [], "resized": [],
-                   "out_sum": [], "head0": [], "head1": [],
-                   "head2": [], "head3": []}
-            # zip over raw column arrays, not iterrows — see
-            # sample_frames on why; values unchanged
-            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
-                length, cells = bmc(np, bytes(rb), out_len)
-                out["id"].append(rid)
-                out["in_len"].append(length)
-                out["resized"].append(bytes(cells.astype(np.uint8)))
-                # integer invariants emitted alongside the blob: the
-                # oracle-checkable face of the thumbnail (a binary
-                # column itself can't cross the value-hash gate)
-                out["out_sum"].append(int(cells.sum()))
-                for j in range(4):
-                    out[f"head{j}"].append(int(cells[j]))
-            yield pd.DataFrame(out)
+            # whole-batch vectorization (r15): one segment bincount,
+            # then cells = floor(block mean) batch-wide; a cell with
+            # no source byte divides 0 by a clamped 1 -> 0, matching
+            # the old zero-fill. Only the per-row bytes() packing of
+            # the resized blob remains a Python loop.
+            blobs = [bytes(x) for x in pdf[blob_col].values]
+            lens, sums, cnts = bbs(np, blobs, out_len)
+            cells = sums // np.maximum(cnts, 1)
+            # integer invariants emitted alongside the blob: the
+            # oracle-checkable face of the thumbnail (a binary
+            # column itself can't cross the value-hash gate)
+            yield pd.DataFrame({
+                "id": pdf[id_col].values,
+                "in_len": lens.astype(np.int32),
+                "resized": [bytes(row) for row in
+                            cells.astype(np.uint8)],
+                "out_sum": cells.sum(axis=1),
+                "head0": cells[:, 0].astype(np.int32),
+                "head1": cells[:, 1].astype(np.int32),
+                "head2": cells[:, 2].astype(np.int32),
+                "head3": cells[:, 3].astype(np.int32)})
 
     return (_widen_narrow_scan(df.select(id_col, blob_col))
             .mapInPandas(kern, THUMB_SCHEMA))
@@ -472,7 +502,7 @@ THUMB_VEC_SCHEMA = StructType([
 def thumb_vector(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
                  out_len: int = 64) -> DataFrame:
     """The thumbnail as a VECTOR: the same integer block-mean cells
-    as ``resize_blob`` (shared ``_block_mean_cells`` math) emitted as
+    as ``resize_blob`` (shared batched block-stats math) emitted as
     an ``array<long>`` instead of packed bytes — the "image encoder"
     half of cross-modal retrieval. Because the cells are
     integer-exact, any similarity computed over them (after an
@@ -481,19 +511,19 @@ def thumb_vector(df: DataFrame, id_col: str = "id", blob_col: str = "blob",
     value-hash oracle gate. 1 blob -> 1 row, partition-local, zero
     shuffle; at scale this is the map step that shrinks a media
     corpus ~L/out_len-fold before the kNN ever shuffles anything."""
-    bmc = _block_mean_cells_fn()
+    bbs = _batched_block_stats_fn()
 
     def kern(batches: Iterator) -> Iterator:
         import numpy as np
+        import pandas as pd
         for pdf in batches:
-            out = {"id": [], "cells": []}
-            # zip over raw column arrays, not iterrows — see
-            # sample_frames on why; values unchanged
-            for rid, rb in zip(pdf[id_col].values, pdf[blob_col].values):
-                _, cells = bmc(np, bytes(rb), out_len)
-                out["id"].append(rid)
-                out["cells"].append([int(c) for c in cells])
-            yield pd.DataFrame(out)
+            # whole-batch vectorization (r15) — same batched block
+            # means as resize_blob, emitted as per-row lists.
+            blobs = [bytes(x) for x in pdf[blob_col].values]
+            _, sums, cnts = bbs(np, blobs, out_len)
+            cells = sums // np.maximum(cnts, 1)
+            yield pd.DataFrame({"id": pdf[id_col].values,
+                                "cells": list(cells)})
 
     return (_widen_narrow_scan(df.select(id_col, blob_col))
             .mapInPandas(kern, THUMB_VEC_SCHEMA))

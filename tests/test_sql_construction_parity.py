@@ -211,6 +211,91 @@ def test_gopher_flags_identical_under_legacy_parser_conf(spark, docs):
     assert base == legacy_conf
 
 
+def test_batched_multimodal_kernels_match_per_row_math(spark):
+    """The r15 whole-batch vectorization of the aHash / block-mean /
+    window-RMS kernels must be value-identical to the per-row
+    definitions, including empty / 1-byte / exact-window-boundary
+    blobs."""
+    import math
+
+    import numpy as np
+
+    from rag_vector_database_spark.sources import multimodal as MM
+
+    raw = [b"", b"\x00", b"\xff", bytes(range(256)) * 3,
+           b"a" * 64, b"b" * 65, bytes([7]) * 1000,
+           bytes(x % 251 for x in range(997))]
+    rows = [(i, bytearray(b)) for i, b in enumerate(raw)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+
+    # per-row reference math (the pre-r15 kernel bodies)
+    def ref_ahash(b: bytes, n_blocks: int) -> int:
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        length = int(arr.size)
+        h = 0
+        if length:
+            blk = (np.arange(length) * n_blocks) // length
+            sums = np.bincount(blk, weights=arr,
+                               minlength=n_blocks).astype(np.int64)
+            lens = np.bincount(blk, minlength=n_blocks).astype(np.int64)
+            tot = int(sums.sum())
+            for i in range(n_blocks):
+                if int(sums[i]) * length > tot * int(lens[i]):
+                    h |= 1 << i
+        return h
+
+    def ref_cells(b: bytes, out_len: int):
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        length = int(arr.size)
+        cells = np.zeros(out_len, dtype=np.int64)
+        if length:
+            blk = (np.arange(length) * out_len) // length
+            sums = np.bincount(blk, weights=arr,
+                               minlength=out_len).astype(np.int64)
+            lens = np.bincount(blk, minlength=out_len)
+            nz = lens > 0
+            cells[nz] = sums[nz] // lens[nz]
+        return length, cells
+
+    got32 = {r["id"]: r["ahash"]
+             for r in MM.ahash32(df).collect()}
+    assert got32 == {i: ref_ahash(b, 32) for i, b in enumerate(raw)}
+
+    got64 = {r["id"]: (r["ahash_lo"], r["ahash_hi"])
+             for r in MM.ahash64(df).collect()}
+    for i, b in enumerate(raw):
+        h = ref_ahash(b, 64)
+        assert got64[i] == (h & 0xFFFFFFFF, h >> 32), i
+
+    gotv = {r["id"]: list(r["cells"])
+            for r in MM.thumb_vector(df).collect()}
+    assert gotv == {i: [int(c) for c in ref_cells(b, 64)[1]]
+                    for i, b in enumerate(raw)}
+
+    gotr = {r["id"]: (r["in_len"], bytes(r["resized"]), r["out_sum"],
+                      r["head0"], r["head1"], r["head2"], r["head3"])
+            for r in MM.resize_blob(df).collect()}
+    for i, b in enumerate(raw):
+        length, cells = ref_cells(b, 64)
+        assert gotr[i] == (length, bytes(cells.astype(np.uint8)),
+                           int(cells.sum()), int(cells[0]),
+                           int(cells[1]), int(cells[2]),
+                           int(cells[3])), i
+
+    gotw = sorted((r["id"], r["win"], r["n_samples"], r["rms"])
+                  for r in MM.window_rms(df, window=64).collect())
+    exp = []
+    for i, b in enumerate(raw):
+        s = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        for w in range(max((len(s) + 63) // 64, 1)):
+            chunk = s[w * 64:(w + 1) * 64]
+            cn = int(chunk.size)
+            ss = int((chunk * chunk).sum()) if cn else 0
+            exp.append((i, w, cn,
+                        round(math.sqrt(ss / cn), 6) if cn else 0.0))
+    assert gotw == sorted(exp)
+
+
 def test_chunk_documents_matches_legacy_build(spark):
     """chunking.chunk_documents' selectExpr build == the original
     Column-API build, hard and soft modes, including whitespace-only
