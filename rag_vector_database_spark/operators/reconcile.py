@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import quote_ident
+
 DEFAULT_N_BUCKETS = 4096
 
 
@@ -44,13 +46,24 @@ def _bucket(key: Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(key), F.lit(n_buckets))
 
 
-def bucket_digests(df: DataFrame, key: str, fp: Column,
+def bucket_digests(df: DataFrame, key: str, fp: Column | str,
                    n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
     """Per-bucket (digest, n) summary: SUM of per-row hashes (as
     DECIMAL(38,0) — duplicate-sensitive where XOR is not, see module
     docstring) plus the row count. One map-side-combinable
     aggregation; the shuffle moves n_buckets rows regardless of store
-    size."""
+    size.
+
+    Pass ``fp`` as a SQL fragment STRING for the one-parse F.expr
+    construction path (same expression tree as the Column form — the
+    minhash_sig convention); a Column keeps the legacy path."""
+    if isinstance(fp, str):
+        k = quote_ident(key)
+        return (df.groupBy(F.expr(f"pmod(xxhash64({k}), {int(n_buckets)})")
+                           .alias("bucket"))
+                .agg(F.expr(f"sum(CAST(xxhash64({k}, {fp}) AS"
+                            f" DECIMAL(38,0))) AS digest"),
+                     F.expr("count(1) AS n")))
     row_hash = F.xxhash64(F.col(key), fp).cast("decimal(38,0)")
     return (df.groupBy(_bucket(F.col(key), n_buckets).alias("bucket"))
             .agg(F.sum(row_hash).alias("digest"),
@@ -58,7 +71,7 @@ def bucket_digests(df: DataFrame, key: str, fp: Column,
 
 
 def differing_buckets(left: DataFrame, right: DataFrame, key: str,
-                      fp: Column,
+                      fp: Column | str,
                       n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
     """Bucket ids whose (digest, n) disagree between the two stores —
     the only buckets whose rows need to be compared at all."""
@@ -70,7 +83,8 @@ def differing_buckets(left: DataFrame, right: DataFrame, key: str,
     return j.where(~same).select("bucket")
 
 
-def reconcile(left: DataFrame, right: DataFrame, key: str, fp: Column,
+def reconcile(left: DataFrame, right: DataFrame, key: str,
+              fp: Column | str,
               n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
     """Symmetric store diff: (key, change) rows with change in
     {'only_left', 'only_right', 'changed'} — identical output to the
@@ -85,14 +99,27 @@ def reconcile(left: DataFrame, right: DataFrame, key: str, fp: Column,
     first if your store permits duplicates.
 
     ``fp`` is the content fingerprint column expression evaluated on
-    each side (e.g. ``F.md5('text')``)."""
+    each side (e.g. ``F.md5('text')``), or a SQL fragment string for
+    the one-parse construction path (see bucket_digests)."""
     diff = F.broadcast(differing_buckets(left, right, key, fp, n_buckets))
-    lsub = (left.withColumn("bucket", _bucket(F.col(key), n_buckets))
-            .join(diff, "bucket", "left_semi")
-            .select(F.col(key), fp.alias("fp1"), F.lit(1).alias("in1")))
-    rsub = (right.withColumn("bucket", _bucket(F.col(key), n_buckets))
-            .join(diff, "bucket", "left_semi")
-            .select(F.col(key), fp.alias("fp2"), F.lit(1).alias("in2")))
+    if isinstance(fp, str):
+        k = quote_ident(key)
+        bucket_sql = f"pmod(xxhash64({k}), {int(n_buckets)})"
+
+        def _sub(df, side):
+            return (df.withColumn("bucket", F.expr(bucket_sql))
+                    .join(diff, "bucket", "left_semi")
+                    .selectExpr(k, f"{fp} AS fp{side}",
+                                f"1 AS in{side}"))
+
+        lsub, rsub = _sub(left, 1), _sub(right, 2)
+    else:
+        lsub = (left.withColumn("bucket", _bucket(F.col(key), n_buckets))
+                .join(diff, "bucket", "left_semi")
+                .select(F.col(key), fp.alias("fp1"), F.lit(1).alias("in1")))
+        rsub = (right.withColumn("bucket", _bucket(F.col(key), n_buckets))
+                .join(diff, "bucket", "left_semi")
+                .select(F.col(key), fp.alias("fp2"), F.lit(1).alias("in2")))
     j = lsub.join(rsub, key, "full_outer")
     change = (F.when(F.col("in2").isNull(), "only_left")
               .when(F.col("in1").isNull(), "only_right")

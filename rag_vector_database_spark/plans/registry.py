@@ -7794,7 +7794,7 @@ def q_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionByName(d.where(F.col("doc_id") < 7)
                           .select((F.col("doc_id") + 1000000).alias("doc_id"),
                                   "text")))
-    return (rc.reconcile(d, right, "doc_id", F.md5(F.col("text")),
+    return (rc.reconcile(d, right, "doc_id", "md5(`text`)",
                          n_buckets=256)
             .orderBy("doc_id"))
 

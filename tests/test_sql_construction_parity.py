@@ -211,6 +211,32 @@ def test_gopher_flags_identical_under_legacy_parser_conf(spark, docs):
     assert base == legacy_conf
 
 
+def test_reconcile_sql_fp_matches_column_fp(spark, docs):
+    """reconcile/bucket_digests with a SQL-fragment fp == the Column
+    fp path, row for row (including the only_left/only_right/changed
+    classification and digest values)."""
+    from rag_vector_database_spark.operators import reconcile as rc
+
+    d = docs.fillna("", ["text"])
+    right = (d.where(F.col("doc_id") % 3 != 0)
+             .withColumn("text",
+                         F.when(F.col("doc_id") % 4 == 0,
+                                F.concat(F.col("text"), F.lit(" x")))
+                         .otherwise(F.col("text"))))
+    col_fp = F.md5(F.col("text"))
+    for fn in (rc.bucket_digests,):
+        a = _rows(fn(d, "doc_id", col_fp, 16))
+        b = _rows(fn(d, "doc_id", "md5(`text`)", 16))
+        assert a == b
+    a = _rows(rc.reconcile(d, right, "doc_id", col_fp, n_buckets=16))
+    b = _rows(rc.reconcile(d, right, "doc_id", "md5(`text`)",
+                           n_buckets=16))
+    assert a == b
+    got = rc.reconcile(d, right, "doc_id", "md5(`text`)", n_buckets=16)
+    ref = rc.reconcile(d, right, "doc_id", col_fp, n_buckets=16)
+    assert got.schema == ref.schema
+
+
 def test_batched_multimodal_kernels_match_per_row_math(spark):
     """The r15 whole-batch vectorization of the aHash / block-mean /
     window-RMS kernels must be value-identical to the per-row
