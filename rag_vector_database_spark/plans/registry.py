@@ -10231,11 +10231,23 @@ def q_cross_modal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where((F.length("text") > 0)
                 & (F.octet_length(F.encode("text", "UTF-8"))
                    == F.length("text"))))
-    # image side: integer thumbnail cells from the Arrow kernel
+    # image side: integer thumbnail cells from the Arrow kernel.
+    # The norm gets its OWN projection (r15): unit_double inlines the
+    # whole sqrt-of-fold subtree into the per-element transform
+    # lambda, where subexpression elimination cannot hoist it; with
+    # the norm materialized as a column the fold runs once per row.
+    # Values identical (same double divided by the same double) —
+    # verified row-for-row and by the oracle; interleaved A/B on the
+    # corpus leg: med 0.721 -> 0.686, min 0.687 -> 0.575.
     blobs = multimodal.attach_blob(d)
     corpus = (multimodal.thumb_vector(blobs, id_col="doc_id", out_len=64)
-              .select(F.col("id").alias("cid"),
-                      V.unit_double("cells").alias("iv")))
+              .select(F.col("id").alias("cid"), "cells",
+                      V.norm("cells").alias("__n"))
+              .select("cid",
+                      F.when(F.col("__n") > 0,
+                             F.transform("cells",
+                                         lambda x: x.cast("double")
+                                         / F.col("__n"))).alias("iv")))
     # text side: 64-bin char histogram for the query docs (the
     # "captions"), pivoted to a fixed-width integer vector
     qd = d.where(F.col("doc_id") < 4)
